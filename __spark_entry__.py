@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is a Spark DataFrame plan built from
+``btrdb_spark``; ``oracle_sql()`` holds the equivalent DuckDB SQL over the
+same parquet views. Column names and values are engineered to match exactly
+(decimal-exact sums, identical integer bucket arithmetic — see
+btrdb_spark/functions/timeops.py).
+
+The time-series fixture is the driver's `events` table mapped onto the
+canonical points shape (FIXTURES.md §6): user_id -> uuid, ts -> time (ns),
+value -> value, plus a deterministic synthetic version 10 + event_id % 7
+so the versioning operators (V1-V3) have a multi-version history.
 """
 
 from __future__ import annotations
@@ -12,27 +17,392 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from btrdb_spark import metadata as md
+from btrdb_spark.operators import align as align_ops
+from btrdb_spark.operators import changes as chg_ops
+from btrdb_spark.operators import raw as raw_ops
+from btrdb_spark.operators import windows as win_ops
+from btrdb_spark.sources.tables import events_as_points, load_table
+from btrdb_spark.functions import dedup, similarity, text
+
+# ---- time constants (events span Jan 2024, ns epoch) ----
+NS = 1_000_000_000
+T0 = 1704067200 * NS            # 2024-01-01T00:00:00Z
+T1 = 1706745600 * NS            # 2024-02-01T00:00:00Z
+DAY = 86400 * NS
+HOUR = 3600 * NS
+
+# DuckDB view of events as canonical points (mirrors sources.tables.events_as_points)
+PTS = (
+    "(SELECT CAST(user_id AS VARCHAR) AS uuid, epoch_ns(ts) AS time, "
+    "value AS value, CAST(10 + (event_id % 7) AS BIGINT) AS version FROM events)"
+)
+
+# decimal-exact mean over doubles — identical in Spark & DuckDB
+MEAN_SQL = "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)"
+
+# ---- synthetic metadata plane derived from events (see oracle mirrors) ----
+
+def _streams_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("user_id").distinct()
+    return base.select(
+        F.col("user_id").cast("string").alias("uuid"),
+        F.concat(
+            F.lit("site"), (F.col("user_id") % 7).cast("string"),
+            F.lit("/sensor"), (F.col("user_id") % 3).cast("string"),
+        ).alias("collection"),
+        F.map_filter(
+            F.create_map(
+                F.lit("unit"), F.when(F.col("user_id") % 2 == 0, F.lit("kw")).otherwise(F.lit("v")),
+                F.lit("phase"), F.when(F.col("user_id") % 3 == 0, F.lit("a")),
+            ),
+            lambda k, v: v.isNotNull(),
+        ).alias("tags"),
+        F.map_filter(
+            F.create_map(
+                F.lit("owner"), F.concat(F.lit("team"), (F.col("user_id") % 4).cast("string")),
+                F.lit("calib"), F.when(F.col("user_id") % 5 == 0, F.lit("2024-01")),
+            ),
+            lambda k, v: v.isNotNull(),
+        ).alias("annotations"),
+        F.lit(1).cast("long").alias("annotation_version"),
+        F.lit(None).cast("string").alias("tombstoned"),
+    )
+
+
+STREAMS_SQL = (
+    "(SELECT CAST(user_id AS VARCHAR) AS uuid, "
+    "'site' || CAST(user_id % 7 AS VARCHAR) || '/sensor' || CAST(user_id % 3 AS VARCHAR) AS collection, "
+    "user_id FROM (SELECT DISTINCT user_id FROM events))"
+)
+
+
+def _deletes_df(spark: SparkSession) -> DataFrame:
+    """Synthetic range tombstones for the delete/versioning queries (V3)."""
+    rows = [
+        ("7", T0 + 10 * DAY, T0 + 15 * DAY, 13),
+        ("12", T0 + 2 * DAY, T0 + 4 * DAY, 12),
+    ]
+    return spark.createDataFrame(rows, "uuid string, start long, end long, version long")
+
+
+DELETES_SQL = (
+    f"(SELECT * FROM (VALUES ('7', {T0 + 10 * DAY}, {T0 + 15 * DAY}, 13), "
+    f"('12', {T0 + 2 * DAY}, {T0 + 4 * DAY}, 12)) AS d(uuid, del_start, del_end, del_version))"
+)
+
+
+# =====================  queries  =====================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: multi-resolution statistical query (A1) on sf0.001."""
+    pts = events_as_points(spark, "/root/testdata/sf0.001")
+    return win_ops.aligned_windows(pts, None, T0, T1, pw=40)
+
+
+def q_raw_values(spark: SparkSession, sf: str) -> DataFrame:
+    return raw_ops.raw_values(events_as_points(spark, sf), "42", T0 + 5 * DAY, T0 + 10 * DAY)
+
+
+def q_raw_values_at_version(spark: SparkSession, sf: str) -> DataFrame:
+    return raw_ops.raw_values(events_as_points(spark, sf), None, T0 + 5 * DAY, T0 + 6 * DAY, version=12)
+
+
+def q_raw_values_after_delete(spark: SparkSession, sf: str) -> DataFrame:
+    return raw_ops.raw_values(
+        events_as_points(spark, sf), None, T0, T1, version=14, deletes=_deletes_df(spark)
+    )
+
+
+def q_aligned_windows(spark: SparkSession, sf: str) -> DataFrame:
+    return win_ops.aligned_windows(events_as_points(spark, sf), None, T0, T1, pw=36)
+
+
+def q_windows_1h(spark: SparkSession, sf: str) -> DataFrame:
+    return win_ops.windows(events_as_points(spark, sf), None, T0, T0 + 7 * DAY, width=HOUR)
+
+
+def q_nearest_before(spark: SparkSession, sf: str) -> DataFrame:
+    return raw_ops.nearest_all(events_as_points(spark, sf), T0 + 15 * DAY, backward=True)
+
+
+def q_nearest_after(spark: SparkSession, sf: str) -> DataFrame:
+    return raw_ops.nearest_all(events_as_points(spark, sf), T0 + 15 * DAY, backward=False)
+
+
+def q_changed_ranges(spark: SparkSession, sf: str) -> DataFrame:
+    return chg_ops.changed_ranges(events_as_points(spark, sf), None, 11, 13, resolution=40)
+
+
+def q_align_multistream(spark: SparkSession, sf: str) -> DataFrame:
+    return align_ops.align_streams(
+        events_as_points(spark, sf), ["1", "2", "3", "4", "5"], T0, T1
+    )
+
+
+def q_list_collections(spark: SparkSession, sf: str) -> DataFrame:
+    return md.list_collections(_streams_df(spark, sf), prefix="site1")
+
+
+def q_lookup_streams(spark: SparkSession, sf: str) -> DataFrame:
+    return md.lookup_streams(
+        _streams_df(spark, sf), collection="site1", is_prefix=True, tags={"unit": "kw"}
+    ).select("uuid", "collection")
+
+
+def q_key_usage(spark: SparkSession, sf: str) -> DataFrame:
+    return md.key_usage(_streams_df(spark, sf))
+
+
+def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    dec = lambda c: c.cast("decimal(38,6)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("double").alias("sum_disc_price"),
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")))).cast("double").alias("sum_charge"),
+            (F.sum(dec(F.col("l_quantity"))).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_segment_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """q3-flavored 3-way join: revenue per market segment and order month.
+
+    The customer dimension is broadcast (it is orders/10); the orders->lineitem
+    join shuffles on orderkey — the natural co-location key at scale.
+    """
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        )
+        .agg(
+            F.sum(rev.cast("decimal(38,6)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("mktsegment", "order_month")
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.exact_duplicates(load_table(spark, sf, "documents"))
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf, "documents"), n=3, threshold=0.5)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(load_table(spark, sf, "documents"), n=3, num_hashes=32, bands=8)
+
+
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    return text.quality_stats(load_table(spark, sf, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    return text.lang_id(load_table(spark, sf, "documents"))
+
+
+def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "raw_values": q_raw_values,
+        "raw_values_at_version": q_raw_values_at_version,
+        "raw_values_after_delete": q_raw_values_after_delete,
+        "aligned_windows": q_aligned_windows,
+        "windows_1h": q_windows_1h,
+        "nearest_before": q_nearest_before,
+        "nearest_after": q_nearest_after,
+        "changed_ranges": q_changed_ranges,
+        "align_multistream": q_align_multistream,
+        "list_collections": q_list_collections,
+        "lookup_streams": q_lookup_streams,
+        "key_usage": q_key_usage,
+        "tpch_q1": q_tpch_q1,
+        "segment_revenue": q_segment_revenue,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "cosine_topk": q_cosine_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# =====================  oracles  =====================
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    oracles: dict[str, str] = {}
+
+    oracles["raw_values"] = f"""
+        SELECT uuid, time, value FROM {PTS} p
+        WHERE uuid = '42' AND time >= {T0 + 5 * DAY} AND time < {T0 + 10 * DAY}
+        ORDER BY uuid, time, value
     """
-    return {}
+
+    oracles["raw_values_at_version"] = f"""
+        SELECT uuid, time, value FROM {PTS} p
+        WHERE version <= 12 AND time >= {T0 + 5 * DAY} AND time < {T0 + 6 * DAY}
+        ORDER BY uuid, time, value
+    """
+
+    oracles["raw_values_after_delete"] = f"""
+        SELECT p.uuid, p.time, p.value FROM {PTS} p
+        WHERE p.version <= 14 AND p.time >= {T0} AND p.time < {T1}
+          AND NOT EXISTS (
+            SELECT 1 FROM {DELETES_SQL} d
+            WHERE d.del_version <= 14 AND d.uuid = p.uuid
+              AND p.time >= d.del_start AND p.time < d.del_end
+              AND p.version <= d.del_version)
+        ORDER BY p.uuid, p.time, p.value
+    """
+
+    w36 = 1 << 36
+    oracles["aligned_windows"] = f"""
+        SELECT uuid, time - ((time % {w36} + {w36}) % {w36}) AS bucket_start,
+               COUNT(*) AS cnt, MIN(value) AS vmin, {MEAN_SQL} AS vmean, MAX(value) AS vmax
+        FROM {PTS} p
+        WHERE time >= {T0 - (T0 % w36 + w36) % w36} AND time < {T1 - (T1 % w36 + w36) % w36}
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    n_1h = (7 * DAY) // HOUR
+    oracles["windows_1h"] = f"""
+        WITH inr AS (
+            SELECT * FROM {PTS} p WHERE time >= {T0} AND time < {T0 + 7 * DAY}
+        ), agg AS (
+            SELECT uuid, (time - {T0}) // {HOUR} AS widx,
+                   COUNT(*) AS cnt, MIN(value) AS vmin, {MEAN_SQL} AS vmean, MAX(value) AS vmax
+            FROM inr GROUP BY 1, 2
+        ), us AS (SELECT DISTINCT uuid FROM inr),
+        frame AS (
+            SELECT us.uuid, gs.generate_series AS widx
+            FROM us CROSS JOIN generate_series(0, {n_1h - 1}) gs
+        )
+        SELECT frame.uuid, CAST({T0} + frame.widx * {HOUR} AS BIGINT) AS window_start,
+               COALESCE(agg.cnt, 0) AS cnt, agg.vmin, agg.vmean, agg.vmax
+        FROM frame LEFT JOIN agg ON frame.uuid = agg.uuid AND frame.widx = agg.widx
+        ORDER BY 1, 2
+    """
+
+    tmid = T0 + 15 * DAY
+    oracles["nearest_before"] = f"""
+        SELECT uuid, time, value FROM (
+            SELECT uuid, time, value,
+                   ROW_NUMBER() OVER (PARTITION BY uuid ORDER BY time DESC, value DESC) AS rn
+            FROM {PTS} p WHERE time < {tmid}) t
+        WHERE rn = 1 ORDER BY uuid
+    """
+
+    oracles["nearest_after"] = f"""
+        SELECT uuid, time, value FROM (
+            SELECT uuid, time, value,
+                   ROW_NUMBER() OVER (PARTITION BY uuid ORDER BY time ASC, value DESC) AS rn
+            FROM {PTS} p WHERE time >= {tmid}) t
+        WHERE rn = 1 ORDER BY uuid
+    """
+
+    w40 = 1 << 40
+    oracles["changed_ranges"] = f"""
+        WITH b AS (
+            SELECT DISTINCT uuid, time - ((time % {w40} + {w40}) % {w40}) AS bstart
+            FROM {PTS} p WHERE version > 11 AND version <= 13
+        ), isl AS (
+            SELECT uuid, bstart, bstart + {w40} AS bend,
+                   CASE WHEN LAG(bstart + {w40}) OVER (PARTITION BY uuid ORDER BY bstart) IS NULL
+                          OR bstart > LAG(bstart + {w40}) OVER (PARTITION BY uuid ORDER BY bstart)
+                        THEN 1 ELSE 0 END AS ni
+            FROM b
+        ), isl2 AS (
+            SELECT uuid, bstart, bend,
+                   SUM(ni) OVER (PARTITION BY uuid ORDER BY bstart ROWS UNBOUNDED PRECEDING) AS island
+            FROM isl
+        )
+        SELECT uuid, MIN(bstart) AS range_start, MAX(bend) AS range_end
+        FROM isl2 GROUP BY uuid, island ORDER BY uuid, range_start
+    """
+
+    cols = ", ".join(
+        f"MAX(CASE WHEN uuid = '{u}' THEN value END) AS v_{u}" for u in ["1", "2", "3", "4", "5"]
+    )
+    oracles["align_multistream"] = f"""
+        SELECT time, {cols} FROM {PTS} p
+        WHERE uuid IN ('1','2','3','4','5') AND time >= {T0} AND time < {T1}
+        GROUP BY time ORDER BY time
+    """
+
+    oracles["list_collections"] = f"""
+        SELECT DISTINCT collection FROM {STREAMS_SQL} s
+        WHERE collection LIKE 'site1%' ORDER BY collection
+    """
+
+    oracles["lookup_streams"] = f"""
+        SELECT uuid, collection FROM {STREAMS_SQL} s
+        WHERE collection LIKE 'site1%' AND user_id % 2 = 0 ORDER BY uuid
+    """
+
+    oracles["key_usage"] = f"""
+        WITH us AS (SELECT DISTINCT user_id FROM events)
+        SELECT key, cnt, kind FROM (
+            SELECT 'unit' AS key, COUNT(*) AS cnt, 'tag' AS kind FROM us
+            UNION ALL
+            SELECT 'phase', COUNT(*) FILTER (WHERE user_id % 3 = 0), 'tag' FROM us
+            UNION ALL
+            SELECT 'owner', COUNT(*), 'annotation' FROM us
+            UNION ALL
+            SELECT 'calib', COUNT(*) FILTER (WHERE user_id % 5 = 0), 'annotation' FROM us
+        ) t WHERE cnt > 0 ORDER BY kind, key
+    """
+
+    oracles["tpch_q1"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """
+
+    oracles["segment_revenue"] = """
+        SELECT c.c_mktsegment AS mktsegment, strftime(o.o_orderdate, '%Y-%m') AS order_month,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    oracles.update(dedup.ORACLES)
+    oracles.update(text.ORACLES)
+    oracles.update(similarity.ORACLES)
+    return oracles

@@ -1,0 +1,127 @@
+"""Statistical window queries (A1 AlignedWindows, A2 Windows).
+
+Reference semantics:
+- AlignedWindows (A1): tumbling windows of width 2^pw ns aligned to absolute
+  zero. start/end are snapped DOWN to the grid, end becomes inclusive
+  (quasar.go:279-283: ``start &^= (1<<pw)-1; end &^= ...; end -= 1``), i.e.
+  the grouped range is snap(start) <= t < snap(end). Empty buckets are
+  SKIPPED (qtree/qtree.go:878 count!=0 guard).
+- Windows (A2): tumbling windows of arbitrary width anchored at `start`;
+  end is rounded down to a whole number of windows (quasar.go:322-324);
+  every window is emitted, zero-count holes included
+  (qtree/qtree.go:1143-1173). The reference's `depth` knob trades accuracy
+  for speed; this engine always answers exactly (a compatible superset).
+  Divergence note: for a stream with no points at all the reference emits
+  n-1 windows (qtree/qtree.go:1250 ``start+width < end`` quirk); we emit the
+  full n for consistency.
+
+Mean handling: the reference stores mean and recombines count-weighted
+(merger.go:197). We aggregate sum as DECIMAL(38,6) so partial-aggregate
+combines are exact and deterministic across engines, then expose
+vmean = vsum/cnt (SURVEY.md §7 watch-list #3).
+
+Scale notes: both queries are a single map-side-combinable groupBy on a
+derived bucket column — one shuffle keyed (uuid, bucket), no window
+functions, no driver loops. Hole emission joins against a generated
+spark.range of window indexes (size = output rows, independent of data
+volume); the per-stream window frame is broadcast. At 100 TB the same plan
+answers from the rollup ladder (plans/rollup.py) instead of raw points when
+the requested grain is coarser than a maintained level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.timeops import bucket_start, floor_div
+from .raw import apply_deletes, at_version
+
+DEC = "decimal(38,6)"
+
+
+def _stat_aggs():
+    return [
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("value").alias("vmin"),
+        (F.sum(F.col("value").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("vmean"),
+        F.max("value").alias("vmax"),
+    ]
+
+
+def aligned_windows(
+    points: DataFrame,
+    uuid: str | None,
+    start: int,
+    end: int,
+    pw: int,
+    version: int | None = None,
+    deletes: DataFrame | None = None,
+) -> DataFrame:
+    """A1: per non-empty 2^pw bucket -> (uuid, bucket_start, cnt, vmin, vmean, vmax)."""
+    if not (0 <= pw <= 63):
+        raise ValueError(f"pointwidth out of range: {pw}")
+    width = 1 << pw
+    snap_s = start - (start % width + width) % width
+    snap_e = end - (end % width + width) % width
+    df = apply_deletes(at_version(points, version), deletes, version)
+    if uuid is not None:
+        df = df.filter(F.col("uuid") == F.lit(uuid))
+    df = df.filter((F.col("time") >= F.lit(snap_s)) & (F.col("time") < F.lit(snap_e)))
+    out = (
+        df.withColumn("bucket_start", bucket_start(F.col("time"), width))
+        .groupBy("uuid", "bucket_start")
+        .agg(*_stat_aggs())
+    )
+    return out.select("uuid", "bucket_start", "cnt", "vmin", "vmean", "vmax").orderBy(
+        "uuid", "bucket_start"
+    )
+
+
+def windows(
+    points: DataFrame,
+    uuid: str | None,
+    start: int,
+    end: int,
+    width: int,
+    version: int | None = None,
+    deletes: DataFrame | None = None,
+) -> DataFrame:
+    """A2: every width-ns window anchored at start; zero-count holes emitted.
+
+    Returns (uuid, window_start, cnt, vmin, vmean, vmax) with NULL stats for
+    holes. Streams with no points in any window emit nothing (matching the
+    reference, which emits nothing when the stream has no data >= start and
+    never activates — qtree/qtree.go:1190-1235).
+    """
+    if width <= 0:
+        raise ValueError("width must be positive")
+    end = end - (end - start) % width  # quasar.go:322-324
+    n_windows = (end - start) // width
+    if n_windows <= 0:
+        raise ValueError("empty window range")
+    df = apply_deletes(at_version(points, version), deletes, version)
+    if uuid is not None:
+        df = df.filter(F.col("uuid") == F.lit(uuid))
+    df = df.filter((F.col("time") >= F.lit(start)) & (F.col("time") < F.lit(end)))
+    spark = points.sparkSession
+    agg = (
+        df.withColumn("widx", floor_div(F.col("time") - F.lit(start), F.lit(width).cast("long")))
+        .groupBy("uuid", "widx")
+        .agg(*_stat_aggs())
+    )
+    # Window frame: every (uuid, widx) pair for streams that have any data in
+    # range. Row count = streams x windows (output-sized, tiny), broadcast.
+    uuids = df.select("uuid").distinct()
+    frame = F.broadcast(uuids).crossJoin(
+        spark.range(n_windows).select(F.col("id").alias("widx"))
+    )
+    out = frame.join(agg, on=["uuid", "widx"], how="left").select(
+        F.col("uuid"),
+        (F.lit(start) + F.col("widx") * F.lit(width)).cast("long").alias("window_start"),
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+        "vmin",
+        "vmean",
+        "vmax",
+    )
+    return out.orderBy("uuid", "window_start")

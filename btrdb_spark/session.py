@@ -1,0 +1,36 @@
+"""SparkSession factory.
+
+Local testing runs ``local[N]`` single-JVM; the configs below are chosen so
+the same code is correct and fast on a multi-executor cluster:
+
+- AQE on (runtime shuffle-partition coalescing + skew-join splitting), so a
+  plan tuned at sf0.1 survives a 1000x scale-up without re-tuning.
+- shuffle.partitions sized to cores locally; on a real cluster AQE coalesces
+  from a higher initial number.
+- Arrow enabled for the pandas-UDF slow path (dedup/similarity kernels).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "btrdb_spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("BTRDB_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,50 @@
+"""Parquet table loaders for the driver's test data.
+
+At cluster scale the points table would be written partitioned by
+(uuid_bucket, time_bucket) so uuid/time predicates prune partitions before
+the parquet min/max skipping even runs (SURVEY.md §1.3). The driver's test
+parquet is a single unpartitioned file; the loaders keep the read path
+declarative (spark.read.parquet) so Catalyst pushdown works either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # The events parquet stores TIMESTAMP(NANOS); Spark 4 refuses it
+        # unless nanos are surfaced as raw int64 ns (runtime-settable).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_as_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the driver's `events` table onto the canonical points shape.
+
+    Per FIXTURES.md §6: key column -> uuid, timestamp -> time (ns),
+    metric -> value. A deterministic synthetic `version` (10 + event_id % 7)
+    gives a multi-version history for the versioning operators (the
+    reference's first-data version is 10 — internal/bprovider/bprovider.go:33).
+
+    DuckDB oracle mirror (see __spark_entry__.PTS):
+      SELECT CAST(user_id AS VARCHAR) uuid, epoch_ns(ts) time, value,
+             10 + (event_id % 7) version FROM events
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # ts arrives as raw int64 nanoseconds (nanosAsLong). DuckDB's parquet
+    # reader truncates ns -> µs on read (verified), so the oracle's
+    # epoch_ns(ts) is µs-truncated; truncate identically here.
+    t = F.col("ts").cast("long")
+    return ev.select(
+        F.col("user_id").cast("string").alias("uuid"),
+        (t - F.pmod(t, F.lit(1000))).alias("time"),
+        F.col("value").alias("value"),
+        (F.lit(10) + F.col("event_id") % F.lit(7)).cast("long").alias("version"),
+    )
