@@ -1,0 +1,74 @@
+"""Dedup / similarity / text operators on tiny synthetic corpora."""
+
+from __future__ import annotations
+
+import pytest
+
+from btrdb_spark.functions import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the sleepy dog"),  # near dup
+        (4, "completely different text about spark engines and shuffles"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    rows = dedup.exact_duplicates(docs).collect()
+    by_keeper = {r["keeper_doc_id"]: r["n_copies"] for r in rows}
+    assert by_keeper[1] == 2 and by_keeper[3] == 1 and by_keeper[4] == 1
+
+
+def test_ngram_jaccard(docs):
+    rows = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.4).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.4 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_identical_docs_full_signature_match(docs):
+    rows = dedup.minhash_lsh_pairs(docs, n=3, num_hashes=16, bands=4).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in rows}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 4) not in pairs  # no band collision for unrelated docs
+
+
+def test_cosine_topk_self_similarity(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.9, 0.1, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.cosine_topk(emb, emb.filter("vec_id = 0"), k=2).collect()
+    assert [(r["neighbor_id"], r["rank"]) for r in out] == [(1, 1), (3, 2)]
+    assert out[0]["cosine"] == 1.0
+
+
+def test_lsh_buckets_deterministic(spark):
+    rows = [(0, [1.0] * 64), (1, [1.0] * 64), (2, [-1.0] * 64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    b = {r["vec_id"]: r["bucket"] for r in similarity.lsh_buckets(emb, n_planes=8).collect()}
+    assert b[0] == b[1]  # identical vectors -> same bucket
+    assert b[0] != b[2]  # opposite vectors -> different bucket
+
+
+def test_text_quality_and_langid(docs):
+    q = {r["doc_id"]: r for r in text.quality_stats(docs).collect()}
+    assert q[1]["n_tokens"] == 9
+    assert q[1]["stopword_ratio"] == pytest.approx(2 / 9)
+    lang = {r["doc_id"]: r["pred_lang"] for r in text.lang_id(docs).collect()}
+    assert lang[1] == "en"
+
+
+def test_fingerprint_stable(docs):
+    a = {r["doc_id"]: r["fp"] for r in text.fingerprint(docs).collect()}
+    b = {r["doc_id"]: r["fp"] for r in text.fingerprint(docs).collect()}
+    assert a == b and a[1] == a[2] and a[1] != a[4]

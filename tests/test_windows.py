@@ -1,0 +1,69 @@
+"""Aligned/arbitrary window semantics vs the reference contract:
+snap rules (quasar.go:279-283), skip-empty (qtree.go:878), end rounding
+(quasar.go:322-324), zero-count hole emission (qtree.go:1143-1173),
+count-weighted mean exactness (merger.go:197)."""
+
+from __future__ import annotations
+
+import pytest
+
+from btrdb_spark.operators.windows import aligned_windows, windows
+
+
+@pytest.fixture(scope="module")
+def pts(make_points):
+    # stream "s": points at t=1,2,3 (bucket 0), t=9 (bucket 1), hole bucket 2,
+    # t=25 (bucket 3) for width 8
+    return make_points(
+        [("s", 1, 1.0, 10), ("s", 2, 2.0, 10), ("s", 3, 6.0, 10), ("s", 9, 4.0, 11), ("s", 25, 8.0, 11)]
+    )
+
+
+def test_aligned_snap_and_skip_empty(pts):
+    # start=1 snaps to 0; end=26 snaps to 24 -> range [0, 24): buckets 0,1,2
+    # bucket 2 (16..24) is empty and must be SKIPPED; t=25 excluded by snap
+    rows = aligned_windows(pts, "s", 1, 26, pw=3).collect()
+    assert [(r["bucket_start"], r["cnt"], r["vmin"], r["vmean"], r["vmax"]) for r in rows] == [
+        (0, 3, 1.0, 3.0, 6.0),
+        (8, 1, 4.0, 4.0, 4.0),
+    ]
+
+
+def test_aligned_end_already_aligned(pts):
+    # end=32 aligned: buckets 0..3 incl; bucket 3 has t=25
+    rows = aligned_windows(pts, "s", 0, 32, pw=3).collect()
+    assert [r["bucket_start"] for r in rows] == [0, 8, 24]
+
+
+def test_windows_holes_and_rounding(pts):
+    # width 8 from 0, end=30 -> rounded to 24 -> 3 windows; hole at widx 2
+    # is NOT in range (rounded out); hole emission shows at widx 2 of [0,32)
+    rows = windows(pts, "s", 0, 30, width=8).collect()
+    assert [(r["window_start"], r["cnt"]) for r in rows] == [(0, 3), (8, 1), (16, 0)]
+    hole = rows[2]
+    assert hole["vmin"] is None and hole["vmean"] is None and hole["vmax"] is None
+
+
+def test_windows_anchored_at_start(pts):
+    # anchor start=1: windows [1,9) [9,17) [17,25); t=1..3 in w0, t=9 in w1,
+    # t=25 excluded (rounding end=26 -> 25)
+    rows = windows(pts, "s", 1, 26, width=8).collect()
+    assert [(r["window_start"], r["cnt"]) for r in rows] == [(1, 3), (9, 1), (17, 0)]
+
+
+def test_windows_version_pinned(pts):
+    rows = windows(pts, "s", 0, 32, width=8, version=10).collect()
+    # only version<=10 rows: t=1,2,3
+    assert [(r["window_start"], r["cnt"]) for r in rows] == [(0, 3), (8, 0), (16, 0), (24, 0)]
+
+
+def test_mean_is_exact(make_points):
+    pts = make_points([("m", i, 0.1, 10) for i in range(10)])
+    rows = aligned_windows(pts, "m", 0, 16, pw=4).collect()
+    assert rows[0]["vmean"] == 0.1
+
+
+def test_windows_empty_stream_emits_nothing(make_points):
+    pts = make_points([("other", 5, 1.0, 10)])
+    rows = windows(pts, "missing", 0, 32, width=8).collect()
+    assert rows == []
