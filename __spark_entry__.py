@@ -19,11 +19,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import Window
+
 from btrdb_spark import metadata as md
 from btrdb_spark.operators import align as align_ops
 from btrdb_spark.operators import changes as chg_ops
 from btrdb_spark.operators import raw as raw_ops
 from btrdb_spark.operators import windows as win_ops
+from btrdb_spark.plans import rollup as ru
 from btrdb_spark.sources.tables import events_as_points, load_table
 from btrdb_spark.functions import dedup, similarity, text
 
@@ -125,6 +128,42 @@ def q_windows_1h(spark: SparkSession, sf: str) -> DataFrame:
     return win_ops.windows(events_as_points(spark, sf), None, T0, T0 + 7 * DAY, width=HOUR)
 
 
+def q_aligned_windows_via_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """A1 answered hierarchically: points -> level-20 rollup -> pw=36 stats.
+
+    Same oracle as q_aligned_windows — proves the ladder path is exact
+    (count-weighted combine over decimal sums, plans/rollup.py).
+    """
+    pts = events_as_points(spark, sf)
+    r20 = ru.rollup_points(pts, 20)
+    return ru.stats_from_rollup(r20, 20, 36, None, T0, T1)
+
+
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands sessionization per stream (1-day inactivity gap)."""
+    gap = DAY
+    pts = events_as_points(spark, sf)
+    w = Window.partitionBy("uuid").orderBy("time")
+    sess = (
+        pts.withColumn("prev_t", F.lag("time").over(w))
+        .withColumn(
+            "new_s",
+            F.when(F.col("prev_t").isNull() | (F.col("time") - F.col("prev_t") > gap), 1).otherwise(0),
+        )
+        .withColumn("sess_id", F.sum("new_s").over(w))
+    )
+    per_sess = sess.groupBy("uuid", "sess_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_sess.groupBy("uuid")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n").alias("total_events"),
+            F.max("n").alias("longest_session_events"),
+        )
+        .orderBy("uuid")
+    )
+
+
 def q_nearest_before(spark: SparkSession, sf: str) -> DataFrame:
     return raw_ops.nearest_all(events_as_points(spark, sf), T0 + 15 * DAY, backward=True)
 
@@ -214,6 +253,14 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(load_table(spark, sf, "documents"), n=3, num_hashes=32, bands=8)
 
 
+def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return text.token_counts(load_table(spark, sf, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    return text.fingerprint(load_table(spark, sf, "documents"))
+
+
 def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     return text.quality_stats(load_table(spark, sf, "documents"))
 
@@ -233,7 +280,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raw_values_at_version": q_raw_values_at_version,
         "raw_values_after_delete": q_raw_values_after_delete,
         "aligned_windows": q_aligned_windows,
+        "aligned_windows_via_rollup": q_aligned_windows_via_rollup,
         "windows_1h": q_windows_1h,
+        "sessionize": q_sessionize,
         "nearest_before": q_nearest_before,
         "nearest_after": q_nearest_after,
         "changed_ranges": q_changed_ranges,
@@ -246,6 +295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "cosine_topk": q_cosine_topk,
@@ -306,6 +357,40 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(agg.cnt, 0) AS cnt, agg.vmin, agg.vmean, agg.vmax
         FROM frame LEFT JOIN agg ON frame.uuid = agg.uuid AND frame.widx = agg.widx
         ORDER BY 1, 2
+    """
+
+    # the rollup path must produce the exact same answer as the raw path
+    oracles["aligned_windows_via_rollup"] = oracles["aligned_windows"]
+
+    oracles["sessionize"] = f"""
+        WITH s AS (
+            SELECT uuid, time,
+                   CASE WHEN LAG(time) OVER (PARTITION BY uuid ORDER BY time) IS NULL
+                          OR time - LAG(time) OVER (PARTITION BY uuid ORDER BY time) > {DAY}
+                        THEN 1 ELSE 0 END AS new_s
+            FROM {PTS} p
+        ), s2 AS (
+            SELECT uuid, time,
+                   SUM(new_s) OVER (PARTITION BY uuid ORDER BY time ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM s
+        ), per_sess AS (
+            SELECT uuid, sess_id, COUNT(*) AS n FROM s2 GROUP BY 1, 2
+        )
+        SELECT uuid, COUNT(*) AS n_sessions, SUM(n) AS total_events,
+               MAX(n) AS longest_session_events
+        FROM per_sess GROUP BY uuid ORDER BY uuid
+    """
+
+    oracles["token_counts"] = """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(LENGTH(text) // 4 AS BIGINT) AS est_bpe_tokens
+        FROM documents ORDER BY doc_id
+    """
+
+    oracles["fingerprint"] = """
+        SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp
+        FROM documents ORDER BY doc_id
     """
 
     tmid = T0 + 15 * DAY

@@ -1,0 +1,303 @@
+"""BTrDB-like engine facade: the stateful write path over Spark tables.
+
+Maps the reference's ingest machinery onto Spark-native storage (SURVEY.md
+§2.1, §3.1):
+
+- Insert (S1)  -> validated append into a *hot* buffer table (the PQM
+  buffer analog, pqm.go:510-625). Ack = durable parquet write (the WAL
+  analog); minor version = buffered row count (pqm.go:352).
+- Flush (S4)   -> compaction: hot rows move to the cold points table
+  stamped with major+1 (quasar.go:73-112 WritePrimaryStorage). Happens
+  automatically when the buffer exceeds `flush_threshold` (32768 points,
+  pqm.go:29-35).
+- DeleteRange (V3) -> range tombstone row at a new version (COW:
+  quasar.go:481-514).
+- Obliterate (S7)  -> metadata tombstone + data removal
+  (quasar.go:572-593); the uuid can never be reused
+  (metaprovider.go:292,316).
+- Reads at latest merge hot ∪ cold (J2 merge-on-read, pqm.go:428-470);
+  pinned-version reads see only committed data.
+
+Version bookkeeping mirrors internal/bprovider/bprovider.go:32-33:
+9 = created-but-empty, 10 = first committed data, +1 per flush/delete.
+
+Storage layout: each logical table is a parquet directory; commits are
+appends (immutable files — the COW analog), so historical versions remain
+readable forever. On a cluster this is a Delta/Iceberg table partitioned
+by (uuid_bucket, time_bucket); the engine only relies on append +
+version-column semantics, which both provide. Stream metadata is
+dimension-sized and rewritten per mutation (etcd analog).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid as uuidlib
+from collections.abc import Iterable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import metadata as md
+from .operators import raw as raw_ops
+from .operators import windows as win_ops
+from .operators import changes as chg_ops
+from .schemas import (
+    DELETES_SCHEMA,
+    HOT_POINTS_SCHEMA,
+    MAX_INSERT_TIME,
+    MIN_TIME,
+    POINTS_SCHEMA,
+    STREAMS_SCHEMA,
+    VERSION_CREATED,
+    VERSION_FIRST_DATA,
+)
+
+MAX_INSERT_SIZE = 25000        # grpcinterface/serve.go:57
+FLUSH_THRESHOLD = 32768        # pqm.go:29
+
+
+class BTrDBEngine:
+    def __init__(self, spark: SparkSession, base_dir: str, flush_threshold: int = FLUSH_THRESHOLD):
+        self.spark = spark
+        self.base = base_dir
+        self.flush_threshold = flush_threshold
+        os.makedirs(base_dir, exist_ok=True)
+
+    # ---------- table access ----------
+
+    def _path(self, name: str) -> str:
+        return f"{self.base}/{name}"
+
+    def _read(self, name: str, schema) -> DataFrame:
+        path = self._path(name)
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(path)
+
+    @property
+    def points(self) -> DataFrame:
+        return self._read("points", POINTS_SCHEMA)
+
+    @property
+    def hot(self) -> DataFrame:
+        return self._read("hot", HOT_POINTS_SCHEMA)
+
+    @property
+    def deletes(self) -> DataFrame:
+        return self._read("deletes", DELETES_SCHEMA)
+
+    @property
+    def streams(self) -> DataFrame:
+        return self._read("streams", STREAMS_SCHEMA)
+
+    # ---------- metadata plane (M1-M4) ----------
+
+    def create_stream(
+        self,
+        collection: str,
+        tags: Mapping[str, str] | None = None,
+        annotations: Mapping[str, str] | None = None,
+        uuid: str | None = None,
+    ) -> str:
+        """M1: create a stream; enforces uniqueness incl. tombstones
+        (metaprovider.go:239-331)."""
+        tags = dict(tags or {})
+        annotations = dict(annotations or {})
+        md.validate_collection(collection)
+        md.validate_kv(tags, md.MAX_TAGS, "tag")
+        md.validate_kv(annotations, md.MAX_ANNOTATIONS, "annotation")
+        uuid = uuid or str(uuidlib.uuid4())
+        existing = self.streams
+        clash = existing.filter(F.col("uuid") == uuid).count()
+        if clash:
+            raise ValueError(f"uuid already used (possibly tombstoned): {uuid}")
+        # MapType columns don't support equality — compare a canonical
+        # sorted "k=v,..." rendering (the reference canonicalizes tagsets
+        # the same way for its uniqueness index, metaprovider.go:288-307).
+        canon = F.array_join(
+            F.transform(
+                F.array_sort(F.map_entries(F.col("tags"))),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            ),
+            ",",
+        )
+        tagset_clash = (
+            md.live(existing)
+            .filter(F.col("collection") == collection)
+            .filter(canon == F.lit(",".join(f"{k}={v}" for k, v in sorted(tags.items()))))
+            .count()
+        )
+        if tagset_clash:
+            raise ValueError(f"duplicate (collection, tagset): {collection} {tags}")
+        row = self.spark.createDataFrame(
+            [(uuid, collection, tags, annotations, 1, None)], STREAMS_SCHEMA
+        )
+        row.write.mode("append").parquet(self._path("streams"))
+        return uuid
+
+    def set_annotations(
+        self, uuid: str, expected_version: int, changes: Mapping[str, str | None]
+    ) -> None:
+        """M2: CAS annotation update; None value deletes the key
+        (metaprovider.go:142-208)."""
+        md.validate_kv(changes, md.MAX_ANNOTATIONS, "annotation")
+        cur = self.streams.filter(F.col("uuid") == uuid).collect()
+        if not cur or cur[0]["tombstoned"] is not None:
+            raise KeyError(f"no such stream: {uuid}")
+        row = cur[0]
+        if row["annotation_version"] != expected_version:
+            raise ValueError(
+                f"annotation version mismatch: expected {expected_version}, "
+                f"actual {row['annotation_version']}"
+            )
+        anns = dict(row["annotations"] or {})
+        for k, v in changes.items():
+            if v is None:
+                anns.pop(k, None)
+            else:
+                anns[k] = v
+        self._rewrite_stream_row(uuid, annotations=anns, annotation_version=expected_version + 1)
+
+    def _rewrite_stream_row(self, uuid: str, **updates) -> None:
+        rows = [r.asDict() for r in self.streams.collect()]
+        for r in rows:
+            if r["uuid"] == uuid:
+                r.update(updates)
+        df = self.spark.createDataFrame(
+            [tuple(r[f.name] for f in STREAMS_SCHEMA.fields) for r in rows], STREAMS_SCHEMA
+        )
+        df.write.mode("overwrite").parquet(self._path("streams_tmp"))
+        self.spark.read.schema(STREAMS_SCHEMA).parquet(self._path("streams_tmp")).write.mode(
+            "overwrite"
+        ).parquet(self._path("streams"))
+
+    # ---------- version bookkeeping (V4) ----------
+
+    def stream_version(self, uuid: str) -> tuple[int, int]:
+        """(major, minor): major from committed data/deletes, minor = hot rows
+        (pqm.go:337-355)."""
+        if not md.live(self.streams).filter(F.col("uuid") == uuid).count():
+            raise KeyError(f"no such stream: {uuid}")
+        committed = (
+            self.points.filter(F.col("uuid") == uuid)
+            .select("version")
+            .unionByName(self.deletes.filter(F.col("uuid") == uuid).select("version"))
+            .agg(F.max("version").alias("v"))
+            .collect()[0]["v"]
+        )
+        major = committed if committed is not None else VERSION_CREATED
+        minor = self.hot.filter(F.col("uuid") == uuid).count()
+        return major, minor
+
+    # ---------- write path (S1-S4) ----------
+
+    def insert(self, uuid: str, values: Iterable[tuple[int, float]], sync: bool = False) -> tuple[int, int]:
+        """S1: buffered insert. Validates domain, appends to the hot table,
+        auto-flushes past the threshold (or immediately when sync=True)."""
+        values = list(values)
+        if len(values) > MAX_INSERT_SIZE:
+            raise ValueError(f"insert too large: {len(values)} > {MAX_INSERT_SIZE}")
+        major, minor = self.stream_version(uuid)  # also validates existence
+        if not values:
+            return major, minor
+        for t, v in values:
+            if not (MIN_TIME <= t < MAX_INSERT_TIME):
+                raise ValueError(f"time out of domain: {t}")
+            if v != v or v in (float("inf"), float("-inf")):
+                raise ValueError(f"non-finite value at t={t}")
+        base_seq = minor
+        rows = [(uuid, int(t), float(v), base_seq + i) for i, (t, v) in enumerate(values)]
+        self.spark.createDataFrame(rows, HOT_POINTS_SCHEMA).write.mode("append").parquet(
+            self._path("hot")
+        )
+        minor += len(values)
+        if sync or minor >= self.flush_threshold:
+            return self.flush(uuid)
+        return major, minor
+
+    def flush(self, uuid: str) -> tuple[int, int]:
+        """S4: commit the hot buffer into the cold points table at major+1."""
+        major, minor = self.stream_version(uuid)
+        if minor == 0:
+            return major, 0
+        new_major = VERSION_FIRST_DATA if major == VERSION_CREATED else major + 1
+        mine = self.hot.filter(F.col("uuid") == uuid)
+        (
+            mine.select(
+                "uuid", "time", "value", F.lit(new_major).cast("long").alias("version")
+            )
+            .sort("time")  # the reference sorts batches before merge (qtree.go:623)
+            .write.mode("append")
+            .parquet(self._path("points"))
+        )
+        self._clear_hot(uuid)
+        return new_major, 0
+
+    def _clear_hot(self, uuid: str) -> None:
+        rest = self.hot.filter(F.col("uuid") != uuid)
+        rest.write.mode("overwrite").parquet(self._path("hot_tmp"))
+        self.spark.read.schema(HOT_POINTS_SCHEMA).parquet(self._path("hot_tmp")).write.mode(
+            "overwrite"
+        ).parquet(self._path("hot"))
+
+    def delete_range(self, uuid: str, start: int, end: int) -> int:
+        """V3: range tombstone at a new version; flushes the buffer first so
+        buffered points in range are also deleted."""
+        if not (MIN_TIME <= start < end <= MAX_INSERT_TIME):
+            raise ValueError(f"bad delete range [{start}, {end})")
+        major, minor = self.stream_version(uuid)
+        if minor:
+            major, _ = self.flush(uuid)
+        new_major = VERSION_FIRST_DATA if major == VERSION_CREATED else major + 1
+        self.spark.createDataFrame(
+            [(uuid, start, end, new_major)], DELETES_SCHEMA
+        ).write.mode("append").parquet(self._path("deletes"))
+        return new_major
+
+    def obliterate(self, uuid: str) -> None:
+        """S7: tombstone metadata and drop the stream's data."""
+        if not self.streams.filter(F.col("uuid") == uuid).count():
+            raise KeyError(f"no such stream: {uuid}")
+        self._rewrite_stream_row(uuid, tombstoned="deleted")
+        rest = self.points.filter(F.col("uuid") != uuid)
+        rest.write.mode("overwrite").parquet(self._path("points_tmp"))
+        self.spark.read.schema(POINTS_SCHEMA).parquet(self._path("points_tmp")).write.mode(
+            "overwrite"
+        ).parquet(self._path("points"))
+        self._clear_hot(uuid)
+
+    # ---------- read path (merge-on-read) ----------
+
+    def _queryable(self, version: int | None) -> tuple[DataFrame, DataFrame]:
+        """(points, deletes) visible at `version`; latest merges the hot
+        buffer in as an uncommitted overlay (J2)."""
+        pts = self.points
+        if version is None:
+            overlay = self.hot.select(
+                "uuid", "time", "value", F.lit((1 << 62)).cast("long").alias("version")
+            )
+            pts = pts.unionByName(overlay)
+        return pts, self.deletes
+
+    def raw_values(self, uuid: str, start: int, end: int, version: int | None = None) -> DataFrame:
+        pts, dels = self._queryable(version)
+        return raw_ops.raw_values(pts, uuid, start, end, version=version, deletes=dels)
+
+    def aligned_windows(self, uuid: str, start: int, end: int, pw: int, version: int | None = None) -> DataFrame:
+        pts, dels = self._queryable(version)
+        return win_ops.aligned_windows(pts, uuid, start, end, pw, version=version, deletes=dels)
+
+    def windows(self, uuid: str, start: int, end: int, width: int, version: int | None = None) -> DataFrame:
+        pts, dels = self._queryable(version)
+        return win_ops.windows(pts, uuid, start, end, width, version=version, deletes=dels)
+
+    def nearest(self, uuid: str, t: int, backward: bool, version: int | None = None):
+        pts, dels = self._queryable(version)
+        out = raw_ops.nearest_all(
+            pts.filter(F.col("uuid") == uuid), t, backward, version=version, deletes=dels
+        ).collect()
+        return (out[0]["time"], out[0]["value"]) if out else None
+
+    def changed_ranges(self, uuid: str, from_ver: int, to_ver: int, resolution: int) -> DataFrame:
+        return chg_ops.changed_ranges(self.points, uuid, from_ver, to_ver, resolution, deletes=self.deletes)

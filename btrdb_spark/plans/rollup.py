@@ -1,0 +1,201 @@
+"""The multi-resolution rollup ladder — BTrDB's core idea, Spark-native.
+
+The reference maintains count/min/mean/max per 2^p time bucket at every
+tree level inline with ingest (core blocks, internal/bstore/
+blocktypes.go:97-112; maintenance qtree/qtree.go:436-468 + operators.go),
+so statistical queries cost ~output-size, not ~data-size. Catalyst gives
+us everything else for free; this is the one piece we build ourselves
+(SURVEY.md §4.2).
+
+Design:
+- A ladder of levels at pointwidths LEVELS (step 6 = the reference's
+  PWFACTOR, qtree_utils.go:22-24). Each level is a DataFrame
+  ``agg_p(uuid, bucket_start, cnt, vmin, vmax, vsum)`` with
+  ``bucket_start = floor(time / 2^p) * 2^p``.
+- ``vsum`` is DECIMAL(38,6): partial-aggregate combines are exact and
+  associative, unlike the reference's stored mean (merger.go:197) —
+  SURVEY.md §7 watch-list #3.
+- **Append-only partials**: ingest appends each batch's per-bucket
+  partials; readers combine partials with one map-side-combinable
+  groupBy (the exact OpReduce combine: sum/min/max/sum —
+  qtree/operators.go:85-152). ``compact()`` folds partials down to one
+  row per bucket. This keeps ingest O(batch) with no read-modify-write —
+  on a cluster the append is a Delta/Iceberg transaction and compaction
+  is an OPTIMIZE job.
+- **Query routing**: an aligned-windows query at pointwidth pw is
+  answered from the *coarsest* level <= pw (fewest rows scanned), with
+  one re-bucketing groupBy. Levels divide evenly (step 6), so bucket
+  edges always align. pw finer than the finest level -> raw points.
+
+Scale: each coarser level is 64x smaller; the whole ladder costs ~1.6%
+extra storage (sum of 64^-k). A year of 1 ns data at pw=20 is ~31M
+buckets per stream — still 6 orders of magnitude below raw.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.timeops import bucket_start
+from ..schemas import PWFACTOR
+
+LEVELS = (20, 26, 32, 38, 44, 50, 56)
+DEC = "decimal(38,6)"
+
+ROLLUP_COLS = ["uuid", "bucket_start", "cnt", "vmin", "vmax", "vsum"]
+
+
+def rollup_points(points: DataFrame, pw: int) -> DataFrame:
+    """Aggregate raw points into level-pw rollup rows (the ingest partial)."""
+    width = 1 << pw
+    return (
+        points.withColumn("bucket_start", bucket_start(F.col("time"), width))
+        .groupBy("uuid", "bucket_start")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.sum(F.col("value").cast(DEC)).alias("vsum"),
+        )
+        .select(*ROLLUP_COLS)
+    )
+
+
+def combine(rollup: DataFrame) -> DataFrame:
+    """Fold partial rollup rows per bucket — the OpReduce combine."""
+    return rollup.groupBy("uuid", "bucket_start").agg(
+        F.sum("cnt").alias("cnt"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+        F.sum("vsum").cast(DEC).alias("vsum"),
+    )
+
+
+def coarsen(rollup: DataFrame, from_pw: int, to_pw: int) -> DataFrame:
+    """Re-bucket a level-from_pw rollup to to_pw (>= from_pw) and combine."""
+    assert to_pw >= from_pw
+    width = 1 << to_pw
+    return combine(
+        rollup.withColumn("bucket_start", bucket_start(F.col("bucket_start"), width))
+    )
+
+
+def stats_from_rollup(
+    rollup: DataFrame,
+    level_pw: int,
+    pw: int,
+    uuid: str | None,
+    start: int,
+    end: int,
+) -> DataFrame:
+    """AlignedWindows (A1) answered from a rollup level <= pw.
+
+    Same snap semantics as operators.windows.aligned_windows: start/end
+    snapped down to the 2^pw grid, end inclusive after snapping
+    (quasar.go:279-283); empty buckets naturally absent.
+    """
+    assert level_pw <= pw
+    width = 1 << pw
+    snap_s = start - (start % width + width) % width
+    snap_e = end - (end % width + width) % width
+    df = rollup
+    if uuid is not None:
+        df = df.filter(F.col("uuid") == F.lit(uuid))
+    # level buckets tile query buckets exactly (level_pw <= pw), so the
+    # bucket-level filter is equivalent to the point-level one
+    df = df.filter((F.col("bucket_start") >= F.lit(snap_s)) & (F.col("bucket_start") < F.lit(snap_e)))
+    out = coarsen(df, level_pw, pw)
+    return out.select(
+        "uuid",
+        "bucket_start",
+        "cnt",
+        "vmin",
+        (F.col("vsum").cast("double") / F.col("cnt")).alias("vmean"),
+        "vmax",
+    ).orderBy("uuid", "bucket_start")
+
+
+def route_level(pw: int, levels: tuple[int, ...] = LEVELS) -> int | None:
+    """Coarsest maintained level that can answer a pw query exactly."""
+    usable = [p for p in levels if p <= pw]
+    return max(usable) if usable else None
+
+
+class RollupLadder:
+    """Parquet-backed append-only ladder with merge-on-read partials."""
+
+    def __init__(self, spark, base_dir: str, levels: tuple[int, ...] = LEVELS):
+        self.spark = spark
+        self.base = base_dir
+        self.levels = tuple(sorted(levels))
+
+    def _path(self, pw: int) -> str:
+        return f"{self.base}/agg_{pw}"
+
+    def level(self, pw: int) -> DataFrame:
+        import os
+
+        if not os.path.exists(self._path(pw)):
+            return self.spark.createDataFrame(
+                [], f"uuid string, bucket_start long, cnt long, vmin double, vmax double, vsum {DEC}"
+            )
+        return self.spark.read.parquet(self._path(pw))
+
+    def ingest_batch(self, batch_points: DataFrame) -> None:
+        """Append per-level partials for a batch — O(batch) work.
+
+        Folds level-to-level (finest first, each 64x smaller) exactly like
+        the reference's spine update, instead of re-scanning the batch per
+        level.
+        """
+        partial = rollup_points(batch_points, self.levels[0])
+        for i, pw in enumerate(self.levels):
+            if i > 0:
+                partial = coarsen(partial, self.levels[i - 1], pw)
+            partial.write.mode("append").parquet(self._path(pw))
+
+    def compact(self) -> None:
+        """Fold partials to one row per bucket (Delta OPTIMIZE analog)."""
+        for pw in self.levels:
+            tmp = f"{self._path(pw)}_tmp"
+            combine(self.level(pw)).write.mode("overwrite").parquet(tmp)
+            self.spark.read.parquet(tmp).write.mode("overwrite").parquet(self._path(pw))
+
+    def aligned_windows(self, uuid: str | None, start: int, end: int, pw: int) -> DataFrame | None:
+        """Answer A1 from the ladder, or None if pw is finer than the ladder."""
+        lvl = route_level(pw, self.levels)
+        if lvl is None:
+            return None
+        return stats_from_rollup(self.level(lvl), lvl, pw, uuid, start, end)
+
+
+def invalidate_buckets(ladder: RollupLadder, points: DataFrame, uuid: str, start: int, end: int) -> None:
+    """Recompute ladder buckets overlapping [start, end) for one stream —
+    the DeleteRange maintenance path (SURVEY.md §7 watch-list #5).
+
+    Rewrites only the touched buckets at each level: delete their partial
+    rows, re-aggregate them from (already delete-filtered) points.
+    """
+    for pw in ladder.levels:
+        width = 1 << pw
+        lo = start - (start % width + width) % width
+        hi = end - (end % width + width) % width + width
+        keep = ladder.level(pw).filter(
+            ~(
+                (F.col("uuid") == uuid)
+                & (F.col("bucket_start") >= F.lit(lo))
+                & (F.col("bucket_start") < F.lit(hi))
+            )
+        )
+        recomputed = rollup_points(
+            points.filter(
+                (F.col("uuid") == uuid)
+                & (F.col("time") >= F.lit(lo))
+                & (F.col("time") < F.lit(hi))
+            ),
+            pw,
+        )
+        tmp = f"{ladder._path(pw)}_tmp"
+        keep.unionByName(recomputed).write.mode("overwrite").parquet(tmp)
+        ladder.spark.read.parquet(tmp).write.mode("overwrite").parquet(ladder._path(pw))

@@ -1,0 +1,79 @@
+"""Rollup ladder: hierarchical answers must equal raw-point answers
+exactly (the reference's core invariant — qtree2_test.go:35-145 checks
+window stats across all pointwidths)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from btrdb_spark.operators.windows import aligned_windows
+from btrdb_spark.plans import rollup as ru
+
+
+@pytest.fixture(scope="module")
+def pts(make_points):
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    t = 0
+    for i in range(4096):
+        t += rng.randint(1, 2 * 60 * 10**9)
+        rows.append(("a" if i % 3 else "b", t, rng.random() * 100, 10))
+    # negative-time stream
+    rows += [("n", -(1 << 41) + i * (1 << 33), 1.0 * i, 10) for i in range(64)]
+    return make_points(rows)
+
+
+def _key(df):
+    return {
+        (r["uuid"], r["bucket_start"]): (r["cnt"], r["vmin"], r["vmean"], r["vmax"])
+        for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("pw", [38, 44, 50])
+def test_rollup_equals_raw(pts, pw, spark, tmp_path):
+    ladder = ru.RollupLadder(spark, str(tmp_path / "ladder"), levels=(32, 38, 44))
+    ladder.ingest_batch(pts)
+    lo, hi = -(1 << 42), (1 << 44)
+    got = ladder.aligned_windows(None, lo, hi, pw)
+    want = aligned_windows(pts, None, lo, hi, pw)
+    assert _key(got) == _key(want)
+
+
+def test_partials_combine_across_batches(pts, spark, tmp_path):
+    ladder = ru.RollupLadder(spark, str(tmp_path / "ladder2"), levels=(38, 44))
+    b1 = pts.filter(F.col("time") % 2 == 0)
+    b2 = pts.filter(F.col("time") % 2 != 0)
+    ladder.ingest_batch(b1)
+    ladder.ingest_batch(b2)
+    got = ladder.aligned_windows(None, -(1 << 42), 1 << 44, 44)
+    want = aligned_windows(pts, None, -(1 << 42), 1 << 44, 44)
+    assert _key(got) == _key(want)
+    # compaction must not change answers
+    ladder.compact()
+    got2 = ladder.aligned_windows(None, -(1 << 42), 1 << 44, 44)
+    assert _key(got2) == _key(want)
+
+
+def test_route_level():
+    assert ru.route_level(44, (20, 26, 32)) == 32
+    assert ru.route_level(26, (20, 26, 32)) == 26
+    assert ru.route_level(19, (20, 26, 32)) is None
+
+
+def test_invalidate_buckets_after_delete(pts, spark, tmp_path):
+    ladder = ru.RollupLadder(spark, str(tmp_path / "ladder3"), levels=(38, 44))
+    ladder.ingest_batch(pts)
+    # delete a middle range, then recompute touched buckets from the
+    # delete-filtered points
+    dlo, dhi = 1 << 40, 1 << 42
+    remaining = pts.filter(~((F.col("time") >= dlo) & (F.col("time") < dhi)))
+    ru.invalidate_buckets(ladder, remaining, "a", dlo, dhi)
+    ru.invalidate_buckets(ladder, remaining, "b", dlo, dhi)
+    ru.invalidate_buckets(ladder, remaining, "n", dlo, dhi)
+    got = ladder.aligned_windows(None, -(1 << 42), 1 << 44, 44)
+    want = aligned_windows(remaining, None, -(1 << 42), 1 << 44, 44)
+    assert _key(got) == _key(want)
