@@ -253,6 +253,10 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(load_table(spark, sf, "documents"), n=3, num_hashes=32, bands=8)
 
 
+def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash_pairs(load_table(spark, sf, "documents"), bits=16, max_hamming=3)
+
+
 def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
     return text.token_counts(load_table(spark, sf, "documents"))
 
@@ -295,6 +299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "text_quality": q_text_quality,

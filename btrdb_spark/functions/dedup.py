@@ -172,6 +172,47 @@ def minhash_lsh_pairs(
     return est.select("doc_a", "doc_b", "est_jaccard").orderBy("doc_a", "doc_b")
 
 
+def simhash_signatures(documents: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:
+    """SimHash: sign-sum of token-hash bits -> one integer signature.
+
+    Near-dups differ in few bits (compare via hamming distance). Pure
+    column expressions: explode tokens -> per-(doc, bit) sign sums -> one
+    groupBy. bits kept small (16 default) because each bit is a column
+    expression; at scale you'd fuse this into a single pandas_udf over
+    token arrays if bits=64 mattered.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    h = _h64(F.col("tok"))
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
+    return sums.select("doc_id", sig.alias("simhash")).orderBy("doc_id")
+
+
+def simhash_pairs(documents: DataFrame, bits: int = 16, max_hamming: int = 3, text_col: str = "text") -> DataFrame:
+    """Near-dup candidates by simhash hamming distance <= max_hamming."""
+    sigs = simhash_signatures(documents, bits, text_col)
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # ---------------- DuckDB oracle mirrors ----------------
 
 _SHINGLES_SQL = """
@@ -186,7 +227,32 @@ def _shingle_sql(n: int) -> str:
     return _SHINGLES_SQL.format(nm1=n - 1)
 
 
+_SIMHASH_BITS = 16
+_simhash_sums = ", ".join(
+    f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(_SIMHASH_BITS)
+)
+_simhash_sig = " + ".join(
+    f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(_SIMHASH_BITS)
+)
+
 ORACLES = {
+    "simhash_pairs": f"""
+        WITH toks AS (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+        ), h AS (
+            SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks
+        ), sums AS (
+            SELECT doc_id, {_simhash_sums} FROM h GROUP BY 1
+        ), sigs AS (
+            SELECT doc_id, {_simhash_sig} AS simhash FROM sums
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY 1, 2
+    """,
     "dedup_exact": """
         SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
         FROM documents GROUP BY 1 ORDER BY 1

@@ -1,0 +1,73 @@
+"""GenerateCSV sink (S6): time-aligned multi-stream CSV export.
+
+Reference (grpcinterface/serve.go:874-1005, csv.go:9-151): one row per
+distinct timestamp across the selected streams, three modes (raw /
+aligned / windows), optional RFC3339 time rendering, header from stream
+labels. Built on the align/windows operators; the writer is Spark's
+distributed CSV sink.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .align import align_streams
+from .windows import aligned_windows
+
+
+def csv_raw(
+    points: DataFrame,
+    uuids: Sequence[str],
+    start: int,
+    end: int,
+    labels: Sequence[str] | None = None,
+    rfc3339: bool = True,
+    version: int | None = None,
+    deletes: DataFrame | None = None,
+) -> DataFrame:
+    """Raw mode: full-outer time alignment, one value column per stream."""
+    labels = list(labels or uuids)
+    df = align_streams(points, uuids, start, end, version=version, deletes=deletes)
+    cols = [F.col("time")]
+    if rfc3339:
+        # serve.go:974-975 renders RFC3339 from the ns timestamp
+        cols.append(
+            F.date_format(
+                F.timestamp_micros(F.call_function("div", F.col("time"), F.lit(1000).cast("long"))),
+                "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+            ).alias("time_rfc3339")
+        )
+    cols += [F.col(f"v_{u}").alias(lab) for u, lab in zip(uuids, labels)]
+    return df.select(*cols)
+
+
+def csv_windows(
+    points: DataFrame,
+    uuids: Sequence[str],
+    start: int,
+    end: int,
+    pw: int,
+    labels: Sequence[str] | None = None,
+    version: int | None = None,
+    deletes: DataFrame | None = None,
+) -> DataFrame:
+    """Aligned-windows mode: per window one (min, mean, max, count) quad per
+    stream (csv.go:69-75 column layout)."""
+    labels = list(labels or uuids)
+    base = None
+    stats = aligned_windows(points, None, start, end, pw, version=version, deletes=deletes)
+    stats = stats.filter(F.col("uuid").isin(list(uuids)))
+    pivots = []
+    for u, lab in zip(uuids, labels):
+        for c in ("vmin", "vmean", "vmax", "cnt"):
+            pivots.append(
+                F.max(F.when(F.col("uuid") == F.lit(u), F.col(c))).alias(f"{lab}_{c[1:] if c != 'cnt' else 'count'}")
+            )
+    return stats.groupBy(F.col("bucket_start").alias("time")).agg(*pivots).orderBy("time")
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").option("header", "true").csv(path)

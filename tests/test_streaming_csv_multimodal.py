@@ -1,0 +1,100 @@
+"""Streaming ingest (S2 analog), CSV sink (S6), multimodal plumbing, simhash."""
+
+from __future__ import annotations
+
+import glob
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from btrdb_spark.engine import BTrDBEngine
+from btrdb_spark.functions import dedup, multimodal
+from btrdb_spark.operators.csv import csv_raw, csv_windows, write_csv
+from btrdb_spark.streaming.ingest import attach_ingest
+
+
+def test_streaming_ingest_foreachbatch(spark, tmp_path):
+    eng = BTrDBEngine(spark, str(tmp_path / "db"), flush_threshold=10**9)
+    u = eng.create_stream("stream/a", uuid="su1")
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+        .select(
+            F.lit("su1").alias("uuid"),
+            (F.col("value") * 1000).alias("time"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+    q = attach_ingest(src, eng, str(tmp_path / "ckpt"))
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and eng.hot.count() == 0:
+            time.sleep(1)
+    finally:
+        q.stop()
+    n = eng.hot.count()
+    assert n > 0                       # buffered rows visible
+    maj, mino = eng.stream_version(u)
+    assert (maj, mino) == (9, n)       # minor = buffered count
+    latest = eng.raw_values(u, 0, 10**12).count()
+    assert latest == n                 # merge-on-read sees the buffer
+    maj, _ = eng.flush(u)
+    assert maj == 10
+
+
+def test_csv_raw_mode(make_points, tmp_path, spark):
+    pts = make_points([("x", 1_000_000_000, 1.5, 10), ("y", 1_000_000_000, 2.5, 10), ("y", 2_000_000_000, 3.5, 10)])
+    df = csv_raw(pts, ["x", "y"], 0, 10**10, labels=["meter_x", "meter_y"])
+    rows = df.orderBy("time").collect()
+    assert df.columns == ["time", "time_rfc3339", "meter_x", "meter_y"]
+    assert (rows[0]["meter_x"], rows[0]["meter_y"]) == (1.5, 2.5)
+    assert rows[1]["meter_x"] is None and rows[1]["meter_y"] == 3.5
+    assert rows[0]["time_rfc3339"].startswith("1970-01-01T00:00:01")
+    out = str(tmp_path / "csv_out")
+    write_csv(df, out)
+    assert glob.glob(f"{out}/*.csv")
+
+
+def test_csv_windows_mode(make_points):
+    pts = make_points([("x", 1, 1.0, 10), ("x", 2, 3.0, 10), ("y", 9, 5.0, 10)])
+    df = csv_windows(pts, ["x", "y"], 0, 16, pw=3)
+    rows = df.collect()
+    assert rows[0]["time"] == 0 and rows[0]["x_mean"] == 2.0 and rows[0]["x_count"] == 2
+    assert rows[1]["time"] == 8 and rows[1]["y_min"] == 5.0 and rows[1]["x_count"] is None
+
+
+def test_multimodal_feature_extraction(spark):
+    rows = [
+        (1, "image", bytearray(b"imgbytes"), 64, 64, None),
+        (2, "audio", bytearray(b"audiobytes"), None, None, 2000),
+        (3, "image", None, None, None, None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.extract_features(media).collect()
+    by_id = {r["media_id"]: r for r in out}
+    assert by_id[1]["feat_dim"] == 8 and len(by_id[1]["feature"]) == 8
+    assert all(0.0 <= v <= 1.0 for v in by_id[1]["feature"])
+    assert by_id[3]["feature"] is None
+    # determinism
+    out2 = multimodal.extract_features(media).collect()
+    assert {r["media_id"]: r["feature"] for r in out2} == {r["media_id"]: r["feature"] for r in out}
+
+
+def test_frame_sample_plan(spark):
+    rows = [(1, "video", None, None, None, 3500), (2, "image", None, None, None, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    frames = multimodal.frame_sample_plan(media, every_ms=1000).collect()
+    assert [(r["media_id"], r["frame_ts_ms"]) for r in frames] == [(1, 0), (1, 1000), (1, 2000), (1, 3000)]
+
+
+def test_simhash_near_dups(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "spark shuffles partition data across many executors fast"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(docs).collect()}
+    assert bin(sigs[1] ^ sigs[2]).count("1") < bin(sigs[1] ^ sigs[3]).count("1")
+    pairs = dedup.simhash_pairs(docs, max_hamming=4).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}
