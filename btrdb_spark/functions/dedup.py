@@ -66,23 +66,65 @@ def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to the session's parallelism before CPU-heavy per-row
+    expressions. A small corpus arrives as one parquet row-group = one
+    partition, which would serialize the whole kernel on one core; at
+    real scale the scan has thousands of splits and this is a no-op cost
+    relative to the kernel."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def shingle_edges(documents: DataFrame, n: int, text_col: str = "text") -> DataFrame:
-    return documents.select(
+    return _spread(documents).select(
         "doc_id", F.explode(_shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def _pairs_from_bucket(ds: Column) -> Column:
+    """All ordered pairs (a < b) from a sorted array — the bucket-local
+    pair generation that replaces a self-join (no second shuffle, and the
+    shuffled payload is int64 hashes, not shingle strings)."""
+    return F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
     )
 
 
 def ngram_jaccard_pairs(
     documents: DataFrame, n: int = 3, threshold: float = 0.5, text_col: str = "text"
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard >= threshold)."""
-    edges = shingle_edges(documents, n, text_col).cache()
-    sizes = edges.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = edges.alias("a")
-    b = edges.alias("b")
+    """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard >= threshold).
+
+    One shuffle keyed by 64-bit shingle hash, pairs generated inside each
+    shingle bucket, one groupBy over pairs; doc sizes broadcast. A shingle
+    shared by d docs yields d(d-1)/2 pair rows — the quadratic term; stop-
+    shingle pruning or minhash_lsh_pairs is the scale path when hot
+    shingles appear (documented, not silently applied: results stay exact).
+    """
+    edges = shingle_edges(documents, n, text_col)
+    # per-doc set sizes straight off the documents (no explode, no second
+    # pass over the shingle pipeline) — doc-sized, broadcast below
+    sizes = _spread(documents).select(
+        F.col("doc_id"),
+        F.size(_shingles(F.col(text_col), n)).alias("n_shingles"),
+    )
+    buckets = (
+        # xxhash64: internal bucketing key only (the oracle groups on the
+        # raw shingle string) -> use the codegen'd JVM hash, not md5
+        edges.select(F.xxhash64(F.col("shingle")).alias("sh"), "doc_id")
+        .groupBy("sh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(_pairs_from_bucket(F.col("ds"))).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
@@ -99,25 +141,23 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     documents: DataFrame, n: int = 3, num_hashes: int = 32, text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, i, sig): min over shingles of (a_i * h32(shingle) + b_i) mod p."""
+    """(doc_id, sig: array<long>) — sig[i] = min over shingles of
+    (a_i * h32(shingle) + b_i) mod p, a_i = 2i+1, b_i = 7919i+1.
+
+    One shuffle: the k permutations are k aggregate expressions over the
+    (doc, shingle-hash) edges — not a k-times explode (which would shuffle
+    k x edges rows)."""
     edges = shingle_edges(documents, n, text_col)
     hashed = edges.select("doc_id", (_h64(F.col("shingle")) % F.lit(H32 + 1)).alias("h32"))
-    perms = F.explode(
-        F.array(*[
-            F.struct(F.lit(i).alias("i"), F.lit(2 * i + 1).alias("a"), F.lit(7919 * i + 1).alias("b"))
+    mins = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(2 * i + 1).cast("long") * F.col("h32") + F.lit(7919 * i + 1)) % F.lit(MERSENNE)
+            ).alias(f"s{i}")
             for i in range(num_hashes)
-        ])
-    ).alias("perm")
-    return (
-        hashed.select("doc_id", "h32", perms)
-        .select(
-            "doc_id",
-            F.col("perm.i").alias("i"),
-            ((F.col("perm.a").cast("long") * F.col("h32") + F.col("perm.b")) % F.lit(MERSENNE)).alias("hv"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("hv").alias("sig"))
+        ]
     )
+    return mins.select("doc_id", F.array(*[f"s{i}" for i in range(num_hashes)]).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -134,40 +174,47 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
+    # doc-sized; consumed by band_rows + both broadcast sides -> cache so
+    # the shingle+hash pipeline runs once, not three times
     sigs = minhash_signatures(documents, n, num_hashes, text_col).cache()
-    band_hash = F.md5(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "sig"))),
-                lambda s: s["sig"].cast("string"),
-            ),
-            ",",
-        )
-    )
-    banded = (
-        sigs.withColumn("band", F.floor(F.col("i") / F.lit(rows_per_band)).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(band_hash.alias("band_hash"))
-    )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # one row per (doc, band): hash of that band's signature slice
+    band_rows = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda s: s.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bh"),
+    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
+    # bucket-collect + in-bucket pair generation (no self-join shuffle)
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        band_rows.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(F.explode(_pairs_from_bucket(F.col("ds"))).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("i").alias("i"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b2"), F.col("i").alias("ib"), F.col("sig").alias("sig_b"))
+    # signature table is doc-sized -> broadcast twice, est = component match rate
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    matches = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
     est = (
-        cand.join(sa, "doc_a")
-        .join(sb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("i") == F.col("ib")))
-        .groupBy("doc_a", "doc_b")
-        .agg((F.sum(F.when(F.col("sig_a") == F.col("sig_b"), 1).otherwise(0)) / F.count(F.lit(1))).alias("est_jaccard"))
+        cand.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", (matches / F.lit(num_hashes)).alias("est_jaccard"))
     )
     return est.select("doc_a", "doc_b", "est_jaccard").orderBy("doc_a", "doc_b")
 
@@ -181,7 +228,7 @@ def simhash_signatures(documents: DataFrame, bits: int = 16, text_col: str = "te
     expression; at scale you'd fuse this into a single pandas_udf over
     token arrays if bits=64 mattered.
     """
-    toks = documents.select(
+    toks = _spread(documents).select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
     h = _h64(F.col("tok"))
@@ -200,20 +247,27 @@ def simhash_signatures(documents: DataFrame, bits: int = 16, text_col: str = "te
 
 
 def simhash_pairs(documents: DataFrame, bits: int = 16, max_hamming: int = 3, text_col: str = "text") -> DataFrame:
-    """Near-dup candidates by simhash hamming distance <= max_hamming."""
+    """Near-dup pairs by simhash hamming distance <= max_hamming.
+
+    All-pairs compare (broadcast nested loop on doc-sized signatures with
+    a codegen'd xor+bit_count): this corpus is similarity-dense (~1% of
+    all pairs qualify), where LSH banding generates more candidate rows
+    than the n^2 scan and loses (measured). Banding pays off only for
+    sparse similarity at larger `bits`; signatures stay doc-sized either
+    way, so the scan distributes by fragmenting one side.
+    """
     sigs = simhash_signatures(documents, bits, text_col)
     a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
     b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", ham.alias("hamming"))
+        # `a` is groupBy output (already partitioned); broadcast the other side
+        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("doc_a", "doc_b")
     )
 
-
-# ---------------- DuckDB oracle mirrors ----------------
 
 _SHINGLES_SQL = """
     SELECT doc_id, UNNEST(list_distinct(list_transform(
