@@ -278,6 +278,22 @@ def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def q_embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.embedding_neardup_pairs(emb, emb.filter(F.col("vec_id") < 100), threshold=0.28)
+
+
+def q_stream_info(spark: SparkSession, sf: str) -> DataFrame:
+    """V4/M3: descriptor + latest (major) version for every stream."""
+    streams = _streams_df(spark, sf).select("uuid", "collection")
+    versions = (
+        events_as_points(spark, sf)
+        .groupBy("uuid")
+        .agg(F.max("version").alias("version_major"), F.count(F.lit(1)).alias("n_points"))
+    )
+    return streams.join(versions, "uuid", "left").orderBy("uuid")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "raw_values": q_raw_values,
@@ -305,6 +321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "cosine_topk": q_cosine_topk,
+        "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        "stream_info": q_stream_info,
     }
 
 
@@ -490,6 +508,16 @@ def oracle_sql() -> dict[str, str]:
         JOIN customer c ON o.o_custkey = c.c_custkey
         WHERE o.o_orderdate < TIMESTAMP '1998-01-01'
         GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    oracles["stream_info"] = f"""
+        WITH v AS (
+            SELECT uuid, MAX(version) AS version_major, COUNT(*) AS n_points
+            FROM {PTS} p GROUP BY uuid
+        )
+        SELECT s.uuid, s.collection, v.version_major, v.n_points
+        FROM {STREAMS_SQL} s LEFT JOIN v ON s.uuid = v.uuid
+        ORDER BY s.uuid
     """
 
     oracles.update(dedup.ORACLES)

@@ -36,6 +36,52 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # Throughput probes comparable to BASELINE.md's points/s figures (the
+    # FAST'16 paper reports ~53M insert / ~119M query points/s on 4 nodes).
+    # The sf0.1 events table is too small to amortize job overhead, so
+    # these probes run the same operators over generated points (spark.range
+    # — in-memory, columnar, no disk), sized to run seconds not millis.
+    from pyspark.sql import functions as F
+
+    from btrdb_spark.operators.windows import aligned_windows
+
+    import tempfile
+
+    from btrdb_spark.plans import rollup as ru
+
+    n_points = int(os.environ.get("BTRDB_BENCH_POINTS", 20_000_000))
+    pts = spark.range(n_points).select(
+        (F.col("id") % 1024).cast("string").alias("uuid"),
+        (F.lit(1704067200_000000000) + F.col("id") * 1000).alias("time"),
+        (F.rand(42) * 100).alias("value"),
+        F.lit(10).cast("long").alias("version"),
+    ).cache()
+    pts.count()  # materialize so probes measure operators, not generation
+    t0 = time.time()
+    # raw delivery (S5 shape): filter + project; production layout is
+    # bucketed by uuid and time-sorted, so delivery needs no sort
+    pts.filter(F.col("time") >= 0).select("uuid", "time", "value").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    raw_scan_s = time.time() - t0
+    t0 = time.time()
+    # cold stat path: full raw scan with decimal-exact means
+    aligned_windows(pts, None, -(1 << 62), 1 << 62, pw=36).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    stat_s = time.time() - t0
+    # hot stat path: the rollup ladder (how the reference reaches its
+    # query numbers — cost tracks output windows, not raw points)
+    with tempfile.TemporaryDirectory() as tmp:
+        ladder = ru.RollupLadder(spark, tmp, levels=(30,))
+        ladder.ingest_batch(pts)
+        t0 = time.time()
+        ladder.aligned_windows(None, -(1 << 62), 1 << 62, 36).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        ladder_s = time.time() - t0
+    pts.unpersist()
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "total_query_wall_seconds",
@@ -43,6 +89,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "throughput": {
+            "n_points": n_points,
+            "raw_delivery_points_per_sec": round(n_points / raw_scan_s),
+            "stat_rawscan_points_per_sec": round(n_points / stat_s),
+            "stat_via_rollup_points_per_sec": round(n_points / ladder_s),
+            "stat_via_rollup_sec": round(ladder_s, 3),
+        },
     }
     print(json.dumps(out))
 

@@ -106,9 +106,55 @@ def lsh_buckets(
     return corpus.select(F.col(id_col).alias("vec_id"), sig.alias("bucket"))
 
 
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    probes: DataFrame,
+    threshold: float = 0.28,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: probe x corpus pairs with
+    cosine >= threshold (probe_id < corpus_id to dedup the symmetric pair).
+
+    The probe side broadcasts; the corpus side streams — at 100 TB the
+    probe set is the (bounded) suspect batch, or the blocked/LSH-bucketed
+    candidates from lsh_buckets, never the full cross product.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("doc_b"), F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cnorm"),
+    )
+    p = probes.select(
+        F.col(id_col).alias("doc_a"), F.col(vec_col).alias("pvec"),
+        _norm(F.col(vec_col)).alias("pnorm"),
+    )
+    return (
+        c.join(F.broadcast(p), F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (_dot(F.col("cvec"), F.col("pvec")) / (F.col("cnorm") * F.col("pnorm"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # ---------------- DuckDB oracle mirrors ----------------
 
 ORACLES = {
+    "embedding_neardup_pairs": """
+        WITH c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings
+        )
+        SELECT p.vec_id AS doc_a, c.vec_id AS doc_b,
+               list_dot_product(c.v, p.v) / (c.nrm * p.nrm) AS cosine
+        FROM c JOIN c p ON p.vec_id < 100 AND p.vec_id < c.vec_id
+        WHERE list_dot_product(c.v, p.v) / (c.nrm * p.nrm) >= 0.28
+        ORDER BY 1, 2
+    """,
     "cosine_topk": """
         WITH c AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
