@@ -55,6 +55,16 @@ from .schemas import (
 
 MAX_INSERT_SIZE = 25000        # grpcinterface/serve.go:57
 FLUSH_THRESHOLD = 32768        # pqm.go:29
+N_UUID_BUCKETS = 16            # cold-table partition fanout (hash ring analog)
+
+
+def uuid_bucket(col):
+    """Deterministic uuid -> partition bucket. The analog of the reference's
+    MASH hash ring (internal/configprovider/clustering.go:78-95): co-locates
+    a stream's data so single-stream queries prune to one partition
+    directory. At 100 TB raise N_UUID_BUCKETS (or add a coarse time bucket
+    as a second partition column)."""
+    return F.pmod(F.xxhash64(col), F.lit(N_UUID_BUCKETS))
 
 
 class BTrDBEngine:
@@ -77,7 +87,23 @@ class BTrDBEngine:
 
     @property
     def points(self) -> DataFrame:
-        return self._read("points", POINTS_SCHEMA)
+        path = self._path("points")
+        if not os.path.exists(path):
+            return self.spark.createDataFrame(
+                [], "uuid string, time long, value double, version long, uuid_bucket long"
+            )
+        # partition column uuid_bucket comes from the directory layout
+        return self.spark.read.parquet(path).select(
+            "uuid", "time", "value", "version", "uuid_bucket"
+        )
+
+    def stream_points(self, uuid: str) -> DataFrame:
+        """Single-stream cold points with partition pruning: the bucket
+        predicate hits the uuid_bucket=NN directories (PartitionFilters),
+        the uuid/time predicates hit parquet row groups (PushedFilters)."""
+        return self.points.filter(
+            (F.col("uuid_bucket") == uuid_bucket(F.lit(uuid))) & (F.col("uuid") == uuid)
+        ).drop("uuid_bucket")
 
     @property
     def hot(self) -> DataFrame:
@@ -227,8 +253,10 @@ class BTrDBEngine:
             mine.select(
                 "uuid", "time", "value", F.lit(new_major).cast("long").alias("version")
             )
+            .withColumn("uuid_bucket", uuid_bucket(F.col("uuid")))
             .sort("time")  # the reference sorts batches before merge (qtree.go:623)
             .write.mode("append")
+            .partitionBy("uuid_bucket")
             .parquet(self._path("points"))
         )
         self._clear_hot(uuid)
@@ -260,43 +288,53 @@ class BTrDBEngine:
         if not self.streams.filter(F.col("uuid") == uuid).count():
             raise KeyError(f"no such stream: {uuid}")
         self._rewrite_stream_row(uuid, tombstoned="deleted")
-        rest = self.points.filter(F.col("uuid") != uuid)
-        rest.write.mode("overwrite").parquet(self._path("points_tmp"))
-        self.spark.read.schema(POINTS_SCHEMA).parquet(self._path("points_tmp")).write.mode(
-            "overwrite"
-        ).parquet(self._path("points"))
+        if os.path.exists(self._path("points")):
+            import shutil
+
+            rest = self.points.filter(F.col("uuid") != uuid)
+            if rest.isEmpty():
+                shutil.rmtree(self._path("points"))
+            else:
+                rest.write.mode("overwrite").partitionBy("uuid_bucket").parquet(
+                    self._path("points_tmp")
+                )
+                self.spark.read.parquet(self._path("points_tmp")).write.mode(
+                    "overwrite"
+                ).partitionBy("uuid_bucket").parquet(self._path("points"))
         self._clear_hot(uuid)
 
     # ---------- read path (merge-on-read) ----------
 
-    def _queryable(self, version: int | None) -> tuple[DataFrame, DataFrame]:
+    def _queryable(self, version: int | None, uuid: str | None = None) -> tuple[DataFrame, DataFrame]:
         """(points, deletes) visible at `version`; latest merges the hot
-        buffer in as an uncommitted overlay (J2)."""
-        pts = self.points
+        buffer in as an uncommitted overlay (J2). With a uuid, the cold
+        side is the partition-pruned single-stream scan."""
+        pts = self.stream_points(uuid) if uuid is not None else self.points.drop("uuid_bucket")
         if version is None:
-            overlay = self.hot.select(
+            hot = self.hot
+            if uuid is not None:
+                hot = hot.filter(F.col("uuid") == uuid)
+            overlay = hot.select(
                 "uuid", "time", "value", F.lit((1 << 62)).cast("long").alias("version")
             )
             pts = pts.unionByName(overlay)
         return pts, self.deletes
 
     def raw_values(self, uuid: str, start: int, end: int, version: int | None = None) -> DataFrame:
-        pts, dels = self._queryable(version)
+        pts, dels = self._queryable(version, uuid)
         return raw_ops.raw_values(pts, uuid, start, end, version=version, deletes=dels)
 
     def aligned_windows(self, uuid: str, start: int, end: int, pw: int, version: int | None = None) -> DataFrame:
-        pts, dels = self._queryable(version)
+        pts, dels = self._queryable(version, uuid)
         return win_ops.aligned_windows(pts, uuid, start, end, pw, version=version, deletes=dels)
 
     def windows(self, uuid: str, start: int, end: int, width: int, version: int | None = None) -> DataFrame:
-        pts, dels = self._queryable(version)
+        pts, dels = self._queryable(version, uuid)
         return win_ops.windows(pts, uuid, start, end, width, version=version, deletes=dels)
 
     def nearest(self, uuid: str, t: int, backward: bool, version: int | None = None):
-        pts, dels = self._queryable(version)
-        out = raw_ops.nearest_all(
-            pts.filter(F.col("uuid") == uuid), t, backward, version=version, deletes=dels
-        ).collect()
+        pts, dels = self._queryable(version, uuid)
+        out = raw_ops.nearest_all(pts, t, backward, version=version, deletes=dels).collect()
         return (out[0]["time"], out[0]["value"]) if out else None
 
     def changed_ranges(self, uuid: str, from_ver: int, to_ver: int, resolution: int) -> DataFrame:
