@@ -68,11 +68,22 @@ def uuid_bucket(col):
 
 
 class BTrDBEngine:
-    def __init__(self, spark: SparkSession, base_dir: str, flush_threshold: int = FLUSH_THRESHOLD):
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        flush_threshold: int = FLUSH_THRESHOLD,
+        ladder: bool = False,
+    ):
         self.spark = spark
         self.base = base_dir
         self.flush_threshold = flush_threshold
         os.makedirs(base_dir, exist_ok=True)
+        self.ladder = None
+        if ladder:
+            from .plans.rollup import RollupLadder
+
+            self.ladder = RollupLadder(spark, f"{base_dir}/rollups")
 
     # ---------- table access ----------
 
@@ -259,6 +270,9 @@ class BTrDBEngine:
             .partitionBy("uuid_bucket")
             .parquet(self._path("points"))
         )
+        if self.ladder is not None:
+            # incremental rollup maintenance (A4) — O(batch) partial append
+            self.ladder.ingest_batch(mine.select("uuid", "time", "value"))
         self._clear_hot(uuid)
         return new_major, 0
 
@@ -281,6 +295,12 @@ class BTrDBEngine:
         self.spark.createDataFrame(
             [(uuid, start, end, new_major)], DELETES_SCHEMA
         ).write.mode("append").parquet(self._path("deletes"))
+        if self.ladder is not None:
+            from .operators.raw import apply_deletes
+            from .plans.rollup import invalidate_buckets
+
+            live = apply_deletes(self.stream_points(uuid), self.deletes)
+            invalidate_buckets(self.ladder, live, uuid, start, end)
         return new_major
 
     def obliterate(self, uuid: str) -> None:
@@ -302,6 +322,14 @@ class BTrDBEngine:
                     "overwrite"
                 ).partitionBy("uuid_bucket").parquet(self._path("points"))
         self._clear_hot(uuid)
+        if self.ladder is not None:
+            for pw in self.ladder.levels:
+                tmp = f"{self.ladder._path(pw)}_tmp"
+                keep = self.ladder.level(pw).filter(F.col("uuid") != uuid)
+                keep.write.mode("overwrite").parquet(tmp)
+                self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
+                    self.ladder._path(pw)
+                )
 
     # ---------- read path (merge-on-read) ----------
 
@@ -325,6 +353,18 @@ class BTrDBEngine:
         return raw_ops.raw_values(pts, uuid, start, end, version=version, deletes=dels)
 
     def aligned_windows(self, uuid: str, start: int, end: int, pw: int, version: int | None = None) -> DataFrame:
+        """A1 — routed through the rollup ladder when it can answer exactly:
+        latest-version query, no buffered rows for the stream, and a
+        maintained level at or below pw. Otherwise the raw path (which is
+        always exact; the ladder is a pure accelerator)."""
+        if (
+            self.ladder is not None
+            and version is None
+            and not self.hot.filter(F.col("uuid") == uuid).limit(1).count()
+        ):
+            routed = self.ladder.aligned_windows(uuid, start, end, pw)
+            if routed is not None:
+                return routed
         pts, dels = self._queryable(version, uuid)
         return win_ops.aligned_windows(pts, uuid, start, end, pw, version=version, deletes=dels)
 

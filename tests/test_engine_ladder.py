@@ -1,0 +1,65 @@
+"""Ladder-enabled engine: stat queries route through the rollup and must
+equal the raw path exactly through insert/flush/delete lifecycles."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from btrdb_spark.engine import BTrDBEngine
+from btrdb_spark.operators.windows import aligned_windows
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return BTrDBEngine(spark, str(tmp_path / "db"), flush_threshold=10**9, ladder=True)
+
+
+def _key(df):
+    return {
+        r["bucket_start"]: (r["cnt"], r["vmin"], r["vmean"], r["vmax"]) for r in df.collect()
+    }
+
+
+def _raw_answer(engine, u, pw):
+    pts, dels = engine._queryable(None, u)
+    return aligned_windows(pts, u, -(1 << 45), 1 << 61, pw, deletes=dels)
+
+
+def test_route_and_match_after_flush(engine):
+    u = engine.create_stream("lad/a")
+    pts = [(i * (1 << 18), float(i % 97)) for i in range(5000)]
+    engine.insert(u, pts[:2500], sync=True)
+    engine.insert(u, pts[2500:], sync=True)
+    got = engine.aligned_windows(u, -(1 << 45), 1 << 61, pw=26)
+    # routed plan reads the rollup table, not the points table
+    assert "vsum" in got._jdf.queryExecution().executedPlan().toString()
+    assert _key(got) == _key(_raw_answer(engine, u, 26))
+
+
+def test_fallback_when_buffered(engine):
+    u = engine.create_stream("lad/b")
+    engine.insert(u, [(1 << 20, 1.0)], sync=True)
+    engine.insert(u, [(1 << 21, 2.0)])  # buffered, ladder not updated
+    got = engine.aligned_windows(u, 0, 1 << 30, pw=22)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "vsum" not in plan  # raw path with hot overlay
+    assert _key(got) == _key(_raw_answer(engine, u, 22))
+
+
+def test_fallback_below_ladder(engine):
+    u = engine.create_stream("lad/c")
+    engine.insert(u, [(1 << 20, 1.0), ((1 << 20) + 5, 3.0)], sync=True)
+    got = engine.aligned_windows(u, 0, 1 << 30, pw=10)  # finer than level 20
+    assert "vsum" not in got._jdf.queryExecution().executedPlan().toString()
+    assert _key(got) == _key(_raw_answer(engine, u, 10))
+
+
+def test_match_after_delete_invalidation(engine):
+    u = engine.create_stream("lad/d")
+    pts = [(i * (1 << 18), float(i)) for i in range(2000)]
+    engine.insert(u, pts, sync=True)
+    engine.delete_range(u, 1 << 24, 1 << 27)
+    got = engine.aligned_windows(u, -(1 << 45), 1 << 61, pw=26)
+    assert "vsum" in got._jdf.queryExecution().executedPlan().toString()
+    assert _key(got) == _key(_raw_answer(engine, u, 26))
