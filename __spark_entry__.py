@@ -139,6 +139,20 @@ def q_aligned_windows_via_rollup(spark: SparkSession, sf: str) -> DataFrame:
     return ru.stats_from_rollup(r20, 20, 36, None, T0, T1)
 
 
+def q_windows_1h_hybrid(spark: SparkSession, sf: str) -> DataFrame:
+    """A2 via the hybrid plan: interior 2^38-buckets from the rollup,
+    edge buckets from raw points — exact for the non-power-of-two 1h width.
+
+    Same oracle as windows_1h: proves the ladder's arbitrary-width scale
+    path is exact (plans/rollup.py windows_from_rollup).
+    """
+    pts = events_as_points(spark, sf)
+    lvl = ru.route_level_width(HOUR)
+    return ru.windows_from_rollup(
+        ru.rollup_points(pts, lvl), lvl, pts, None, T0, T0 + 7 * DAY, HOUR
+    )
+
+
 def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Gaps-and-islands sessionization per stream (1-day inactivity gap)."""
     gap = DAY
@@ -302,6 +316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aligned_windows": q_aligned_windows,
         "aligned_windows_via_rollup": q_aligned_windows_via_rollup,
         "windows_1h": q_windows_1h,
+        "windows_1h_hybrid": q_windows_1h_hybrid,
         "sessionize": q_sessionize,
         "nearest_before": q_nearest_before,
         "nearest_after": q_nearest_after,
@@ -382,8 +397,9 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY 1, 2
     """
 
-    # the rollup path must produce the exact same answer as the raw path
+    # the rollup paths must produce the exact same answer as the raw paths
     oracles["aligned_windows_via_rollup"] = oracles["aligned_windows"]
+    oracles["windows_1h_hybrid"] = oracles["windows_1h"]
 
     oracles["sessionize"] = f"""
         WITH s AS (

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.timeops import bucket_start
+from ..functions.timeops import bucket_start, floor_div
 from ..schemas import PWFACTOR
 
 LEVELS = (20, 26, 32, 38, 44, 50, 56)
@@ -122,6 +122,115 @@ def route_level(pw: int, levels: tuple[int, ...] = LEVELS) -> int | None:
     return max(usable) if usable else None
 
 
+def route_level_width(width: int, levels: tuple[int, ...] = LEVELS) -> int | None:
+    """Coarsest level whose buckets fit inside an arbitrary-width window."""
+    usable = [p for p in levels if (1 << p) <= width]
+    return max(usable) if usable else None
+
+
+def windows_from_rollup(
+    rollup: DataFrame,
+    level_pw: int,
+    points: DataFrame,
+    uuid: str | None,
+    start: int,
+    end: int,
+    width: int,
+) -> DataFrame:
+    """Windows (A2) hybrid plan: EXACT arbitrary-width windows answered
+    mostly from the rollup ladder, raw points only at window edges.
+
+    The reference approximates arbitrary windows with the ``depth`` knob
+    (qtree/qtree.go:1108-1142 attributes whole subtrees to the current
+    window). This plan is exact for ANY width, and still ~output-sized:
+
+    - a level bucket [b, b+2^p) wholly inside one window and inside
+      [start, end) contributes its precomputed (cnt, min, max, sum);
+    - only points whose bucket straddles a window edge (a
+      2*2^p/width fraction of the range) are re-aggregated from raw.
+
+    Both partial streams groupBy (uuid, window); one final combine. Same
+    output contract as operators.windows.windows, including end rounding
+    (quasar.go:322-324) and zero-count hole emission
+    (qtree/qtree.go:1143-1173). Latest-version only (the ladder tracks
+    latest; historical versions fall back to the raw-points plan).
+    """
+    if width <= 0:
+        raise ValueError("width must be positive")
+    end = end - (end - start) % width  # quasar.go:322-324
+    n_windows = (end - start) // width
+    if n_windows <= 0:
+        raise ValueError("empty window range")
+    w = 1 << level_pw
+    wl = F.lit(width).cast("long")
+
+    def widx(t):  # window index of a time inside [start, end)
+        return floor_div(t - F.lit(start), wl)
+
+    # interior test on a bucket start b: bucket inside range and inside one window
+    def interior(b):
+        return (
+            (b >= F.lit(start))
+            & (b + F.lit(w) <= F.lit(end))
+            & (widx(b) == widx(b + F.lit(w - 1)))
+        )
+
+    r = rollup
+    p = points
+    if uuid is not None:
+        r = r.filter(F.col("uuid") == F.lit(uuid))
+        p = p.filter(F.col("uuid") == F.lit(uuid))
+    agg_interior = (
+        r.filter(interior(F.col("bucket_start")))
+        .groupBy("uuid", widx(F.col("bucket_start")).alias("widx"))
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+            F.sum("vsum").cast(DEC).alias("vsum"),
+        )
+    )
+    pb = bucket_start(F.col("time"), w)
+    agg_edges = (
+        p.filter(
+            (F.col("time") >= F.lit(start))
+            & (F.col("time") < F.lit(end))
+            & ~interior(pb)
+        )
+        .groupBy("uuid", widx(F.col("time")).alias("widx"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.sum(F.col("value").cast(DEC)).alias("vsum"),
+        )
+    )
+    agg = (
+        agg_interior.unionByName(agg_edges)
+        .groupBy("uuid", "widx")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+            F.sum("vsum").cast(DEC).alias("vsum"),
+        )
+    )
+    spark = points.sparkSession
+    uuids = agg.select("uuid").distinct()
+    frame = F.broadcast(uuids).crossJoin(
+        spark.range(n_windows).select(F.col("id").alias("widx"))
+    )
+    out = frame.join(agg, on=["uuid", "widx"], how="left").select(
+        F.col("uuid"),
+        (F.lit(start) + F.col("widx") * wl).cast("long").alias("window_start"),
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+        "vmin",
+        (F.col("vsum").cast("double") / F.col("cnt")).alias("vmean"),
+        "vmax",
+    )
+    return out.orderBy("uuid", "window_start")
+
+
 class RollupLadder:
     """Parquet-backed append-only ladder with merge-on-read partials."""
 
@@ -168,6 +277,16 @@ class RollupLadder:
         if lvl is None:
             return None
         return stats_from_rollup(self.level(lvl), lvl, pw, uuid, start, end)
+
+    def windows(
+        self, points: DataFrame, uuid: str | None, start: int, end: int, width: int
+    ) -> DataFrame | None:
+        """Answer A2 exactly via the hybrid interior-rollup/edge-points plan,
+        or None if every maintained bucket is wider than the window."""
+        lvl = route_level_width(width, self.levels)
+        if lvl is None:
+            return None
+        return windows_from_rollup(self.level(lvl), lvl, points, uuid, start, end, width)
 
 
 def invalidate_buckets(ladder: RollupLadder, points: DataFrame, uuid: str, start: int, end: int) -> None:

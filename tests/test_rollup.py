@@ -77,3 +77,30 @@ def test_invalidate_buckets_after_delete(pts, spark, tmp_path):
     got = ladder.aligned_windows(None, -(1 << 42), 1 << 44, 44)
     want = aligned_windows(remaining, None, -(1 << 42), 1 << 44, 44)
     assert _key(got) == _key(want)
+
+@pytest.mark.parametrize(
+    "start,width",
+    [
+        (0, 3_600_000_000_000),            # 1h windows, non-power-of-two
+        (-(1 << 41), 7 * 10**12 + 13),     # negative anchor, odd width
+        (12345, 1 << 44),                  # power-of-two width, unaligned anchor
+    ],
+)
+def test_hybrid_windows_equals_raw(pts, spark, tmp_path, start, width):
+    """windows_from_rollup must be EXACT for arbitrary width/anchor —
+    interior buckets from the ladder + edge buckets from raw points."""
+    from btrdb_spark.operators.windows import windows
+
+    ladder = ru.RollupLadder(spark, str(tmp_path / "ladder3"), levels=(32, 38))
+    ladder.ingest_batch(pts)
+    end = start + 11 * width + width // 3  # exercises end-rounding too
+    got = ladder.windows(pts, None, start, end, width)
+    want = windows(pts, None, start, end, width)
+    kg = {(r["uuid"], r["window_start"]): (r["cnt"], r["vmin"], r["vmean"], r["vmax"]) for r in got.collect()}
+    kw = {(r["uuid"], r["window_start"]): (r["cnt"], r["vmin"], r["vmean"], r["vmax"]) for r in want.collect()}
+    assert kg == kw
+
+
+def test_hybrid_windows_routes_none_when_too_fine(pts, spark, tmp_path):
+    ladder = ru.RollupLadder(spark, str(tmp_path / "ladder4"), levels=(38,))
+    assert ladder.windows(pts, None, 0, 1 << 40, 1 << 37) is None
