@@ -292,6 +292,11 @@ def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=6)
+
+
 def q_embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     return similarity.embedding_neardup_pairs(emb, emb.filter(F.col("vec_id") < 100), threshold=0.28)
@@ -336,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "cosine_topk": q_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "stream_info": q_stream_info,
     }

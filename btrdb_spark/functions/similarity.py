@@ -72,38 +72,110 @@ def cosine_topk(
     )
 
 
+def plane_coefs(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic pseudo-random hyperplane coefficients, engine-portable:
+    coef(p, j) = int(md5(f"{p}_{j}")[:8 hex], 16) - 2^31   in [-2^31, 2^31).
+
+    Computed driver-side (tiny: n_planes x dim ints) and embedded as
+    literals, so executors never hash per row; the DuckDB oracle derives
+    the identical values with ('0x'||substr(md5(p||'_'||j),1,8))::BIGINT.
+    """
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}_{j}".encode()).hexdigest()[:8], 16) - (1 << 31)
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def lsh_buckets(
     corpus: DataFrame,
     n_planes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    scale: int = 1000,
 ) -> DataFrame:
     """Random-hyperplane LSH: sign-bit signature per vector -> bucket id.
 
-    Pseudo-random plane coefficients are md5-derived (deterministic,
-    engine-portable): coef(p, j) = (('0x'||substr(md5(p||'_'||j),1,8))::int
-    / 2^31) - 1  in [-1, 1).
+    Projections are PURE INT64 arithmetic — vectors quantized with
+    floor(v*scale), planes from plane_coefs — so the bucket id is
+    bit-identical in any engine regardless of float summation order
+    (a float dot product could flip a sign near zero between engines).
+    Bound: |proj| <= dim * (max|v|*scale) * 2^31 — safe in int64 for
+    normalized embeddings.
     """
-    def coef(p: int, j: Column) -> Column:
-        h = F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{p}_"), j.cast("string"))), 1, 8), 16, 10
-        ).cast("double")
-        return h / F.lit(float(1 << 31)) - F.lit(1.0)
-
+    coefs = plane_coefs(n_planes, dim)
+    # quantize once; each plane's projection then reads the materialized array
+    quant = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long")
+        ).alias("_qv"),
+    )
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
+        plane = F.array(*[F.lit(c).cast("long") for c in coefs[p]])
         proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, j: x.cast("double") * coef(p, j),
-            ),
-            F.lit(0.0),
+            F.zip_with(F.col("_qv"), plane, lambda x, c: x * c),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
         sig = sig + F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
-    return corpus.select(F.col(id_col).alias("vec_id"), sig.alias("bucket"))
+    return quant.select("vec_id", sig.alias("bucket"))
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking restricted to the probe's
+    LSH bucket — the scale path for similarity search.
+
+    cosine_topk scans the whole corpus per probe (exact, O(N*Q)); this
+    plan shuffles on the int64 bucket id, so each probe compares against
+    ~N/2^n_planes candidates. The bucket join broadcasts the (tiny) probe
+    side; at 100 TB the corpus side is bucketed-by `bucket` on disk and
+    the join is shuffle-free. Deterministic (integer bucket ids), so the
+    oracle reproduces it exactly — recall vs the exact scan is the usual
+    LSH trade, surfaced to the caller by construction, never silently.
+    """
+    cb = lsh_buckets(corpus, n_planes, id_col, vec_col, dim)
+    pb = lsh_buckets(probes, n_planes, id_col, vec_col, dim)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cnorm"),
+    ).join(cb.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    p = probes.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("pvec"),
+        _norm(F.col(vec_col)).alias("pnorm"),
+    ).join(pb.withColumnRenamed("vec_id", "query_id"), "query_id")
+    scored = (
+        c.join(F.broadcast(p), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("cvec"), F.col("pvec")) / (F.col("cnorm") * F.col("pnorm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
+        .orderBy("query_id", "rank")
+    )
 
 
 def embedding_neardup_pairs(
@@ -142,7 +214,44 @@ def embedding_neardup_pairs(
 
 # ---------------- DuckDB oracle mirrors ----------------
 
+_ANN_PLANES = 6
+
 ORACLES = {
+    "ann_lsh_topk": f"""
+        WITH planes AS (
+            SELECT p.p, j.j,
+                   ('0x' || substr(md5(CAST(p.p AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)), 1, 8))::BIGINT
+                     - 2147483648 AS c
+            FROM (SELECT unnest(range(0, {_ANN_PLANES})) AS p) p,
+                 (SELECT unnest(range(0, 64)) AS j) j
+        ), vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings
+        ), projs AS (
+            SELECT vecs.vec_id, planes.p,
+                   SUM(CAST(FLOOR(vecs.v[planes.j + 1] * 1000) AS BIGINT) * planes.c) AS proj
+            FROM vecs, planes GROUP BY 1, 2
+        ), buckets AS (
+            SELECT vec_id,
+                   SUM(CASE WHEN proj >= 0 THEN 1 << p ELSE 0 END) AS bucket
+            FROM projs GROUP BY 1
+        ), scored AS (
+            SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(c.v, p.v) / (c.nrm * p.nrm) AS cosine
+            FROM vecs p
+            JOIN buckets pb ON pb.vec_id = p.vec_id
+            JOIN buckets cb ON cb.bucket = pb.bucket
+            JOIN vecs c ON c.vec_id = cb.vec_id AND c.vec_id <> p.vec_id
+            WHERE p.vec_id < 10
+        ), ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """,
     "embedding_neardup_pairs": """
         WITH c AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
