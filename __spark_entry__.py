@@ -28,7 +28,8 @@ from btrdb_spark.operators import raw as raw_ops
 from btrdb_spark.operators import windows as win_ops
 from btrdb_spark.plans import rollup as ru
 from btrdb_spark.sources.tables import events_as_points, load_table
-from btrdb_spark.functions import dedup, similarity, text
+from btrdb_spark.functions import dedup, multimodal, similarity, text
+from btrdb_spark.operators import csv as csv_ops
 
 # ---- time constants (events span Jan 2024, ns epoch) ----
 NS = 1_000_000_000
@@ -196,6 +197,39 @@ def q_align_multistream(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_csv_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """S6 windows mode: per-window (min, mean, max, count) quads pivoted
+    across streams (csv.go:69-75 column layout)."""
+    return csv_ops.csv_windows(
+        events_as_points(spark, sf), ["1", "2", "3"], T0, T1, pw=40,
+        labels=["s1", "s2", "s3"],
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary media
+    (decode stubbed deterministically — functions/multimodal.py)."""
+    media = multimodal.synthetic_media(load_table(spark, sf, "documents"))
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id",
+        "feat_dim",
+        F.element_at("feature", 1).alias("f0"),
+        F.element_at("feature", 8).alias("f7"),
+    ).orderBy("media_id")
+
+
+def q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sampling fan-out plan: one row per sampled frame."""
+    media = multimodal.synthetic_media(load_table(spark, sf, "documents"))
+    return (
+        multimodal.frame_sample_plan(media, every_ms=1000)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"), F.max("frame_ts_ms").alias("last_ts_ms"))
+        .orderBy("media_id")
+    )
+
+
 def q_list_collections(spark: SparkSession, sf: str) -> DataFrame:
     return md.list_collections(_streams_df(spark, sf), prefix="site1")
 
@@ -327,6 +361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_after": q_nearest_after,
         "changed_ranges": q_changed_ranges,
         "align_multistream": q_align_multistream,
+        "csv_windows": q_csv_windows,
+        "multimodal_features": q_multimodal_features,
+        "frame_sample": q_frame_sample,
         "list_collections": q_list_collections,
         "lookup_streams": q_lookup_streams,
         "key_usage": q_key_usage,
@@ -482,6 +519,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT time, {cols} FROM {PTS} p
         WHERE uuid IN ('1','2','3','4','5') AND time >= {T0} AND time < {T1}
         GROUP BY time ORDER BY time
+    """
+
+    w40 = 1 << 40
+    s40 = T0 - (T0 % w40 + w40) % w40
+    e40 = T1 - (T1 % w40 + w40) % w40
+    piv = ",\n               ".join(
+        f"MAX(CASE WHEN uuid = '{u}' THEN {c} END) AS s{u}_{lab}"
+        for u in ("1", "2", "3")
+        for c, lab in (("vmin", "min"), ("vmean", "mean"), ("vmax", "max"), ("cnt", "count"))
+    )
+    oracles["csv_windows"] = f"""
+        WITH agg AS (
+            SELECT uuid, time - ((time % {w40} + {w40}) % {w40}) AS t,
+                   COUNT(*) AS cnt, MIN(value) AS vmin, {MEAN_SQL} AS vmean, MAX(value) AS vmax
+            FROM {PTS} p
+            WHERE uuid IN ('1','2','3') AND time >= {s40} AND time < {e40}
+            GROUP BY 1, 2
+        )
+        SELECT t AS time,
+               {piv}
+        FROM agg GROUP BY 1 ORDER BY 1
+    """
+
+    oracles["multimodal_features"] = """
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS mt,
+                   text FROM documents
+        )
+        SELECT media_id, CAST(8 AS BIGINT) AS feat_dim,
+               ('0x' || substr(sha256(text || mt), 1, 2))::INT / 255.0 AS f0,
+               ('0x' || substr(sha256(text || mt), 15, 2))::INT / 255.0 AS f7
+        FROM m ORDER BY media_id
+    """
+
+    oracles["frame_sample"] = """
+        SELECT doc_id AS media_id, CAST(doc_id % 30 + 2 AS BIGINT) AS n_frames,
+               CAST(1000 * (doc_id % 30 + 1) AS BIGINT) AS last_ts_ms
+        FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id
     """
 
     oracles["list_collections"] = f"""

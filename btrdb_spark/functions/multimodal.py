@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
-    FloatType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -50,10 +50,30 @@ MEDIA_SCHEMA = StructType(
 FEATURES_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
-        StructField("feature", ArrayType(FloatType()), True),
+        # doubles, not float32: the fake-decode arithmetic (byte/255.0) must
+        # stay bit-identical to the DuckDB oracle's
+        StructField("feature", ArrayType(DoubleType()), True),
         StructField("feat_dim", LongType(), True),
     ]
 )
+
+
+def synthetic_media(documents: DataFrame) -> DataFrame:
+    """Deterministic media table derived from `documents` (the container has
+    no real media): blob = utf-8 text bytes, type round-robins
+    image/audio/video, plausible typed metadata. Lets the multimodal
+    plumbing run under the driver's correctness gate."""
+    return documents.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.col("text").cast("binary").alias("blob"),
+        (F.lit(64) + F.col("doc_id") % 512).cast("long").alias("width"),
+        (F.lit(64) + F.col("doc_id") % 256).cast("long").alias("height"),
+        (1000 * (F.col("doc_id") % 30 + 1)).cast("long").alias("duration_ms"),
+    )
 
 
 def _decode_stub(blob: bytes, media_type: str) -> list[float]:

@@ -37,8 +37,11 @@ def frame_key(df):
     """pandas DataFrame -> (colnames sorted, multiset of normalized rows)."""
     cols = sorted(df.columns)
     rows = sorted(
-        tuple(norm_cell(v) for v in row)
-        for row in df[cols].itertuples(index=False, name=None)
+        (
+            tuple(norm_cell(v) for v in row)
+            for row in df[cols].itertuples(index=False, name=None)
+        ),
+        key=repr,  # mixed None/str/float cells aren't mutually orderable
     )
     return cols, rows
 
