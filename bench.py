@@ -82,6 +82,49 @@ def main() -> None:
         ladder_s = time.time() - t0
     pts.unpersist()
 
+    # LLM-pipeline throughput probes: docs/s and vectors/s on generated
+    # corpora large enough to dominate job overhead.
+    from btrdb_spark.functions import dedup as dd
+    from btrdb_spark.functions import similarity as sim
+
+    # realistic corpus: unique 50-word docs with a 2% exact-dup fraction
+    # (collapse_exact folds those before LSH — the scale-path config)
+    n_docs = int(os.environ.get("BTRDB_BENCH_DOCS", 200_000))
+    eff = F.when(F.col("id") % 50 == 0, F.col("id") + 1).otherwise(F.col("id"))
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(49)),
+        lambda i: F.concat(F.lit("w"), ((eff * 1000003 + i * 17) % 999983).cast("string")),
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text")
+    ).cache()
+    docs.count()
+    t0 = time.time()
+    dd.minhash_lsh_pairs(
+        docs, n=3, num_hashes=32, bands=8, collapse_exact=True
+    ).write.format("noop").mode("overwrite").save()
+    minhash_s = time.time() - t0
+    t0 = time.time()
+    dd.exact_duplicates(docs).write.format("noop").mode("overwrite").save()
+    exact_s = time.time() - t0
+    docs.unpersist()
+
+    n_vecs = int(os.environ.get("BTRDB_BENCH_VECS", 200_000))
+    vecs = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: ((F.col("id") * 31 + j * 7) % 1000 / 500.0 - 1.0).cast("float"),
+        ).alias("embedding"),
+    ).cache()
+    vecs.count()
+    t0 = time.time()
+    sim.ann_lsh_topk(
+        vecs, vecs.filter(F.col("vec_id") < 64), k=5, n_planes=12
+    ).write.format("noop").mode("overwrite").save()
+    ann_s = time.time() - t0
+    vecs.unpersist()
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "total_query_wall_seconds",
@@ -95,6 +138,9 @@ def main() -> None:
             "stat_rawscan_points_per_sec": round(n_points / stat_s),
             "stat_via_rollup_points_per_sec": round(n_points / ladder_s),
             "stat_via_rollup_sec": round(ladder_s, 3),
+            "minhash_lsh_docs_per_sec": round(n_docs / minhash_s),
+            "exact_dedup_docs_per_sec": round(n_docs / exact_s),
+            "ann_lsh_vectors_per_sec": round(n_vecs / ann_s),
         },
     }
     print(json.dumps(out))

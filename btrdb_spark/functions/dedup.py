@@ -166,14 +166,30 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     text_col: str = "text",
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one full band of minhashes.
 
     Output: (doc_a, doc_b, est_jaccard) where est_jaccard is the fraction of
     matching signature components.
+
+    collapse_exact: exact-duplicate groups (identical text) collapse to
+    their min-doc_id representative BEFORE hashing. A d-way exact-dup
+    cluster otherwise collides in EVERY band and emits d(d-1)/2 pair rows
+    per band — the measured hot-bucket blowup on boilerplate-heavy
+    corpora. Run the exact pass (exact_duplicates) for those groups; LSH
+    then only pays for genuine near-dups. Off by default because it
+    changes the output contract (pairs are between representatives).
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
+    if collapse_exact:
+        # shuffle key is the 64-bit content hash, never the text
+        documents = (
+            documents.groupBy(F.md5(F.col(text_col)).alias("_th"))
+            .agg(F.min("doc_id").alias("doc_id"), F.first(text_col).alias(text_col))
+            .drop("_th")
+        )
     # doc-sized; consumed by band_rows + both broadcast sides -> cache so
     # the shingle+hash pipeline runs once, not three times
     sigs = minhash_signatures(documents, n, num_hashes, text_col).cache()
@@ -243,7 +259,8 @@ def simhash_signatures(documents: DataFrame, bits: int = 16, text_col: str = "te
     sig = F.lit(0).cast("long")
     for b in range(bits):
         sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
-    return sums.select("doc_id", sig.alias("simhash")).orderBy("doc_id")
+    # no orderBy: signatures feed joins/groupBys; callers that need order sort
+    return sums.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_pairs(documents: DataFrame, bits: int = 16, max_hamming: int = 3, text_col: str = "text") -> DataFrame:
