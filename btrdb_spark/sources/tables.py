@@ -25,7 +25,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def events_as_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_as_points(spark: SparkSession, sf_dir: str, truncate_us: bool = True) -> DataFrame:
     """Map the driver's `events` table onto the canonical points shape.
 
     Per FIXTURES.md §6: key column -> uuid, timestamp -> time (ns),
@@ -38,13 +38,20 @@ def events_as_points(spark: SparkSession, sf_dir: str) -> DataFrame:
              10 + (event_id % 7) version FROM events
     """
     ev = load_table(spark, sf_dir, "events")
-    # ts arrives as raw int64 nanoseconds (nanosAsLong). DuckDB's parquet
-    # reader truncates ns -> µs on read (verified), so the oracle's
-    # epoch_ns(ts) is µs-truncated; truncate identically here.
+    # ts arrives as raw int64 nanoseconds (nanosAsLong). DuckDB (1.0)
+    # truncates TIMESTAMP(NANOS) -> µs at parquet read, so the oracle's
+    # epoch_ns(ts) loses the sub-µs digits; we must truncate identically
+    # for value parity. The truncation expression blocks parquet predicate
+    # pushdown on this FIXTURE adapter — the engine's canonical storage
+    # stores `time` as a physical long column (engine.py), where range
+    # predicates do push down (asserted in tools/explain_audit.py); this
+    # adapter exists only to map the driver's fixture.
     t = F.col("ts").cast("long")
+    if truncate_us:
+        t = t - F.pmod(t, F.lit(1000))
     return ev.select(
         F.col("user_id").cast("string").alias("uuid"),
-        (t - F.pmod(t, F.lit(1000))).alias("time"),
+        t.alias("time"),
         F.col("value").alias("value"),
         (F.lit(10) + F.col("event_id") % F.lit(7)).cast("long").alias("version"),
     )
