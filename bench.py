@@ -73,8 +73,16 @@ def main() -> None:
     # hot stat path: the rollup ladder (how the reference reaches its
     # query numbers — cost tracks output windows, not raw points)
     with tempfile.TemporaryDirectory() as tmp:
-        ladder = ru.RollupLadder(spark, tmp, levels=(30,))
-        ladder.ingest_batch(pts)
+        # ingest path (S3 analog): engine.bulk_load commits to uuid-bucketed
+        # time-sorted cold storage AND maintains the rollup ladder
+        from btrdb_spark.engine import BTrDBEngine
+
+        eng = BTrDBEngine(spark, f"{tmp}/eng", ladder=True)
+        eng.ladder.levels = (30,)
+        t0 = time.time()
+        eng.bulk_load(pts.select("uuid", "time", "value"))
+        ingest_s = time.time() - t0
+        ladder = eng.ladder
         t0 = time.time()
         ladder.aligned_windows(None, -(1 << 62), 1 << 62, 36).write.format("noop").mode(
             "overwrite"
@@ -135,6 +143,7 @@ def main() -> None:
         "throughput": {
             "n_points": n_points,
             "raw_delivery_points_per_sec": round(n_points / raw_scan_s),
+            "ingest_commit_points_per_sec": round(n_points / ingest_s),
             "stat_rawscan_points_per_sec": round(n_points / stat_s),
             "stat_via_rollup_points_per_sec": round(n_points / ladder_s),
             "stat_via_rollup_sec": round(ladder_s, 3),

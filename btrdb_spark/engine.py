@@ -276,6 +276,33 @@ class BTrDBEngine:
         self._clear_hot(uuid)
         return new_major, 0
 
+    def bulk_load(self, points: DataFrame, version: int | None = None) -> None:
+        """Backfill path: commit an arbitrarily large (uuid, time, value)
+        DataFrame straight to cold storage + rollup ladder, bypassing the
+        25k-point RPC buffer (which exists for interactive ingest, not
+        100 TB history loads).
+
+        Layout contract: one shuffle keyed by uuid_bucket co-locates each
+        stream, sortWithinPartitions(uuid, time) gives time-clustered row
+        groups (parquet min/max skipping serves single-stream range reads),
+        and writing from bucket-partitioned tasks produces one coherent
+        file per bucket per load instead of tasks x buckets small files.
+        The ladder partial append is O(batch) (plans/rollup.py).
+        """
+        v = F.lit(version if version is not None else VERSION_FIRST_DATA)
+        batch = points.select(
+            "uuid", "time", "value", v.cast("long").alias("version")
+        ).withColumn("uuid_bucket", uuid_bucket(F.col("uuid")))
+        (
+            batch.repartition(N_UUID_BUCKETS, F.col("uuid_bucket"))
+            .sortWithinPartitions("uuid", "time")
+            .write.mode("append")
+            .partitionBy("uuid_bucket")
+            .parquet(self._path("points"))
+        )
+        if self.ladder is not None:
+            self.ladder.ingest_batch(points.select("uuid", "time", "value"))
+
     def _clear_hot(self, uuid: str) -> None:
         rest = self.hot.filter(F.col("uuid") != uuid)
         rest.write.mode("overwrite").parquet(self._path("hot_tmp"))

@@ -63,3 +63,30 @@ def test_match_after_delete_invalidation(engine):
     got = engine.aligned_windows(u, -(1 << 45), 1 << 61, pw=26)
     assert "vsum" in got._jdf.queryExecution().executedPlan().toString()
     assert _key(got) == _key(_raw_answer(engine, u, 26))
+
+
+def test_bulk_load_roundtrip(spark, make_points, tmp_path):
+    """Backfill path: bulk_load lands in cold storage with the bucketed
+    layout, ladder answers match the raw-path answers exactly."""
+    from btrdb_spark.engine import BTrDBEngine
+    from btrdb_spark.operators.windows import aligned_windows
+
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for u in ("x", "y", "z"):
+        t = 0
+        for _ in range(2000):
+            t += rng.randint(1, 10**9)
+            rows.append((u, t, rng.random() * 50, 10))
+    pts = make_points(rows)
+    eng = BTrDBEngine(spark, str(tmp_path / "bl"), ladder=True)
+    eng.bulk_load(pts.select("uuid", "time", "value"))
+    got = {(r["uuid"], r["time"]) for r in eng.points.select("uuid", "time").collect()}
+    assert len(got) == len({(u, t) for (u, t, _, _) in rows})
+    lad = eng.ladder.aligned_windows(None, 0, 1 << 44, 40)
+    raw = aligned_windows(eng.points.drop("uuid_bucket"), None, 0, 1 << 44, 40)
+    kl = {(r["uuid"], r["bucket_start"]): (r["cnt"], r["vmin"], r["vmean"], r["vmax"]) for r in lad.collect()}
+    kr = {(r["uuid"], r["bucket_start"]): (r["cnt"], r["vmin"], r["vmean"], r["vmax"]) for r in raw.collect()}
+    assert kl == kr
