@@ -56,15 +56,24 @@ from .schemas import (
 MAX_INSERT_SIZE = 25000        # grpcinterface/serve.go:57
 FLUSH_THRESHOLD = 32768        # pqm.go:29
 N_UUID_BUCKETS = 16            # cold-table partition fanout (hash ring analog)
+TIME_PARTITION_PW = 47         # 2^47 ns ≈ 1.6 days per time partition
 
 
 def uuid_bucket(col):
     """Deterministic uuid -> partition bucket. The analog of the reference's
     MASH hash ring (internal/configprovider/clustering.go:78-95): co-locates
     a stream's data so single-stream queries prune to one partition
-    directory. At 100 TB raise N_UUID_BUCKETS (or add a coarse time bucket
-    as a second partition column)."""
+    directory. At 100 TB raise N_UUID_BUCKETS."""
     return F.pmod(F.xxhash64(col), F.lit(N_UUID_BUCKETS))
+
+
+def time_bucket(col):
+    """Second partition dimension: coarse time bucket (~1.6 days). A time-
+    range query prunes whole directories (PartitionFilters) before parquet
+    row-group min/max skipping runs — the tree-descent analog for the
+    dominant query shape (single stream, bounded range). Arithmetic shift
+    = floor division, correct for negative times."""
+    return F.shiftright(col, TIME_PARTITION_PW)
 
 
 class BTrDBEngine:
@@ -103,18 +112,38 @@ class BTrDBEngine:
             return self.spark.createDataFrame(
                 [], "uuid string, time long, value double, version long, uuid_bucket long"
             )
-        # partition column uuid_bucket comes from the directory layout
+        # partition columns uuid_bucket/time_bucket come from the directory
+        # layout; time_bucket is consumed by points_pruned, not exposed here
         return self.spark.read.parquet(path).select(
             "uuid", "time", "value", "version", "uuid_bucket"
         )
+
+    def points_pruned(
+        self, uuid: str | None = None, start: int | None = None, end: int | None = None
+    ) -> DataFrame:
+        """Cold points with every partition dimension pruned that the query
+        bounds allow: uuid -> uuid_bucket directory, [start, end) ->
+        time_bucket directory range (plus parquet min/max on uuid/time
+        inside the surviving files)."""
+        path = self._path("points")
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], POINTS_SCHEMA)
+        df = self.spark.read.parquet(path)
+        if uuid is not None:
+            df = df.filter(
+                (F.col("uuid_bucket") == uuid_bucket(F.lit(uuid))) & (F.col("uuid") == uuid)
+            )
+        if start is not None:
+            df = df.filter(F.col("time_bucket") >= (start >> TIME_PARTITION_PW))
+        if end is not None:
+            df = df.filter(F.col("time_bucket") <= ((end - 1) >> TIME_PARTITION_PW))
+        return df.select("uuid", "time", "value", "version")
 
     def stream_points(self, uuid: str) -> DataFrame:
         """Single-stream cold points with partition pruning: the bucket
         predicate hits the uuid_bucket=NN directories (PartitionFilters),
         the uuid/time predicates hit parquet row groups (PushedFilters)."""
-        return self.points.filter(
-            (F.col("uuid_bucket") == uuid_bucket(F.lit(uuid))) & (F.col("uuid") == uuid)
-        ).drop("uuid_bucket")
+        return self.points_pruned(uuid)
 
     @property
     def hot(self) -> DataFrame:
@@ -265,9 +294,10 @@ class BTrDBEngine:
                 "uuid", "time", "value", F.lit(new_major).cast("long").alias("version")
             )
             .withColumn("uuid_bucket", uuid_bucket(F.col("uuid")))
+            .withColumn("time_bucket", time_bucket(F.col("time")))
             .sort("time")  # the reference sorts batches before merge (qtree.go:623)
             .write.mode("append")
-            .partitionBy("uuid_bucket")
+            .partitionBy("uuid_bucket", "time_bucket")
             .parquet(self._path("points"))
         )
         if self.ladder is not None:
@@ -290,14 +320,16 @@ class BTrDBEngine:
         The ladder partial append is O(batch) (plans/rollup.py).
         """
         v = F.lit(version if version is not None else VERSION_FIRST_DATA)
-        batch = points.select(
-            "uuid", "time", "value", v.cast("long").alias("version")
-        ).withColumn("uuid_bucket", uuid_bucket(F.col("uuid")))
+        batch = (
+            points.select("uuid", "time", "value", v.cast("long").alias("version"))
+            .withColumn("uuid_bucket", uuid_bucket(F.col("uuid")))
+            .withColumn("time_bucket", time_bucket(F.col("time")))
+        )
         (
             batch.repartition(N_UUID_BUCKETS, F.col("uuid_bucket"))
             .sortWithinPartitions("uuid", "time")
             .write.mode("append")
-            .partitionBy("uuid_bucket")
+            .partitionBy("uuid_bucket", "time_bucket")
             .parquet(self._path("points"))
         )
         if self.ladder is not None:
@@ -338,16 +370,18 @@ class BTrDBEngine:
         if os.path.exists(self._path("points")):
             import shutil
 
-            rest = self.points.filter(F.col("uuid") != uuid)
+            rest = self.points.filter(F.col("uuid") != uuid).withColumn(
+                "time_bucket", time_bucket(F.col("time"))
+            )
             if rest.isEmpty():
                 shutil.rmtree(self._path("points"))
             else:
-                rest.write.mode("overwrite").partitionBy("uuid_bucket").parquet(
+                rest.write.mode("overwrite").partitionBy("uuid_bucket", "time_bucket").parquet(
                     self._path("points_tmp")
                 )
                 self.spark.read.parquet(self._path("points_tmp")).write.mode(
                     "overwrite"
-                ).partitionBy("uuid_bucket").parquet(self._path("points"))
+                ).partitionBy("uuid_bucket", "time_bucket").parquet(self._path("points"))
         self._clear_hot(uuid)
         if self.ladder is not None:
             for pw in self.ladder.levels:
@@ -360,11 +394,17 @@ class BTrDBEngine:
 
     # ---------- read path (merge-on-read) ----------
 
-    def _queryable(self, version: int | None, uuid: str | None = None) -> tuple[DataFrame, DataFrame]:
+    def _queryable(
+        self,
+        version: int | None,
+        uuid: str | None = None,
+        start: int | None = None,
+        end: int | None = None,
+    ) -> tuple[DataFrame, DataFrame]:
         """(points, deletes) visible at `version`; latest merges the hot
-        buffer in as an uncommitted overlay (J2). With a uuid, the cold
-        side is the partition-pruned single-stream scan."""
-        pts = self.stream_points(uuid) if uuid is not None else self.points.drop("uuid_bucket")
+        buffer in as an uncommitted overlay (J2). The cold side prunes
+        every partition dimension the (uuid, time-range) bounds allow."""
+        pts = self.points_pruned(uuid, start, end)
         if version is None:
             hot = self.hot
             if uuid is not None:
@@ -376,7 +416,7 @@ class BTrDBEngine:
         return pts, self.deletes
 
     def raw_values(self, uuid: str, start: int, end: int, version: int | None = None) -> DataFrame:
-        pts, dels = self._queryable(version, uuid)
+        pts, dels = self._queryable(version, uuid, start, end)
         return raw_ops.raw_values(pts, uuid, start, end, version=version, deletes=dels)
 
     def aligned_windows(self, uuid: str, start: int, end: int, pw: int, version: int | None = None) -> DataFrame:
@@ -392,17 +432,41 @@ class BTrDBEngine:
             routed = self.ladder.aligned_windows(uuid, start, end, pw)
             if routed is not None:
                 return routed
-        pts, dels = self._queryable(version, uuid)
+        # prune with the SNAPPED bounds (the operator widens start downward
+        # to the 2^pw grid — quasar.go:279-283), never the raw ones
+        width = 1 << pw
+        snap_s = start - (start % width + width) % width
+        snap_e = end - (end % width + width) % width
+        pts, dels = self._queryable(version, uuid, snap_s, snap_e)
         return win_ops.aligned_windows(pts, uuid, start, end, pw, version=version, deletes=dels)
 
     def windows(self, uuid: str, start: int, end: int, width: int, version: int | None = None) -> DataFrame:
-        pts, dels = self._queryable(version, uuid)
+        pts, dels = self._queryable(version, uuid, start, end)
         return win_ops.windows(pts, uuid, start, end, width, version=version, deletes=dels)
 
     def nearest(self, uuid: str, t: int, backward: bool, version: int | None = None):
-        pts, dels = self._queryable(version, uuid)
+        # one-sided prune: backward needs time < t, forward time >= t
+        pts, dels = self._queryable(
+            version, uuid, start=None if backward else t, end=t if backward else None
+        )
         out = raw_ops.nearest_all(pts, t, backward, version=version, deletes=dels).collect()
         return (out[0]["time"], out[0]["value"]) if out else None
 
-    def changed_ranges(self, uuid: str, from_ver: int, to_ver: int, resolution: int) -> DataFrame:
-        return chg_ops.changed_ranges(self.points, uuid, from_ver, to_ver, resolution, deletes=self.deletes)
+    def changed_ranges(
+        self, uuid: str, from_ver: int, to_ver: int | None, resolution: int
+    ) -> DataFrame:
+        """V2. to_ver=None means latest: committed changes > from_ver PLUS
+        the buckets touched by the unflushed buffer (pqm.go:357-381)."""
+        pts = self.points_pruned(uuid)
+        if to_ver is None:
+            hot = self.hot
+            if uuid is not None:
+                hot = hot.filter(F.col("uuid") == uuid)
+            overlay = hot.select(
+                "uuid", "time", "value", F.lit(1 << 62).cast("long").alias("version")
+            )
+            pts = pts.unionByName(overlay)
+            to_ver = 1 << 62
+        return chg_ops.changed_ranges(
+            pts, uuid, from_ver, to_ver, resolution, deletes=self.deletes
+        )

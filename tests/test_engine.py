@@ -93,3 +93,21 @@ def test_annotation_cas(engine):
     assert row["annotations"] == {"b": "2"} and row["annotation_version"] == 2
     with pytest.raises(ValueError):
         engine.set_annotations(u, 1, {"c": "3"})                # stale version
+
+
+def test_changed_ranges_latest_includes_buffer(spark, tmp_path):
+    """V2 at latest: unflushed buffer contributes its touched buckets
+    (pqm.go:357-381)."""
+    from btrdb_spark.engine import BTrDBEngine
+
+    eng = BTrDBEngine(spark, str(tmp_path / "crhot"))
+    u = eng.create_stream("cr/hot")
+    eng.insert(u, [(1000 + i, float(i)) for i in range(10)])
+    eng.flush(u)
+    # buffered-only write far away in time
+    eng.insert(u, [(10**15, 1.0)])
+    committed = eng.changed_ranges(u, 0, 10, resolution=10).collect()
+    latest = eng.changed_ranges(u, 0, None, resolution=10).collect()
+    assert len(committed) == 1
+    assert len(latest) == 2
+    assert any(r["range_start"] <= 10**15 < r["range_end"] for r in latest)
