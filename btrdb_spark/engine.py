@@ -335,6 +335,33 @@ class BTrDBEngine:
         if self.ladder is not None:
             self.ladder.ingest_batch(points.select("uuid", "time", "value"))
 
+    def compact_points(self) -> None:
+        """OPTIMIZE analog: rewrite the cold table so each (uuid_bucket,
+        time_bucket) partition holds few large time-sorted files instead of
+        one small file per flush. Append-only ingest accumulates small
+        files (every flush = one commit); scan cost at 100 TB is dominated
+        by file/footer overhead unless a background compactor runs. On
+        Delta/Iceberg this is OPTIMIZE / rewriteDataFiles; versions are
+        unaffected (the version column, not file identity, carries MVCC)."""
+        import shutil
+
+        path = self._path("points")
+        if not os.path.exists(path):
+            return
+        tmp = self._path("points_compact_tmp")
+        (
+            self.spark.read.parquet(path)
+            .repartition(N_UUID_BUCKETS, F.col("uuid_bucket"))
+            .sortWithinPartitions("uuid", "time")
+            .write.mode("overwrite")
+            .partitionBy("uuid_bucket", "time_bucket")
+            .parquet(tmp)
+        )
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+        if self.ladder is not None:
+            self.ladder.compact()
+
     def _clear_hot(self, uuid: str) -> None:
         rest = self.hot.filter(F.col("uuid") != uuid)
         rest.write.mode("overwrite").parquet(self._path("hot_tmp"))

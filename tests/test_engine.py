@@ -111,3 +111,26 @@ def test_changed_ranges_latest_includes_buffer(spark, tmp_path):
     assert len(committed) == 1
     assert len(latest) == 2
     assert any(r["range_start"] <= 10**15 < r["range_end"] for r in latest)
+
+
+def test_compact_points_preserves_answers(spark, tmp_path):
+    """Compaction shrinks file count and changes no query answer."""
+    import glob
+
+    from btrdb_spark.engine import BTrDBEngine
+
+    eng = BTrDBEngine(spark, str(tmp_path / "cp"), ladder=True)
+    u = eng.create_stream("cp/a")
+    for b in range(5):  # 5 flush commits -> >= 5 files in the partition
+        eng.insert(u, [(b * 10**6 + i, float(b * 100 + i)) for i in range(50)])
+        eng.flush(u)
+    before = eng.raw_values(u, 0, 10**12).collect()
+    ver_before = eng.stream_version(u)
+    nfiles_before = len(glob.glob(str(tmp_path / "cp" / "points" / "**" / "*.parquet"), recursive=True))
+    eng.compact_points()
+    nfiles_after = len(glob.glob(str(tmp_path / "cp" / "points" / "**" / "*.parquet"), recursive=True))
+    assert nfiles_after < nfiles_before
+    assert eng.raw_values(u, 0, 10**12).collect() == before
+    assert eng.stream_version(u) == ver_before
+    agg = eng.aligned_windows(u, 0, 1 << 30, pw=20)
+    assert agg.count() > 0
