@@ -331,6 +331,13 @@ def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=6)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.ann_ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=2
+    )
+
+
 def q_embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     return similarity.embedding_neardup_pairs(emb, emb.filter(F.col("vec_id") < 100), threshold=0.28)
@@ -379,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "stream_info": q_stream_info,
     }

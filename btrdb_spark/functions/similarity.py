@@ -212,11 +212,133 @@ def embedding_neardup_pairs(
     )
 
 
+def ivf_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nprobe nearest
+    centroid cells by cosine (ties broken by smaller centroid id).
+
+    Output: (vec_id, cell, cell_rank). Centroids are dimension-sized and
+    broadcast; the score+rank is one shuffle keyed by vec_id. With
+    deterministic centroids the assignment is engine-reproducible (the
+    dot-product left-fold is bit-identical, see cosine_topk).
+    """
+    c = centroids.select(
+        F.col(id_col).alias("cell"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cnorm"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vvec"),
+        _norm(F.col(vec_col)).alias("vnorm"),
+    )
+    scored = v.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "cell",
+        (_dot(F.col("vvec"), F.col("cvec")) / (F.col("vnorm") * F.col("cnorm"))).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select("vec_id", "cell", F.col("cell_rank").cast("long").alias("cell_rank"))
+    )
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: corpus vectors live in their single nearest centroid cell;
+    each probe searches its nprobe nearest cells exactly.
+
+    Centroids here are the first n_centroids corpus vectors by id —
+    deterministic and oracle-reproducible; a deployment would plug k-means
+    centroids into `ivf_cells` unchanged. At 100 TB the corpus is
+    bucketed-by `cell` on disk, so a probe touches nprobe/n_centroids of
+    the data and the cell join is shuffle-free.
+    """
+    centroids = corpus.filter(F.col(id_col) < n_centroids)
+    corpus_cells = ivf_cells(corpus, centroids, id_col, vec_col, nprobe=1)
+    probe_cells = ivf_cells(probes, centroids, id_col, vec_col, nprobe=nprobe)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cnorm"),
+    ).join(corpus_cells.withColumnRenamed("vec_id", "neighbor_id").select("neighbor_id", "cell"), "neighbor_id")
+    p = probes.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("pvec"),
+        _norm(F.col(vec_col)).alias("pnorm"),
+    ).join(probe_cells.withColumnRenamed("vec_id", "query_id").select("query_id", "cell"), "query_id")
+    scored = (
+        c.join(F.broadcast(p), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("cvec"), F.col("pvec")) / (F.col("cnorm") * F.col("pnorm"))).alias("cosine"),
+        )
+        # no dedup needed: a corpus vector lives in exactly one cell, so a
+        # (probe, neighbor) pair matches via at most one probed cell
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
 # ---------------- DuckDB oracle mirrors ----------------
 
 _ANN_PLANES = 6
 
 ORACLES = {
+    "ann_ivf_topk": """
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings
+        ), cents AS (
+            SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM vecs WHERE vec_id < 16
+        ), assign AS (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY list_dot_product(vecs.v, cents.cv) / (vecs.nrm * cents.cnrm) DESC,
+                                cell ASC) AS cell_rank
+            FROM vecs CROSS JOIN cents
+        ), corpus_cells AS (
+            SELECT vec_id, cell FROM assign WHERE cell_rank = 1
+        ), probe_cells AS (
+            SELECT vec_id, cell FROM assign WHERE cell_rank <= 2 AND vec_id < 10
+        ), scored AS (
+            SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(c.v, p.v) / (c.nrm * p.nrm) AS cosine
+            FROM probe_cells pc
+            JOIN corpus_cells cc ON cc.cell = pc.cell
+            JOIN vecs p ON p.vec_id = pc.vec_id
+            JOIN vecs c ON c.vec_id = cc.vec_id AND c.vec_id <> p.vec_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """,
     "ann_lsh_topk": f"""
         WITH planes AS (
             SELECT p.p, j.j,

@@ -72,3 +72,26 @@ def test_fingerprint_stable(docs):
     a = {r["doc_id"]: r["fp"] for r in text.fingerprint(docs).collect()}
     b = {r["doc_id"]: r["fp"] for r in text.fingerprint(docs).collect()}
     assert a == b and a[1] == a[2] and a[1] != a[4]
+
+
+def test_ann_ivf_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from btrdb_spark.functions import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8)
+    cells = similarity.ivf_cells(emb, cents, nprobe=1)
+    # every vector in exactly one cell
+    assert cells.count() == emb.count()
+    assert cells.select("vec_id").distinct().count() == emb.count()
+    out = similarity.ann_ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=3, n_centroids=8, nprobe=2)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["cosine"]))
+    for q, rs in per_q.items():
+        rs.sort()
+        assert len(rs) <= 3
+        cos = [c for _, c in rs]
+        assert cos == sorted(cos, reverse=True)  # cosine monotone in rank
