@@ -197,6 +197,15 @@ def q_align_multistream(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_csv_raw(spark: SparkSession, sf: str) -> DataFrame:
+    """S6 raw mode: time-aligned full-outer merge + RFC3339 rendering
+    (serve.go:974-975)."""
+    return csv_ops.csv_raw(
+        events_as_points(spark, sf), ["1", "2"], T0, T0 + 7 * DAY,
+        labels=["s1", "s2"], rfc3339=True,
+    )
+
+
 def q_csv_windows(spark: SparkSession, sf: str) -> DataFrame:
     """S6 windows mode: per-window (min, mean, max, count) quads pivoted
     across streams (csv.go:69-75 column layout)."""
@@ -368,6 +377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_after": q_nearest_after,
         "changed_ranges": q_changed_ranges,
         "align_multistream": q_align_multistream,
+        "csv_raw": q_csv_raw,
         "csv_windows": q_csv_windows,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
@@ -527,6 +537,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT time, {cols} FROM {PTS} p
         WHERE uuid IN ('1','2','3','4','5') AND time >= {T0} AND time < {T1}
         GROUP BY time ORDER BY time
+    """
+
+    oracles["csv_raw"] = f"""
+        WITH inr AS (
+            SELECT uuid, time, value FROM {PTS} p
+            WHERE uuid IN ('1','2') AND time >= {T0} AND time < {T0 + 7 * DAY}
+        )
+        SELECT time,
+               strftime(make_timestamp(time // 1000), '%Y-%m-%dT%H:%M:%S.%f') || 'Z'
+                 AS time_rfc3339,
+               MAX(CASE WHEN uuid = '1' THEN value END) AS s1,
+               MAX(CASE WHEN uuid = '2' THEN value END) AS s2
+        FROM inr GROUP BY 1 ORDER BY 1
     """
 
     w40 = 1 << 40

@@ -40,3 +40,37 @@ def test_bucket_huge_magnitude_exact(spark):
     ).collect()
     assert rows[0]["b1"] == t and rows[1]["b1"] == -t
     assert rows[0]["b2"] == t // 2 and rows[1]["b2"] == (-t) // 2
+
+
+def test_floor_div_bucket_property(spark):
+    """Property test vs Python's exact integer floor ops: floor_div and
+    bucket_start must be exact for any int64 time (incl. negative) and any
+    width — mirrors the reference's ClampTime/ClampBucket contract
+    (qtree_utils.go:268-324)."""
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark.sql import functions as F
+
+    from btrdb_spark.functions.timeops import bucket_start, floor_div
+
+    MIN_T, MAX_T = -(16 << 56), (48 << 56) - 1
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        ts=st.lists(st.integers(MIN_T, MAX_T), min_size=1, max_size=50),
+        width=st.one_of(
+            st.integers(1, 1 << 50),
+            st.sampled_from([1 << p for p in range(1, 60)]),
+        ),
+    )
+    def check(ts, width):
+        df = spark.createDataFrame([(t,) for t in ts], "t long").select(
+            "t",
+            floor_div(F.col("t"), F.lit(width).cast("long")).alias("fd"),
+            bucket_start(F.col("t"), width).alias("bs"),
+        )
+        for r in df.collect():
+            assert r["fd"] == r["t"] // width, (r["t"], width)
+            assert r["bs"] == (r["t"] // width) * width, (r["t"], width)
+
+    check()
