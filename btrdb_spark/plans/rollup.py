@@ -128,6 +128,59 @@ def route_level_width(width: int, levels: tuple[int, ...] = LEVELS) -> int | Non
     return max(usable) if usable else None
 
 
+def windows_approx_from_rollup(
+    rollup: DataFrame,
+    level_pw: int,
+    start: int,
+    end: int,
+    width: int,
+    uuid: str | None = None,
+) -> DataFrame:
+    """Windows (A2) with the reference's `depth` accuracy/latency knob
+    (qtree/qtree.go:1108-1142): subtrees below pointwidth `depth` are
+    treated as atomic and their rollup is attributed to the window
+    containing the subtree's start. Here depth = level_pw: every level
+    bucket's (cnt, min, max, sum) is credited to the window containing
+    bucket_start — no raw-point pass at all, so cost is proportional to
+    the rollup row count even for pathological widths. Total count is
+    conserved; per-window stats are approximate within one bucket at each
+    window edge. Exact variant: windows_from_rollup."""
+    if width <= 0:
+        raise ValueError("width must be positive")
+    end = end - (end - start) % width
+    n_windows = (end - start) // width
+    if n_windows <= 0:
+        raise ValueError("empty window range")
+    wl = F.lit(width).cast("long")
+    r = rollup
+    if uuid is not None:
+        r = r.filter(F.col("uuid") == F.lit(uuid))
+    r = r.filter((F.col("bucket_start") >= F.lit(start)) & (F.col("bucket_start") < F.lit(end)))
+    agg = (
+        r.groupBy("uuid", floor_div(F.col("bucket_start") - F.lit(start), wl).alias("widx"))
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+            F.sum("vsum").cast(DEC).alias("vsum"),
+        )
+    )
+    spark = rollup.sparkSession
+    uuids = agg.select("uuid").distinct()
+    frame = F.broadcast(uuids).crossJoin(
+        spark.range(n_windows).select(F.col("id").alias("widx"))
+    )
+    out = frame.join(agg, on=["uuid", "widx"], how="left").select(
+        F.col("uuid"),
+        (F.lit(start) + F.col("widx") * wl).cast("long").alias("window_start"),
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+        "vmin",
+        (F.col("vsum").cast("double") / F.col("cnt")).alias("vmean"),
+        "vmax",
+    )
+    return out.orderBy("uuid", "window_start")
+
+
 def windows_from_rollup(
     rollup: DataFrame,
     level_pw: int,
@@ -279,13 +332,27 @@ class RollupLadder:
         return stats_from_rollup(self.level(lvl), lvl, pw, uuid, start, end)
 
     def windows(
-        self, points: DataFrame, uuid: str | None, start: int, end: int, width: int
+        self,
+        points: DataFrame,
+        uuid: str | None,
+        start: int,
+        end: int,
+        width: int,
+        depth: int | None = None,
     ) -> DataFrame | None:
-        """Answer A2 exactly via the hybrid interior-rollup/edge-points plan,
-        or None if every maintained bucket is wider than the window."""
+        """Answer A2 via the hybrid interior-rollup/edge-points plan (exact),
+        or — when `depth` is given, the reference's accuracy knob
+        (serve.go:255, qtree.go:1108-1142) — entirely from the coarsest
+        level <= max(depth, finest) with whole-bucket attribution.
+        Returns None if every maintained bucket is wider than the window."""
         lvl = route_level_width(width, self.levels)
         if lvl is None:
             return None
+        if depth is not None:
+            lvl_d = route_level(max(depth, self.levels[0]), self.levels) or self.levels[0]
+            return windows_approx_from_rollup(
+                self.level(min(lvl_d, lvl)), min(lvl_d, lvl), start, end, width, uuid
+            )
         return windows_from_rollup(self.level(lvl), lvl, points, uuid, start, end, width)
 
 

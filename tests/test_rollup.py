@@ -104,3 +104,46 @@ def test_hybrid_windows_equals_raw(pts, spark, tmp_path, start, width):
 def test_hybrid_windows_routes_none_when_too_fine(pts, spark, tmp_path):
     ladder = ru.RollupLadder(spark, str(tmp_path / "ladder4"), levels=(38,))
     assert ladder.windows(pts, None, 0, 1 << 40, 1 << 37) is None
+
+
+def test_windows_approx_depth_knob(pts, spark, tmp_path):
+    """The depth knob conserves total count; it is exact when window edges
+    align with the level grid (the reference's 'atomic subtree' rule)."""
+    from btrdb_spark.operators.windows import windows
+
+    ladder = ru.RollupLadder(spark, str(tmp_path / "ladderD"), levels=(32, 38))
+    ladder.ingest_batch(pts)
+    start, width = 0, 3_600_000_000_000  # unaligned width
+    end = start + 12 * width
+    approx = ladder.windows(pts, None, start, end, width, depth=32).collect()
+    exact = windows(pts, None, start, end, width).collect()
+    tot = lambda rows: sum(r["cnt"] for r in rows)
+    assert tot(approx) == tot(exact)  # nothing lost, only re-attributed
+    # aligned case: width = 2^38, start on the 2^38 grid -> approx == exact
+    start2, width2 = 0, 1 << 38
+    end2 = start2 + 20 * width2
+    a2 = {(r["uuid"], r["window_start"]): (r["cnt"], r["vmin"], r["vmean"], r["vmax"])
+          for r in ladder.windows(pts, None, start2, end2, width2, depth=38).collect()}
+    e2 = {(r["uuid"], r["window_start"]): (r["cnt"], r["vmin"], r["vmean"], r["vmax"])
+          for r in windows(pts, None, start2, end2, width2).collect()}
+    assert a2 == e2
+
+
+def test_hybrid_windows_after_delete_invalidation(spark, make_points, tmp_path):
+    """DeleteRange -> invalidate_buckets -> hybrid windows answers match the
+    raw path over the delete-filtered points."""
+    from btrdb_spark.engine import BTrDBEngine
+    from btrdb_spark.operators.windows import windows
+
+    eng = BTrDBEngine(spark, str(tmp_path / "hwd"), ladder=True)
+    u = eng.create_stream("hw/del")
+    eng.insert(u, [(i * 10**9, float(i)) for i in range(1000)])
+    eng.flush(u)
+    eng.delete_range(u, 200 * 10**9, 400 * 10**9)
+    live = eng.raw_values(u, 0, 1 << 62)
+    width = 37 * 10**9  # odd width
+    got = eng.ladder.windows(live.select("uuid", "time", "value"), u, 0, 999 * 10**9, width)
+    want = windows(live, u, 0, 999 * 10**9, width)
+    kg = {(r["uuid"], r["window_start"]): (r["cnt"], r["vmin"], r["vmean"], r["vmax"]) for r in got.collect()}
+    kw = {(r["uuid"], r["window_start"]): (r["cnt"], r["vmin"], r["vmean"], r["vmax"]) for r in want.collect()}
+    assert kg == kw
