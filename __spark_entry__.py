@@ -249,8 +249,21 @@ def q_lookup_streams(spark: SparkSession, sf: str) -> DataFrame:
     ).select("uuid", "collection")
 
 
+def q_lookup_streams_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """M5 with an annotation-existence predicate (key present, any value)."""
+    return md.lookup_streams(
+        _streams_df(spark, sf), collection="site", is_prefix=True,
+        annotations={"calib": None},
+    ).select("uuid", "collection")
+
+
 def q_key_usage(spark: SparkSession, sf: str) -> DataFrame:
     return md.key_usage(_streams_df(spark, sf))
+
+
+def q_key_usage_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    """M6 scoped to a collection prefix (the RPC's `prefix` parameter)."""
+    return md.key_usage(_streams_df(spark, sf), prefix="site1")
 
 
 def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
@@ -383,7 +396,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "list_collections": q_list_collections,
         "lookup_streams": q_lookup_streams,
+        "lookup_streams_ann": q_lookup_streams_ann,
         "key_usage": q_key_usage,
+        "key_usage_prefix": q_key_usage_prefix,
         "tpch_q1": q_tpch_q1,
         "segment_revenue": q_segment_revenue,
         "dedup_exact": q_dedup_exact,
@@ -604,6 +619,24 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["key_usage"] = f"""
         WITH us AS (SELECT DISTINCT user_id FROM events)
+        SELECT key, cnt, kind FROM (
+            SELECT 'unit' AS key, COUNT(*) AS cnt, 'tag' AS kind FROM us
+            UNION ALL
+            SELECT 'phase', COUNT(*) FILTER (WHERE user_id % 3 = 0), 'tag' FROM us
+            UNION ALL
+            SELECT 'owner', COUNT(*), 'annotation' FROM us
+            UNION ALL
+            SELECT 'calib', COUNT(*) FILTER (WHERE user_id % 5 = 0), 'annotation' FROM us
+        ) t WHERE cnt > 0 ORDER BY kind, key
+    """
+
+    oracles["lookup_streams_ann"] = f"""
+        SELECT uuid, collection FROM {STREAMS_SQL} s
+        WHERE user_id % 5 = 0 ORDER BY uuid
+    """
+
+    oracles["key_usage_prefix"] = f"""
+        WITH us AS (SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 1)
         SELECT key, cnt, kind FROM (
             SELECT 'unit' AS key, COUNT(*) AS cnt, 'tag' AS kind FROM us
             UNION ALL
