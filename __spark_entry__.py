@@ -140,6 +140,14 @@ def q_aligned_windows_via_rollup(spark: SparkSession, sf: str) -> DataFrame:
     return ru.stats_from_rollup(r20, 20, 36, None, T0, T1)
 
 
+def q_aligned_windows_at_version_via_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """V1 x A1 from the ladder: version-stamped partials (the CGeneration
+    analog) serve historical statistical reads without touching raw points."""
+    pts = events_as_points(spark, sf)
+    r20 = ru.rollup_points(pts, 20, versioned=True)
+    return ru.stats_from_rollup(r20, 20, 36, None, T0, T1, version=12)
+
+
 def q_windows_1h_hybrid(spark: SparkSession, sf: str) -> DataFrame:
     """A2 via the hybrid plan: interior 2^38-buckets from the rollup,
     edge buckets from raw points — exact for the non-power-of-two 1h width.
@@ -383,6 +391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raw_values_after_delete": q_raw_values_after_delete,
         "aligned_windows": q_aligned_windows,
         "aligned_windows_via_rollup": q_aligned_windows_via_rollup,
+        "aligned_windows_at_version_via_rollup": q_aligned_windows_at_version_via_rollup,
         "windows_1h": q_windows_1h,
         "windows_1h_hybrid": q_windows_1h_hybrid,
         "sessionize": q_sessionize,
@@ -475,6 +484,14 @@ def oracle_sql() -> dict[str, str]:
 
     # the rollup paths must produce the exact same answer as the raw paths
     oracles["aligned_windows_via_rollup"] = oracles["aligned_windows"]
+    oracles["aligned_windows_at_version_via_rollup"] = f"""
+        SELECT uuid, time - ((time % {w36} + {w36}) % {w36}) AS bucket_start,
+               COUNT(*) AS cnt, MIN(value) AS vmin, {MEAN_SQL} AS vmean, MAX(value) AS vmax
+        FROM {PTS} p
+        WHERE version <= 12
+          AND time >= {T0 - (T0 % w36 + w36) % w36} AND time < {T1 - (T1 % w36 + w36) % w36}
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
     oracles["windows_1h_hybrid"] = oracles["windows_1h"]
 
     oracles["sessionize"] = f"""

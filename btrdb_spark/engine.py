@@ -301,8 +301,14 @@ class BTrDBEngine:
             .parquet(self._path("points"))
         )
         if self.ladder is not None:
-            # incremental rollup maintenance (A4) — O(batch) partial append
-            self.ladder.ingest_batch(mine.select("uuid", "time", "value"))
+            # incremental rollup maintenance (A4) — O(batch) partial append,
+            # stamped with the commit version (CGeneration analog) so the
+            # ladder can also serve query-at-version
+            self.ladder.ingest_batch(
+                mine.select(
+                    "uuid", "time", "value", F.lit(new_major).cast("long").alias("version")
+                )
+            )
         self._clear_hot(uuid)
         return new_major, 0
 
@@ -333,7 +339,11 @@ class BTrDBEngine:
             .parquet(self._path("points"))
         )
         if self.ladder is not None:
-            self.ladder.ingest_batch(points.select("uuid", "time", "value"))
+            self.ladder.ingest_batch(
+                points.select("uuid", "time", "value").withColumn(
+                    "version", v.cast("long")
+                )
+            )
 
     def compact_points(self) -> None:
         """OPTIMIZE analog: rewrite the cold table so each (uuid_bucket,
@@ -451,14 +461,19 @@ class BTrDBEngine:
         latest-version query, no buffered rows for the stream, and a
         maintained level at or below pw. Otherwise the raw path (which is
         always exact; the ladder is a pure accelerator)."""
-        if (
-            self.ladder is not None
-            and version is None
-            and not self.hot.filter(F.col("uuid") == uuid).limit(1).count()
-        ):
-            routed = self.ladder.aligned_windows(uuid, start, end, pw)
-            if routed is not None:
-                return routed
+        if self.ladder is not None:
+            if version is None:
+                # latest: valid unless unflushed hot rows must merge in
+                routable = not self.hot.filter(F.col("uuid") == uuid).limit(1).count()
+            else:
+                # historical: version-stamped partials serve it exactly,
+                # UNLESS a delete rewrote bucket history (invalidation
+                # reflects post-delete latest) — then raw path only
+                routable = not self.deletes.filter(F.col("uuid") == uuid).limit(1).count()
+            if routable:
+                routed = self.ladder.aligned_windows(uuid, start, end, pw, version=version)
+                if routed is not None:
+                    return routed
         # prune with the SNAPPED bounds (the operator widens start downward
         # to the 2^pw grid — quasar.go:279-283), never the raw ones
         width = 1 << pw

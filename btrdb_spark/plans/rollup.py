@@ -46,25 +46,34 @@ DEC = "decimal(38,6)"
 ROLLUP_COLS = ["uuid", "bucket_start", "cnt", "vmin", "vmax", "vsum"]
 
 
-def rollup_points(points: DataFrame, pw: int) -> DataFrame:
-    """Aggregate raw points into level-pw rollup rows (the ingest partial)."""
+def rollup_points(points: DataFrame, pw: int, versioned: bool = False) -> DataFrame:
+    """Aggregate raw points into level-pw rollup rows (the ingest partial).
+
+    versioned=True keeps the commit version as a grouping column, so the
+    ladder can serve query-at-version (V1) too: a version-v read combines
+    partials with version <= v — the analog of the reference's per-
+    generation core blocks (CGeneration, blocktypes.go:97-112)."""
     width = 1 << pw
+    keys = ["uuid", "bucket_start"] + (["version"] if versioned else [])
     return (
         points.withColumn("bucket_start", bucket_start(F.col("time"), width))
-        .groupBy("uuid", "bucket_start")
+        .groupBy(*keys)
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.min("value").alias("vmin"),
             F.max("value").alias("vmax"),
             F.sum(F.col("value").cast(DEC)).alias("vsum"),
         )
-        .select(*ROLLUP_COLS)
+        .select(*keys, "cnt", "vmin", "vmax", "vsum")
     )
 
 
 def combine(rollup: DataFrame) -> DataFrame:
-    """Fold partial rollup rows per bucket — the OpReduce combine."""
-    return rollup.groupBy("uuid", "bucket_start").agg(
+    """Fold partial rollup rows per bucket — the OpReduce combine. A
+    `version` column, when present, stays a grouping key (compaction must
+    not erase version granularity or historical reads lose their source)."""
+    keys = ["uuid", "bucket_start"] + (["version"] if "version" in rollup.columns else [])
+    return rollup.groupBy(*keys).agg(
         F.sum("cnt").alias("cnt"),
         F.min("vmin").alias("vmin"),
         F.max("vmax").alias("vmax"),
@@ -88,18 +97,27 @@ def stats_from_rollup(
     uuid: str | None,
     start: int,
     end: int,
+    version: int | None = None,
 ) -> DataFrame:
     """AlignedWindows (A1) answered from a rollup level <= pw.
 
     Same snap semantics as operators.windows.aligned_windows: start/end
     snapped down to the 2^pw grid, end inclusive after snapping
     (quasar.go:279-283); empty buckets naturally absent.
+
+    With version-stamped partials, `version` serves query-at-version (V1)
+    from the ladder: combine only partials committed at or before v.
     """
     assert level_pw <= pw
     width = 1 << pw
     snap_s = start - (start % width + width) % width
     snap_e = end - (end % width + width) % width
     df = rollup
+    if version is not None:
+        df = df.filter(F.col("version") <= F.lit(version))
+    if "version" in df.columns:
+        # version granularity served its purpose; combine across commits
+        df = df.drop("version")
     if uuid is not None:
         df = df.filter(F.col("uuid") == F.lit(uuid))
     # level buckets tile query buckets exactly (level_pw <= pw), so the
@@ -300,7 +318,9 @@ class RollupLadder:
 
         if not os.path.exists(self._path(pw)):
             return self.spark.createDataFrame(
-                [], f"uuid string, bucket_start long, cnt long, vmin double, vmax double, vsum {DEC}"
+                [],
+                f"uuid string, bucket_start long, version long, cnt long, "
+                f"vmin double, vmax double, vsum {DEC}",
             )
         return self.spark.read.parquet(self._path(pw))
 
@@ -309,9 +329,14 @@ class RollupLadder:
 
         Folds level-to-level (finest first, each 64x smaller) exactly like
         the reference's spine update, instead of re-scanning the batch per
-        level.
+        level. Partials are stamped with the batch's commit version (the
+        CGeneration analog); unversioned batches get the latest sentinel.
         """
-        partial = rollup_points(batch_points, self.levels[0])
+        if "version" not in batch_points.columns:
+            batch_points = batch_points.withColumn(
+                "version", F.lit(1 << 62).cast("long")
+            )
+        partial = rollup_points(batch_points, self.levels[0], versioned=True)
         for i, pw in enumerate(self.levels):
             if i > 0:
                 partial = coarsen(partial, self.levels[i - 1], pw)
@@ -324,12 +349,15 @@ class RollupLadder:
             combine(self.level(pw)).write.mode("overwrite").parquet(tmp)
             self.spark.read.parquet(tmp).write.mode("overwrite").parquet(self._path(pw))
 
-    def aligned_windows(self, uuid: str | None, start: int, end: int, pw: int) -> DataFrame | None:
-        """Answer A1 from the ladder, or None if pw is finer than the ladder."""
+    def aligned_windows(
+        self, uuid: str | None, start: int, end: int, pw: int, version: int | None = None
+    ) -> DataFrame | None:
+        """Answer A1 from the ladder (optionally at a historical version),
+        or None if pw is finer than the ladder."""
         lvl = route_level(pw, self.levels)
         if lvl is None:
             return None
-        return stats_from_rollup(self.level(lvl), lvl, pw, uuid, start, end)
+        return stats_from_rollup(self.level(lvl), lvl, pw, uuid, start, end, version=version)
 
     def windows(
         self,
@@ -374,14 +402,17 @@ def invalidate_buckets(ladder: RollupLadder, points: DataFrame, uuid: str, start
                 & (F.col("bucket_start") < F.lit(hi))
             )
         )
-        recomputed = rollup_points(
-            points.filter(
-                (F.col("uuid") == uuid)
-                & (F.col("time") >= F.lit(lo))
-                & (F.col("time") < F.lit(hi))
-            ),
-            pw,
+        src = points.filter(
+            (F.col("uuid") == uuid)
+            & (F.col("time") >= F.lit(lo))
+            & (F.col("time") < F.lit(hi))
         )
+        if "version" not in src.columns:
+            src = src.withColumn("version", F.lit(1 << 62).cast("long"))
+        # NOTE: recomputation reflects the post-delete LATEST state; the
+        # engine disables version-routed ladder reads for streams with
+        # tombstones (historical versions fall back to the raw path)
+        recomputed = rollup_points(src, pw, versioned=True)
         tmp = f"{ladder._path(pw)}_tmp"
         keep.unionByName(recomputed).write.mode("overwrite").parquet(tmp)
         ladder.spark.read.parquet(tmp).write.mode("overwrite").parquet(ladder._path(pw))

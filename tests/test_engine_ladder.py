@@ -90,3 +90,49 @@ def test_bulk_load_roundtrip(spark, make_points, tmp_path):
     kl = {(r["uuid"], r["bucket_start"]): (r["cnt"], r["vmin"], r["vmean"], r["vmax"]) for r in lad.collect()}
     kr = {(r["uuid"], r["bucket_start"]): (r["cnt"], r["vmin"], r["vmean"], r["vmax"]) for r in raw.collect()}
     assert kl == kr
+
+
+def test_ladder_serves_historical_versions(spark, tmp_path):
+    """Version-stamped partials: aligned_windows at an old version routed
+    through the ladder equals the raw at-version path; deletes disable the
+    versioned route but answers stay correct via fallback."""
+    from pyspark.sql import functions as F
+
+    from btrdb_spark.engine import BTrDBEngine
+    from btrdb_spark.operators.windows import aligned_windows as raw_aw
+
+    eng = BTrDBEngine(spark, str(tmp_path / "vlad"), ladder=True)
+    u = eng.create_stream("v/lad")
+    for b in range(3):  # versions 10, 11, 12
+        eng.insert(u, [(b * 10**7 + i * 10**4, float(b * 1000 + i)) for i in range(200)])
+        eng.flush(u)
+    assert eng.stream_version(u) == (12, 0)
+
+    def key(df):
+        return {
+            (r["uuid"], r["bucket_start"]): (r["cnt"], r["vmin"], r["vmean"], r["vmax"])
+            for r in df.collect()
+        }
+
+    for v in (10, 11, 12):
+        got = eng.aligned_windows(u, 0, 1 << 32, pw=20, version=v)
+        want = raw_aw(eng.points_pruned(u), u, 0, 1 << 32, pw=20, version=v)
+        assert key(got) == key(want), f"version {v}"
+        # the routed plan must come from the ladder: it reads rollup
+        # columns (vsum), never the raw points schema
+        assert "vsum" in got._jdf.queryExecution().toString()
+    # after a delete, versioned reads must fall back (and stay correct)
+    eng.delete_range(u, 0, 10**7)
+    got11 = eng.aligned_windows(u, 0, 1 << 32, pw=20, version=11)
+    want11 = raw_aw(
+        eng.points_pruned(u), u, 0, 1 << 32, pw=20, version=11, deletes=eng.deletes
+    )
+    assert key(got11) == key(want11)
+    assert "vsum" not in got11._jdf.queryExecution().toString()
+    # latest still routed (invalidation refreshed the ladder)
+    latest = eng.aligned_windows(u, 0, 1 << 32, pw=20)
+    want_latest = raw_aw(
+        eng.points_pruned(u), u, 0, 1 << 32, pw=20, deletes=eng.deletes
+    )
+    assert key(latest) == key(want_latest)
+    assert "vsum" in latest._jdf.queryExecution().toString()
