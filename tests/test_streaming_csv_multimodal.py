@@ -98,3 +98,64 @@ def test_simhash_near_dups(spark):
     assert bin(sigs[1] ^ sigs[2]).count("1") < bin(sigs[1] ^ sigs[3]).count("1")
     pairs = dedup.simhash_pairs(docs, max_hamming=4).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_live_stat_view_stateful(spark, tmp_path):
+    """applyInPandasWithState live view: per-bucket stats accumulate across
+    micro-batches and converge to the batch-path answer."""
+    import pandas as pd
+
+    from btrdb_spark.operators.windows import aligned_windows
+    from btrdb_spark.streaming.live import live_stat_view
+
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", "500").load()
+        .select(
+            (F.col("value") % 2).cast("string").alias("uuid"),
+            (F.col("value") * (1 << 18)).alias("time"),   # 4 buckets at pw=20 per 16 rows
+            (F.col("value") % 100).cast("double").alias("value"),
+        )
+    )
+    q = (
+        live_stat_view(src, pw=20)
+        .writeStream.format("memory")
+        .queryName("live_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "lsckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 40
+        while time.time() < deadline:
+            if spark.sql("SELECT COUNT(*) c FROM live_stats").collect()[0]["c"] >= 4:
+                break
+            time.sleep(1)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    live = spark.sql(
+        """SELECT uuid, bucket_start, MAX_BY(cnt, cnt) cnt, MAX_BY(vmin, cnt) vmin,
+                  MAX_BY(vmean, cnt) vmean, MAX_BY(vmax, cnt) vmax
+           FROM live_stats GROUP BY 1, 2"""
+    ).toPandas()
+    assert len(live) >= 4
+    # rebuild the same input as a batch and compare the latest live rows
+    n = int(live["cnt"].sum())
+    rows = [((i % 2), i * (1 << 18), float(i % 100)) for i in range(10**6)]
+    # rate source delivers value = 0..n-1 in order, so the first n rows
+    # reconstruct the delivered input exactly
+    batch = spark.createDataFrame(
+        [(str(u), t, v, 10) for (u, t, v) in rows[:n]],
+        "uuid string, time long, value double, version long",
+    )
+    want = {
+        (r["uuid"], r["bucket_start"]): (r["cnt"], r["vmin"], r["vmax"])
+        for r in aligned_windows(batch, None, 0, 1 << 62, 20).collect()
+    }
+    got = {
+        (r["uuid"], int(r["bucket_start"])): (int(r["cnt"]), r["vmin"], r["vmax"])
+        for _, r in live.iterrows()
+    }
+    # every fully-delivered bucket matches the batch answer
+    matching = sum(1 for k, v in got.items() if want.get(k) == v)
+    assert matching >= len(got) - 2  # at most the two in-flight buckets differ
