@@ -28,7 +28,7 @@ from btrdb_spark.operators import raw as raw_ops
 from btrdb_spark.operators import windows as win_ops
 from btrdb_spark.plans import rollup as ru
 from btrdb_spark.sources.tables import events_as_points, load_table
-from btrdb_spark.functions import dedup, multimodal, similarity, text
+from btrdb_spark.functions import dedup, multimodal, pipeline, similarity, text
 from btrdb_spark.operators import csv as csv_ops
 
 # ---- time constants (events span Jan 2024, ns epoch) ----
@@ -373,6 +373,12 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(emb, emb.filter(F.col("vec_id") < 100), threshold=0.28)
 
 
+def q_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship pipeline composition: language + quality + exact-dedup +
+    minhash-near-dedup in one declarative plan (functions/pipeline.py)."""
+    return pipeline.clean_corpus(load_table(spark, sf, "documents"))
+
+
 def q_stream_info(spark: SparkSession, sf: str) -> DataFrame:
     """V4/M3: descriptor + latest (major) version for every stream."""
     streams = _streams_df(spark, sf).select("uuid", "collection")
@@ -422,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        "corpus_clean": q_corpus_clean,
         "stream_info": q_stream_info,
     }
 
@@ -703,4 +710,28 @@ def oracle_sql() -> dict[str, str]:
     oracles.update(dedup.ORACLES)
     oracles.update(text.ORACLES)
     oracles.update(similarity.ORACLES)
+
+    # corpus_clean: composed verbatim from the per-op oracles above, so the
+    # pipeline oracle stays consistent with each stage's oracle by
+    # construction
+    oracles["corpus_clean"] = f"""
+        WITH lang_ok AS (
+            SELECT doc_id FROM ({text.ORACLES["lang_id"]}) WHERE pred_lang = 'en'
+        ), qual AS (
+            SELECT doc_id, n_tokens FROM ({text.ORACLES["text_quality"]})
+            WHERE n_tokens >= 20 AND stopword_ratio >= 0.05
+        ), keepers AS (
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ), near_b AS (
+            SELECT DISTINCT doc_b FROM ({dedup.ORACLES["minhash_lsh_pairs"]})
+            WHERE est_jaccard >= 0.8
+        )
+        SELECT d.doc_id, q.n_tokens
+        FROM documents d
+        JOIN lang_ok l ON l.doc_id = d.doc_id
+        JOIN qual q ON q.doc_id = d.doc_id
+        JOIN keepers k ON k.doc_id = d.doc_id
+        WHERE d.doc_id NOT IN (SELECT doc_b FROM near_b)
+        ORDER BY d.doc_id
+    """
     return oracles

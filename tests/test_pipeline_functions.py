@@ -95,3 +95,25 @@ def test_ann_ivf_invariants(spark):
         assert len(rs) <= 3
         cos = [c for _, c in rs]
         assert cos == sorted(cos, reverse=True)  # cosine monotone in rank
+
+
+def test_clean_corpus_filters_compose(spark):
+    from pyspark.sql import functions as F
+
+    from btrdb_spark.functions import pipeline, text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = pipeline.clean_corpus(docs).collect()
+    ids = {r["doc_id"] for r in out}
+    assert ids  # something survives
+    # survivors satisfy each stage's predicate
+    lang = {r["doc_id"]: r["pred_lang"] for r in text.lang_id(docs).collect()}
+    qual = {r["doc_id"]: (r["n_tokens"], r["stopword_ratio"]) for r in text.quality_stats(docs).collect()}
+    dups = {
+        r["keeper_doc_id"]
+        for r in docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("keeper_doc_id")).collect()
+    }
+    for i in ids:
+        assert lang[i] == "en"
+        assert qual[i][0] >= 20 and qual[i][1] >= 0.05
+        assert i in dups
