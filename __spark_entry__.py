@@ -358,7 +358,9 @@ def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
-    return similarity.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=6)
+    return similarity.ann_lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=6, n_tables=4
+    )
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:

@@ -117,6 +117,27 @@ def main() -> None:
     exact_s = time.time() - t0
     docs.unpersist()
 
+    # ANN accuracy: recall@5 of the approximate paths vs the exact scan on
+    # the sf corpus — speed numbers mean nothing without the recall axis
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    emb.count()
+    probes = emb.filter(F.col("vec_id") < 50)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(emb, probes, k=5).collect()
+    }
+    lsh = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.ann_lsh_topk(emb, probes, k=5, n_planes=6, n_tables=4).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.ann_ivf_topk(emb, probes, k=5, n_centroids=16, nprobe=2).collect()
+    }
+    lsh_recall = round(len(exact & lsh) / len(exact), 3) if exact else None
+    ivf_recall = round(len(exact & ivf) / len(exact), 3) if exact else None
+    emb.unpersist()
+
     n_vecs = int(os.environ.get("BTRDB_BENCH_VECS", 200_000))
     vecs = spark.range(n_vecs).select(
         F.col("id").alias("vec_id"),
@@ -128,7 +149,7 @@ def main() -> None:
     vecs.count()
     t0 = time.time()
     sim.ann_lsh_topk(
-        vecs, vecs.filter(F.col("vec_id") < 64), k=5, n_planes=12
+        vecs, vecs.filter(F.col("vec_id") < 64), k=5, n_planes=8, n_tables=4
     ).write.format("noop").mode("overwrite").save()
     ann_s = time.time() - t0
     vecs.unpersist()
@@ -150,6 +171,8 @@ def main() -> None:
             "minhash_lsh_docs_per_sec": round(n_docs / minhash_s),
             "exact_dedup_docs_per_sec": round(n_docs / exact_s),
             "ann_lsh_vectors_per_sec": round(n_vecs / ann_s),
+            "ann_lsh_recall_at5": lsh_recall,
+            "ann_ivf_recall_at5": ivf_recall,
         },
     }
     print(json.dumps(out))

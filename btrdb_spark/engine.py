@@ -494,6 +494,35 @@ class BTrDBEngine:
         out = raw_ops.nearest_all(pts, t, backward, version=version, deletes=dels).collect()
         return (out[0]["time"], out[0]["value"]) if out else None
 
+    def aligned_windows_collection(
+        self,
+        collection: str,
+        start: int,
+        end: int,
+        pw: int,
+        is_prefix: bool = True,
+        tags: Mapping[str, str | None] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """A1 across EVERY stream matching a metadata predicate — in one
+        distributed plan. The reference client must LookupStreams and then
+        issue one AlignedWindows RPC per stream (client-side loop); here the
+        stream set is a broadcast semi-join against the cold scan and the
+        stats come back grouped by (uuid, bucket) in a single job — the
+        canonical fleet-wide dashboard query at 100 TB.
+        """
+        uuids = md.lookup_streams(
+            self.streams, collection=collection, is_prefix=is_prefix, tags=tags
+        ).select("uuid")
+        width = 1 << pw
+        snap_s = start - (start % width + width) % width
+        snap_e = end - (end % width + width) % width
+        pts, dels = self._queryable(version, None, snap_s, snap_e)
+        pts = pts.join(F.broadcast(uuids), "uuid", "semi")
+        return win_ops.aligned_windows(
+            pts, None, start, end, pw, version=version, deletes=dels
+        )
+
     def changed_ranges(
         self, uuid: str, from_ver: int, to_ver: int | None, resolution: int
     ) -> DataFrame:

@@ -128,41 +128,94 @@ def lsh_buckets(
     return quant.select("vec_id", sig.alias("bucket"))
 
 
+def lsh_table_buckets(
+    vectors: DataFrame,
+    n_planes: int,
+    n_tables: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1000,
+) -> DataFrame:
+    """Multi-table LSH: one (vec_id, table, bucket) row per hash table.
+
+    OR-amplification — a candidate matches if it shares a bucket in ANY
+    of the L tables: recall 1-(1-p^b)^L vs a single table's p^b, the
+    standard knob when target similarity is moderate. Same integer-exact
+    projection arithmetic as lsh_buckets; table t uses plane rows
+    [t*n_planes, (t+1)*n_planes) of the shared deterministic coef matrix.
+    """
+    coefs = plane_coefs(n_planes * n_tables, dim)
+    quant = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long")
+        ).alias("_qv"),
+    )
+    tables = []
+    for t in range(n_tables):
+        sig = F.lit(0).cast("long")
+        for j in range(n_planes):
+            plane = F.array(*[F.lit(c).cast("long") for c in coefs[t * n_planes + j]])
+            proj = F.aggregate(
+                F.zip_with(F.col("_qv"), plane, lambda x, c: x * c),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            sig = sig + F.when(proj >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+        tables.append(F.struct(F.lit(t).cast("long").alias("table"), sig.alias("bucket")))
+    return quant.select(
+        "vec_id", F.explode(F.array(*tables)).alias("tb")
+    ).select("vec_id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     probes: DataFrame,
     k: int = 5,
     n_planes: int = 6,
+    n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: exact cosine ranking restricted to the probe's
-    LSH bucket — the scale path for similarity search.
+    """Approximate top-k: exact cosine ranking restricted to candidates
+    sharing an LSH bucket with the probe in ANY of n_tables hash tables —
+    the scale path for similarity search.
 
     cosine_topk scans the whole corpus per probe (exact, O(N*Q)); this
-    plan shuffles on the int64 bucket id, so each probe compares against
-    ~N/2^n_planes candidates. The bucket join broadcasts the (tiny) probe
-    side; at 100 TB the corpus side is bucketed-by `bucket` on disk and
-    the join is shuffle-free. Deterministic (integer bucket ids), so the
-    oracle reproduces it exactly — recall vs the exact scan is the usual
-    LSH trade, surfaced to the caller by construction, never silently.
+    plan joins on the int64 (table, bucket) key, so each probe compares
+    against ~L*N/2^b candidates. The probe side broadcasts; at 100 TB the
+    corpus bucket rows are bucketed-by (table, bucket) on disk and the
+    join is shuffle-free. Deterministic integer bucket ids make the oracle
+    reproduce it exactly; the recall/cost trade is tuned via (b, L) and
+    measured in bench.py (ann_lsh_recall_at5), never hidden.
     """
-    cb = lsh_buckets(corpus, n_planes, id_col, vec_col, dim)
-    pb = lsh_buckets(probes, n_planes, id_col, vec_col, dim)
+    cb = lsh_table_buckets(corpus, n_planes, n_tables, id_col, vec_col, dim)
+    pb = lsh_table_buckets(probes, n_planes, n_tables, id_col, vec_col, dim)
+    cand = (
+        cb.withColumnRenamed("vec_id", "neighbor_id")
+        .join(
+            F.broadcast(pb.withColumnRenamed("vec_id", "query_id")),
+            ["table", "bucket"],
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()  # OR over tables: dedup multi-table collisions
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         _norm(F.col(vec_col)).alias("cnorm"),
-    ).join(cb.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    )
     p = probes.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("pvec"),
         _norm(F.col(vec_col)).alias("pnorm"),
-    ).join(pb.withColumnRenamed("vec_id", "query_id"), "query_id")
+    )
     scored = (
-        c.join(F.broadcast(p), "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(p), "query_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -304,6 +357,7 @@ def ann_ivf_topk(
 # ---------------- DuckDB oracle mirrors ----------------
 
 _ANN_PLANES = 6
+_ANN_TABLES = 4
 
 ORACLES = {
     "ann_ivf_topk": """
@@ -344,7 +398,7 @@ ORACLES = {
             SELECT p.p, j.j,
                    ('0x' || substr(md5(CAST(p.p AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)), 1, 8))::BIGINT
                      - 2147483648 AS c
-            FROM (SELECT unnest(range(0, {_ANN_PLANES})) AS p) p,
+            FROM (SELECT unnest(range(0, {_ANN_PLANES * _ANN_TABLES})) AS p) p,
                  (SELECT unnest(range(0, 64)) AS j) j
         ), vecs AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -355,17 +409,21 @@ ORACLES = {
                    SUM(CAST(FLOOR(vecs.v[planes.j + 1] * 1000) AS BIGINT) * planes.c) AS proj
             FROM vecs, planes GROUP BY 1, 2
         ), buckets AS (
-            SELECT vec_id,
-                   SUM(CASE WHEN proj >= 0 THEN 1 << p ELSE 0 END) AS bucket
-            FROM projs GROUP BY 1
+            SELECT vec_id, p // {_ANN_PLANES} AS tbl,
+                   SUM(CASE WHEN proj >= 0 THEN 1 << (p % {_ANN_PLANES}) ELSE 0 END) AS bucket
+            FROM projs GROUP BY 1, 2
+        ), cand AS (
+            SELECT DISTINCT pb.vec_id AS query_id, cb.vec_id AS neighbor_id
+            FROM buckets pb
+            JOIN buckets cb ON cb.tbl = pb.tbl AND cb.bucket = pb.bucket
+                           AND cb.vec_id <> pb.vec_id
+            WHERE pb.vec_id < 10
         ), scored AS (
-            SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+            SELECT cand.query_id, cand.neighbor_id,
                    list_dot_product(c.v, p.v) / (c.nrm * p.nrm) AS cosine
-            FROM vecs p
-            JOIN buckets pb ON pb.vec_id = p.vec_id
-            JOIN buckets cb ON cb.bucket = pb.bucket
-            JOIN vecs c ON c.vec_id = cb.vec_id AND c.vec_id <> p.vec_id
-            WHERE p.vec_id < 10
+            FROM cand
+            JOIN vecs p ON p.vec_id = cand.query_id
+            JOIN vecs c ON c.vec_id = cand.neighbor_id
         ), ranked AS (
             SELECT query_id, neighbor_id, cosine,
                    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank

@@ -134,3 +134,35 @@ def test_compact_points_preserves_answers(spark, tmp_path):
     assert eng.stream_version(u) == ver_before
     agg = eng.aligned_windows(u, 0, 1 << 30, pw=20)
     assert agg.count() > 0
+
+
+def test_aligned_windows_collection(spark, tmp_path):
+    """Fleet-wide stat query: one plan over every stream matching a
+    metadata predicate equals per-stream queries unioned."""
+    from btrdb_spark.engine import BTrDBEngine
+
+    eng = BTrDBEngine(spark, str(tmp_path / "fleet"))
+    us = {}
+    for i in range(4):
+        coll = f"campus/b{i % 2}/m{i}"
+        us[i] = eng.create_stream(coll, tags={"unit": "kw" if i % 2 else "v"})
+        eng.insert(us[i], [(j * 10**6, float(i * 10 + j)) for j in range(100)])
+        eng.flush(us[i])
+    got = eng.aligned_windows_collection("campus/b1", 0, 10**9, pw=25)
+    rows = got.collect()
+    matched = {us[1], us[3]}  # b1 streams
+    assert {r["uuid"] for r in rows} == matched
+    for u in matched:
+        per = {
+            (r["bucket_start"],): (r["cnt"], r["vmin"], r["vmax"])
+            for r in eng.aligned_windows(u, 0, 10**9, pw=25).collect()
+        }
+        fleet = {
+            (r["bucket_start"],): (r["cnt"], r["vmin"], r["vmax"])
+            for r in rows
+            if r["uuid"] == u
+        }
+        assert per == fleet
+    # tag predicate narrows further
+    kw_only = eng.aligned_windows_collection("campus", 0, 10**9, pw=25, tags={"unit": "kw"})
+    assert {r["uuid"] for r in kw_only.collect()} == {us[1], us[3]}
