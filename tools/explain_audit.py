@@ -33,6 +33,9 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "minhash_lsh_pairs": (["partial_min"], ["CartesianProduct", "BatchEvalPython"]),
     "cosine_topk": (["BroadcastNestedLoopJoin"], ["BatchEvalPython"]),  # intended exact scan
     "dedup_exact": (["partial_min", "partial_count"], ["BatchEvalPython"]),
+    "ann_ivf_topk": (["BroadcastHashJoin"], ["BatchEvalPython"]),
+    "corpus_clean": (["BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython"]),
+    "aligned_windows_at_version_via_rollup": (["partial_count"], ["BatchEvalPython"]),
 }
 
 
