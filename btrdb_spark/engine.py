@@ -482,8 +482,28 @@ class BTrDBEngine:
         pts, dels = self._queryable(version, uuid, snap_s, snap_e)
         return win_ops.aligned_windows(pts, uuid, start, end, pw, version=version, deletes=dels)
 
-    def windows(self, uuid: str, start: int, end: int, width: int, version: int | None = None) -> DataFrame:
+    def windows(
+        self,
+        uuid: str,
+        start: int,
+        end: int,
+        width: int,
+        version: int | None = None,
+        depth: int | None = None,
+    ) -> DataFrame:
         pts, dels = self._queryable(version, uuid, start, end)
+        if (
+            self.ladder is not None
+            and version is None
+            and not self.hot.filter(F.col("uuid") == uuid).limit(1).count()
+            and not self.deletes.filter(F.col("uuid") == uuid).limit(1).count()
+        ):
+            # hybrid plan: interior buckets from the ladder, edges from the
+            # (pruned) raw scan — exact for any width; `depth` opts into
+            # the reference's approximate whole-bucket attribution
+            routed = self.ladder.windows(pts, uuid, start, end, width, depth=depth)
+            if routed is not None:
+                return routed
         return win_ops.windows(pts, uuid, start, end, width, version=version, deletes=dels)
 
     def nearest(self, uuid: str, t: int, backward: bool, version: int | None = None):

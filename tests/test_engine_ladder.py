@@ -136,3 +136,33 @@ def test_ladder_serves_historical_versions(spark, tmp_path):
     )
     assert key(latest) == key(want_latest)
     assert "vsum" in latest._jdf.queryExecution().toString()
+
+
+def test_engine_windows_routes_hybrid(spark, tmp_path):
+    """engine.windows uses the ladder hybrid plan when eligible, exactly
+    matching the raw path; depth routes the approximate variant."""
+    from pyspark.sql import functions as F
+
+    from btrdb_spark.engine import BTrDBEngine
+    from btrdb_spark.operators.windows import windows as raw_win
+
+    eng = BTrDBEngine(spark, str(tmp_path / "ewr"), ladder=True)
+    u = eng.create_stream("w/route")
+    eng.insert(u, [(i * 10**9 + (i % 7) * 1000, float(i)) for i in range(2000)])
+    eng.flush(u)
+    width = 63 * 10**9  # odd width
+    got = eng.windows(u, 0, 1999 * 10**9, width)
+    assert "vsum" in got._jdf.queryExecution().toString()  # ladder-fed plan
+    want = raw_win(eng.points_pruned(u), u, 0, 1999 * 10**9, width)
+    key = lambda df: {
+        (r["uuid"], r["window_start"]): (r["cnt"], r["vmin"], r["vmean"], r["vmax"])
+        for r in df.collect()
+    }
+    assert key(got) == key(want)
+    # depth variant: whole-bucket attribution may over-count at the
+    # unaligned rounded end by at most one bucket's points (the
+    # reference's atomic-subtree semantics, qtree.go:1108-1142)
+    approx = eng.windows(u, 0, 1999 * 10**9, width, depth=30)
+    tot_a = sum(r["cnt"] for r in approx.collect())
+    tot_e = sum(r["cnt"] for r in want.collect())
+    assert tot_e <= tot_a <= tot_e + 2
