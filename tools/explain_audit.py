@@ -80,6 +80,11 @@ def main() -> int:
             bad.append("engine_raw: partition pruning on uuid_bucket missing")
         if not ok_push:
             bad.append("engine_raw: time/uuid predicates not pushed to parquet scan")
+        # a BOUNDED range must additionally prune the time_bucket directories
+        bounded = eng.raw_values("1", 0, 1 << 48)._jdf.queryExecution().explainString(mode)
+        pf = bounded.split("PartitionFilters:")[1][:300] if "PartitionFilters:" in bounded else ""
+        if "time_bucket" not in pf:
+            bad.append("engine_raw_bounded: time_bucket partition pruning missing")
 
     for b in bad:
         print("VIOLATION", b)
