@@ -223,6 +223,15 @@ def q_csv_windows(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_csv_windows_arb(spark: SparkSession, sf: str) -> DataFrame:
+    """S6 arbitrary-width windows mode (GenerateCSVParams_WINDOWS_QUERY,
+    serve.go:909-923): shared (start, width) grid pivoted per stream."""
+    return csv_ops.csv_windows_arb(
+        events_as_points(spark, sf), ["1", "2"], T0, T0 + 2 * DAY, width=6 * HOUR,
+        labels=["s1", "s2"],
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary media
     (decode stubbed deterministically — functions/multimodal.py)."""
@@ -409,6 +418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "align_multistream": q_align_multistream,
         "csv_raw": q_csv_raw,
         "csv_windows": q_csv_windows,
+        "csv_windows_arb": q_csv_windows_arb,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
         "list_collections": q_list_collections,
@@ -612,6 +622,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT t AS time,
                {piv}
         FROM agg GROUP BY 1 ORDER BY 1
+    """
+
+    w6h = 6 * HOUR
+    n6h = (2 * DAY) // w6h
+    piv_arb = ",\n               ".join(
+        f"MAX(CASE WHEN frame.uuid = '{u}' THEN {expr} END) AS s{u}_{lab}"
+        for u in ("1", "2")
+        for expr, lab in (
+            ("agg.vmin", "min"),
+            ("agg.vmean", "mean"),
+            ("agg.vmax", "max"),
+            ("COALESCE(agg.cnt, 0)", "count"),
+        )
+    )
+    oracles["csv_windows_arb"] = f"""
+        WITH inr AS (
+            SELECT uuid, time, value FROM {PTS} p
+            WHERE uuid IN ('1','2') AND time >= {T0} AND time < {T0 + 2 * DAY}
+        ), agg AS (
+            SELECT uuid, (time - {T0}) // {w6h} AS widx,
+                   COUNT(*) AS cnt, MIN(value) AS vmin, {MEAN_SQL} AS vmean, MAX(value) AS vmax
+            FROM inr GROUP BY 1, 2
+        ), us AS (SELECT DISTINCT uuid FROM inr),
+        frame AS (
+            SELECT us.uuid, gs.generate_series AS widx
+            FROM us CROSS JOIN generate_series(0, {n6h - 1}) gs
+        )
+        SELECT CAST({T0} + frame.widx * {w6h} AS BIGINT) AS time,
+               {piv_arb}
+        FROM frame LEFT JOIN agg ON frame.uuid = agg.uuid AND frame.widx = agg.widx
+        GROUP BY 1 ORDER BY 1
     """
 
     oracles["multimodal_features"] = """

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .align import align_streams
-from .windows import aligned_windows
+from .windows import aligned_windows, windows
 
 
 def csv_raw(
@@ -67,6 +67,36 @@ def csv_windows(
                 F.max(F.when(F.col("uuid") == F.lit(u), F.col(c))).alias(f"{lab}_{c[1:] if c != 'cnt' else 'count'}")
             )
     return stats.groupBy(F.col("bucket_start").alias("time")).agg(*pivots).orderBy("time")
+
+
+def csv_windows_arb(
+    points: DataFrame,
+    uuids: Sequence[str],
+    start: int,
+    end: int,
+    width: int,
+    labels: Sequence[str] | None = None,
+    version: int | None = None,
+    deletes: DataFrame | None = None,
+) -> DataFrame:
+    """Windows mode (GenerateCSVParams_WINDOWS_QUERY, serve.go:909-923):
+    arbitrary-width tumbling windows anchored at `start`, one
+    (min, mean, max, count) quad per stream per window (csv.go:69-75).
+
+    All streams share the same (start, width) grid, so the merge-by-earliest-
+    time loop of the reference reduces to a pivot on window_start. Zero-count
+    holes surface as count=0 rows with NULL stats (the engine's hole
+    convention — operators/windows.py)."""
+    labels = list(labels or uuids)
+    scoped = points.filter(F.col("uuid").isin(list(uuids)))
+    stats = windows(scoped, None, start, end, width, version=version, deletes=deletes)
+    pivots = []
+    for u, lab in zip(uuids, labels):
+        for c, suffix in (("vmin", "min"), ("vmean", "mean"), ("vmax", "max"), ("cnt", "count")):
+            pivots.append(
+                F.max(F.when(F.col("uuid") == F.lit(u), F.col(c))).alias(f"{lab}_{suffix}")
+            )
+    return stats.groupBy(F.col("window_start").alias("time")).agg(*pivots).orderBy("time")
 
 
 def write_csv(df: DataFrame, path: str) -> None:

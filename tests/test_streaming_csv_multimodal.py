@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from btrdb_spark.engine import BTrDBEngine
 from btrdb_spark.functions import dedup, multimodal
-from btrdb_spark.operators.csv import csv_raw, csv_windows, write_csv
+from btrdb_spark.operators.csv import csv_raw, csv_windows, csv_windows_arb, write_csv
 from btrdb_spark.streaming.ingest import attach_ingest
 
 
@@ -61,6 +61,20 @@ def test_csv_windows_mode(make_points):
     rows = df.collect()
     assert rows[0]["time"] == 0 and rows[0]["x_mean"] == 2.0 and rows[0]["x_count"] == 2
     assert rows[1]["time"] == 8 and rows[1]["y_min"] == 5.0 and rows[1]["x_count"] is None
+
+
+def test_csv_windows_arb_mode(make_points):
+    # Arbitrary width 5 anchored at 0; end 17 rounds down to 15 (3 windows).
+    # Stream x is active across the range, so its empty middle window
+    # surfaces as count=0 with NULL stats; y only has data in window 0.
+    pts = make_points([("x", 1, 1.0, 10), ("x", 12, 3.0, 10), ("y", 2, 5.0, 10)])
+    df = csv_windows_arb(pts, ["x", "y"], 0, 17, width=5)
+    rows = df.collect()
+    assert [r["time"] for r in rows] == [0, 5, 10]
+    assert rows[0]["x_mean"] == 1.0 and rows[0]["y_count"] == 1
+    assert rows[1]["x_count"] == 0 and rows[1]["x_min"] is None
+    assert rows[1]["y_count"] == 0
+    assert rows[2]["x_max"] == 3.0 and rows[2]["y_count"] == 0
 
 
 def test_multimodal_feature_extraction(spark):
