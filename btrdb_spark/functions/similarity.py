@@ -14,8 +14,11 @@ precision in both Spark (F.aggregate fold) and the DuckDB oracle
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -91,6 +94,40 @@ def plane_coefs(n_planes: int, dim: int) -> list[list[int]]:
     ]
 
 
+def _signature_udf(n_planes: int, n_tables: int, dim: int, scale: int):
+    """Arrow-batched signature kernel: array<float> -> array<long> of
+    n_tables bucket ids.
+
+    Semantics are IDENTICAL to the per-plane SQL fold it replaces —
+    quantize q = floor(float64(v) * scale) (same IEEE-754 double ops as
+    Spark's cast+multiply+floor), then int64 projections against the
+    deterministic plane_coefs matrix; Java long and numpy int64 share
+    two's-complement wraparound, so bucket ids are bit-identical. The
+    matmul form exists purely for speed: 24 interpreted higher-order-fold
+    expressions per row (outside whole-stage codegen) become one
+    (batch x dim) @ (dim x planes) integer matmul per Arrow batch —
+    the documented exception where a vectorized Pandas UDF beats
+    built-ins (ARCHITECTURE.md hot-path note).
+    """
+    coef_t = np.array(plane_coefs(n_planes * n_tables, dim), dtype=np.int64).T  # (dim, T*b)
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def sigs(vecs: pd.Series) -> pd.Series:
+        out = [None] * len(vecs)
+        idxs = np.flatnonzero(vecs.notna().to_numpy())
+        if len(idxs):
+            m = np.array([np.asarray(vecs.iat[i], dtype=np.float64) for i in idxs])
+            q = np.floor(m * float(scale)).astype(np.int64)
+            bits = (q @ coef_t >= 0).astype(np.int64).reshape(len(q), n_tables, n_planes)
+            buckets = bits @ weights
+            for row, i in enumerate(idxs):
+                out[i] = buckets[row]
+        return pd.Series(out, dtype=object)
+
+    return sigs
+
+
 def lsh_buckets(
     corpus: DataFrame,
     n_planes: int = 16,
@@ -106,26 +143,13 @@ def lsh_buckets(
     bit-identical in any engine regardless of float summation order
     (a float dot product could flip a sign near zero between engines).
     Bound: |proj| <= dim * (max|v|*scale) * 2^31 — safe in int64 for
-    normalized embeddings.
+    normalized embeddings. Evaluated via the vectorized _signature_udf.
     """
-    coefs = plane_coefs(n_planes, dim)
-    # quantize once; each plane's projection then reads the materialized array
-    quant = corpus.select(
+    sigs = _signature_udf(n_planes, 1, dim, scale)
+    return corpus.select(
         F.col(id_col).alias("vec_id"),
-        F.transform(
-            F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long")
-        ).alias("_qv"),
+        F.element_at(sigs(F.col(vec_col)), 1).alias("bucket"),
     )
-    sig = F.lit(0).cast("long")
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(c).cast("long") for c in coefs[p]])
-        proj = F.aggregate(
-            F.zip_with(F.col("_qv"), plane, lambda x, c: x * c),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        sig = sig + F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
-    return quant.select("vec_id", sig.alias("bucket"))
 
 
 def lsh_table_buckets(
@@ -144,29 +168,15 @@ def lsh_table_buckets(
     standard knob when target similarity is moderate. Same integer-exact
     projection arithmetic as lsh_buckets; table t uses plane rows
     [t*n_planes, (t+1)*n_planes) of the shared deterministic coef matrix.
+    Evaluated via the vectorized _signature_udf (one Arrow matmul per
+    batch instead of L*b interpreted fold expressions per row).
     """
-    coefs = plane_coefs(n_planes * n_tables, dim)
-    quant = vectors.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(
-            F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long")
-        ).alias("_qv"),
+    sigs = _signature_udf(n_planes, n_tables, dim, scale)
+    return vectors.select(
+        F.col(id_col).alias("vec_id"), F.posexplode(sigs(F.col(vec_col)))
+    ).select(
+        "vec_id", F.col("pos").cast("long").alias("table"), F.col("col").alias("bucket")
     )
-    tables = []
-    for t in range(n_tables):
-        sig = F.lit(0).cast("long")
-        for j in range(n_planes):
-            plane = F.array(*[F.lit(c).cast("long") for c in coefs[t * n_planes + j]])
-            proj = F.aggregate(
-                F.zip_with(F.col("_qv"), plane, lambda x, c: x * c),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            sig = sig + F.when(proj >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
-        tables.append(F.struct(F.lit(t).cast("long").alias("table"), sig.alias("bucket")))
-    return quant.select(
-        "vec_id", F.explode(F.array(*tables)).alias("tb")
-    ).select("vec_id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
 
 
 def ann_lsh_topk(
