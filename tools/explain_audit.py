@@ -29,6 +29,7 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "segment_revenue": (["BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython"]),
     "tpch_q1": (["partial_sum", "LessThanOrEqual(l_shipdate"], ["BatchEvalPython"]),
     "csv_windows": (["partial_max"], ["BatchEvalPython"]),
+    "csv_windows_arb": (["partial_max"], ["CartesianProduct", "BatchEvalPython"]),
     "ann_lsh_topk": (["BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython"]),
     "minhash_lsh_pairs": (["partial_min"], ["CartesianProduct", "BatchEvalPython"]),
     "cosine_topk": (["BroadcastNestedLoopJoin"], ["BatchEvalPython"]),  # intended exact scan
