@@ -256,6 +256,23 @@ class BTrDBEngine:
         minor = self.hot.filter(F.col("uuid") == uuid).count()
         return major, minor
 
+    def info(self) -> dict:
+        """Info RPC analog (reference grpcinterface/serve.go:818-872,
+        version/consts.go:5-7): build/version report plus basic catalog
+        stats — the one §2.13 cluster operator SURVEY keeps in scope.
+        Cluster topology (MASH) has no analog; Spark's cluster manager
+        owns placement."""
+        from . import __version__
+
+        return {
+            "engine": "btrdb_spark",
+            "version": __version__,
+            "reference_api": "4.15",  # version/consts.go:5-7 (MajorVersion 4, MinorVersion 15)
+            "spark_version": self.spark.version,
+            "healthy": True,
+            "n_streams": md.live(self.streams).count(),
+        }
+
     # ---------- write path (S1-S4) ----------
 
     def insert(self, uuid: str, values: Iterable[tuple[int, float]], sync: bool = False) -> tuple[int, int]:

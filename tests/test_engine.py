@@ -25,6 +25,16 @@ def test_version_lifecycle(engine):
     assert (maj, mino) == (11, 0)                       # +1 per flush
 
 
+def test_info(engine):
+    base = engine.info()
+    assert base["engine"] == "btrdb_spark" and base["healthy"]
+    assert base["reference_api"] == "4.15" and base["n_streams"] == 0
+    u = engine.create_stream("campus/b9")
+    assert engine.info()["n_streams"] == 1
+    engine.obliterate(u)
+    assert engine.info()["n_streams"] == 0
+
+
 def test_merge_on_read_and_version_pinning(engine):
     u = engine.create_stream("campus/b2")
     engine.insert(u, [(10, 1.0)], sync=True)            # committed @10
