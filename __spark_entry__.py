@@ -372,6 +372,17 @@ def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ann_lsh_multiprobe_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiprobe variant: probes additionally search every bucket at
+    Hamming distance 1 from their signature (probe-side only — the corpus
+    side is untouched, which is what matters at 100 TB)."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.ann_lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=6, n_tables=4,
+        multiprobe=True,
+    )
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     return similarity.ann_ivf_topk(
@@ -438,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_multiprobe_topk": q_ann_lsh_multiprobe_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "corpus_clean": q_corpus_clean,

@@ -130,11 +130,18 @@ def main() -> None:
         (r["query_id"], r["neighbor_id"])
         for r in sim.ann_lsh_topk(emb, probes, k=5, n_planes=6, n_tables=4).collect()
     }
+    mp = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.ann_lsh_topk(
+            emb, probes, k=5, n_planes=6, n_tables=4, multiprobe=True
+        ).collect()
+    }
     ivf = {
         (r["query_id"], r["neighbor_id"])
         for r in sim.ann_ivf_topk(emb, probes, k=5, n_centroids=16, nprobe=2).collect()
     }
     lsh_recall = round(len(exact & lsh) / len(exact), 3) if exact else None
+    mp_recall = round(len(exact & mp) / len(exact), 3) if exact else None
     ivf_recall = round(len(exact & ivf) / len(exact), 3) if exact else None
     emb.unpersist()
 
@@ -172,6 +179,7 @@ def main() -> None:
             "exact_dedup_docs_per_sec": round(n_docs / exact_s),
             "ann_lsh_vectors_per_sec": round(n_vecs / ann_s),
             "ann_lsh_recall_at5": lsh_recall,
+            "ann_lsh_multiprobe_recall_at5": mp_recall,
             "ann_ivf_recall_at5": ivf_recall,
         },
     }

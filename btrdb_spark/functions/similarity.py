@@ -188,6 +188,7 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to candidates
     sharing an LSH bucket with the probe in ANY of n_tables hash tables —
@@ -203,6 +204,18 @@ def ann_lsh_topk(
     """
     cb = lsh_table_buckets(corpus, n_planes, n_tables, id_col, vec_col, dim)
     pb = lsh_table_buckets(probes, n_planes, n_tables, id_col, vec_col, dim)
+    if multiprobe:
+        # Multiprobe LSH (Lv et al., VLDB'07 idea in its simplest exact
+        # form): probe every bucket at Hamming distance <= 1 from the
+        # signature — b extra probes per table, recall rises steeply at
+        # fixed table count while the corpus side (the 100 TB side) is
+        # untouched. Bucket ids stay pure int64, so the oracle reproduces
+        # the probe set with xor().
+        variants = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << j).cast("long")) for j in range(n_planes)],
+        )
+        pb = pb.select("vec_id", "table", F.explode(variants).alias("bucket"))
     cand = (
         cb.withColumnRenamed("vec_id", "neighbor_id")
         .join(
@@ -428,6 +441,51 @@ ORACLES = {
             JOIN buckets cb ON cb.tbl = pb.tbl AND cb.bucket = pb.bucket
                            AND cb.vec_id <> pb.vec_id
             WHERE pb.vec_id < 10
+        ), scored AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   list_dot_product(c.v, p.v) / (c.nrm * p.nrm) AS cosine
+            FROM cand
+            JOIN vecs p ON p.vec_id = cand.query_id
+            JOIN vecs c ON c.vec_id = cand.neighbor_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+    "ann_lsh_multiprobe_topk": f"""
+        WITH planes AS (
+            SELECT p.p, j.j,
+                   ('0x' || substr(md5(CAST(p.p AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)), 1, 8))::BIGINT
+                     - 2147483648 AS c
+            FROM (SELECT unnest(range(0, {_ANN_PLANES * _ANN_TABLES})) AS p) p,
+                 (SELECT unnest(range(0, 64)) AS j) j
+        ), vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings
+        ), projs AS (
+            SELECT vecs.vec_id, planes.p,
+                   SUM(CAST(FLOOR(vecs.v[planes.j + 1] * 1000) AS BIGINT) * planes.c) AS proj
+            FROM vecs, planes GROUP BY 1, 2
+        ), buckets AS (
+            SELECT vec_id, p // {_ANN_PLANES} AS tbl,
+                   SUM(CASE WHEN proj >= 0 THEN 1 << (p % {_ANN_PLANES}) ELSE 0 END) AS bucket
+            FROM projs GROUP BY 1, 2
+        ), pbuckets AS (
+            -- the probe signature plus every Hamming-distance-1 variant
+            SELECT b.vec_id, b.tbl,
+                   CASE WHEN k.k = 0 THEN b.bucket
+                        ELSE xor(b.bucket, 1 << (k.k - 1)) END AS bucket
+            FROM buckets b, (SELECT unnest(range(0, {_ANN_PLANES + 1})) AS k) k
+            WHERE b.vec_id < 10
+        ), cand AS (
+            SELECT DISTINCT pb.vec_id AS query_id, cb.vec_id AS neighbor_id
+            FROM pbuckets pb
+            JOIN buckets cb ON cb.tbl = pb.tbl AND cb.bucket = pb.bucket
+                           AND cb.vec_id <> pb.vec_id
         ), scored AS (
             SELECT cand.query_id, cand.neighbor_id,
                    list_dot_product(c.v, p.v) / (c.nrm * p.nrm) AS cosine
