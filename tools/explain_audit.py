@@ -31,6 +31,7 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "csv_windows": (["partial_max"], ["BatchEvalPython"]),
     "csv_windows_arb": (["partial_max"], ["CartesianProduct", "BatchEvalPython"]),
     "ann_lsh_topk": (["BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython"]),
+    "ann_lsh_multiprobe_topk": (["BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython"]),
     "minhash_lsh_pairs": (["partial_min"], ["CartesianProduct", "BatchEvalPython"]),
     "cosine_topk": (["BroadcastNestedLoopJoin"], ["BatchEvalPython"]),  # intended exact scan
     "dedup_exact": (["partial_min", "partial_count"], ["BatchEvalPython"]),
