@@ -245,6 +245,22 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def q_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Resize plumbing: image rows only (metadata predicate prunes before
+    bytes move), Arrow-batched kernel, binary payload out. The oracle
+    checks the plumbing-derivable columns (fan-in, dims, payload size);
+    the pixel stub is documented in functions/multimodal.py."""
+    media = multimodal.synthetic_media(load_table(spark, sf, "documents"))
+    return (
+        multimodal.resize(media, 224, 224)
+        .select(
+            "media_id", "out_width", "out_height",
+            F.length("resized").cast("long").alias("n_bytes"),
+        )
+        .orderBy("media_id")
+    )
+
+
 def q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Video frame-sampling fan-out plan: one row per sampled frame."""
     media = multimodal.synthetic_media(load_table(spark, sf, "documents"))
@@ -431,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_windows": q_csv_windows,
         "csv_windows_arb": q_csv_windows_arb,
         "multimodal_features": q_multimodal_features,
+        "resize": q_resize,
         "frame_sample": q_frame_sample,
         "list_collections": q_list_collections,
         "lookup_streams": q_lookup_streams,
@@ -678,6 +695,13 @@ def oracle_sql() -> dict[str, str]:
                ('0x' || substr(sha256(text || mt), 1, 2))::INT / 255.0 AS f0,
                ('0x' || substr(sha256(text || mt), 15, 2))::INT / 255.0 AS f7
         FROM m ORDER BY media_id
+    """
+
+    oracles["resize"] = f"""
+        SELECT doc_id AS media_id,
+               CAST(224 AS BIGINT) AS out_width, CAST(224 AS BIGINT) AS out_height,
+               CAST({224 * 224 // 256 + 16} AS BIGINT) AS n_bytes
+        FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id
     """
 
     oracles["frame_sample"] = """

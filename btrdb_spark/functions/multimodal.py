@@ -108,6 +108,50 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(kernel, FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("out_width", LongType(), True),
+        StructField("out_height", LongType(), True),
+        StructField("resized", BinaryType(), True),
+    ]
+)
+
+
+def _resize_stub(blob: bytes, out_w: int, out_h: int) -> bytes:
+    """Deterministic fake resize: a (out_w*out_h//256 + 16)-byte payload
+    derived from the blob digest + target dims, standing in for the real
+    decoded-and-rescaled pixel buffer. Swap for PIL's Image.resize in
+    deployment; the Arrow plumbing and output schema stay fixed."""
+    if blob is None:
+        raise NotImplementedError("real media decode not available in this environment")
+    seed = hashlib.sha256(bytes(blob) + f"{out_w}x{out_h}".encode()).digest()
+    n = out_w * out_h // 256 + 16
+    return (seed * (n // len(seed) + 1))[:n]
+
+
+def resize(media: DataFrame, out_width: int = 224, out_height: int = 224) -> DataFrame:
+    """Arrow-batched image resize over binary media columns (image rows
+    only — metadata predicate prunes the scan before any bytes move)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                _resize_stub(blob, out_width, out_height) if blob is not None else None
+                for blob in pdf["blob"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_width": [out_width if r is not None else None for r in resized],
+                    "out_height": [out_height if r is not None else None for r in resized],
+                    "resized": resized,
+                }
+            )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(kernel, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Plan the frame-sampling fan-out for video rows (pure DataFrame math:
     one output row per sampled frame timestamp). The decode of each frame

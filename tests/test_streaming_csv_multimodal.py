@@ -63,6 +63,22 @@ def test_csv_windows_mode(make_points):
     assert rows[1]["time"] == 8 and rows[1]["y_min"] == 5.0 and rows[1]["x_count"] is None
 
 
+def test_resize_plumbing(spark):
+    rows = [
+        (1, "image", bytearray(b"imgbytes"), 64, 64, None),
+        (2, "audio", bytearray(b"audiobytes"), None, None, 2000),  # pruned: not image
+        (3, "image", None, None, None, None),  # null blob -> null payload
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in multimodal.resize(media, 32, 32).collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["out_width"] == 32 and len(out[1]["resized"]) == 32 * 32 // 256 + 16
+    assert out[3]["resized"] is None and out[3]["out_width"] is None
+    # deterministic: same blob + dims -> same payload
+    again = {r["media_id"]: r for r in multimodal.resize(media, 32, 32).collect()}
+    assert bytes(again[1]["resized"]) == bytes(out[1]["resized"])
+
+
 def test_csv_windows_arb_mode(make_points):
     # Arbitrary width 5 anchored at 0; end 17 rounds down to 15 (3 windows).
     # Stream x is active across the range, so its empty middle window
