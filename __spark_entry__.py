@@ -30,6 +30,7 @@ from btrdb_spark.plans import rollup as ru
 from btrdb_spark.sources.tables import events_as_points, load_table
 from btrdb_spark.functions import dedup, multimodal, pipeline, similarity, text
 from btrdb_spark.operators import csv as csv_ops
+from btrdb_spark.operators import quantiles as qt_ops
 
 # ---- time constants (events span Jan 2024, ns epoch) ----
 NS = 1_000_000_000
@@ -417,6 +418,21 @@ def q_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
     return pipeline.clean_corpus(load_table(spark, sf, "documents"))
 
 
+def q_neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components over the LSH
+    pair graph (iterative label propagation; recursive-CTE oracle)."""
+    return dedup.neardup_clusters(load_table(spark, sf, "documents"), min_est_jaccard=0.5)
+
+
+def q_train_val_test_split(spark: SparkSession, sf: str) -> DataFrame:
+    return pipeline.train_val_test_split(load_table(spark, sf, "documents"))
+
+
+def q_value_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-stream discrete quantiles (integer-exact rank math)."""
+    return qt_ops.value_quantiles(events_as_points(spark, sf))
+
+
 def q_stream_info(spark: SparkSession, sf: str) -> DataFrame:
     """V4/M3: descriptor + latest (major) version for every stream."""
     streams = _streams_df(spark, sf).select("uuid", "collection")
@@ -469,6 +485,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multiprobe_topk": q_ann_lsh_multiprobe_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        "neardup_clusters": q_neardup_clusters,
+        "train_val_test_split": q_train_val_test_split,
+        "value_quantiles": q_value_quantiles,
         "corpus_clean": q_corpus_clean,
         "stream_info": q_stream_info,
     }
@@ -789,6 +808,8 @@ def oracle_sql() -> dict[str, str]:
     oracles.update(dedup.ORACLES)
     oracles.update(text.ORACLES)
     oracles.update(similarity.ORACLES)
+    oracles.update(pipeline.ORACLES)
+    oracles["value_quantiles"] = qt_ops.quantile_oracle_sql(PTS)
 
     # corpus_clean: composed verbatim from the per-op oracles above, so the
     # pipeline oracle stays consistent with each stage's oracle by

@@ -235,6 +235,69 @@ def minhash_lsh_pairs(
     return est.select("doc_a", "doc_b", "est_jaccard").orderBy("doc_a", "doc_b")
 
 
+def neardup_clusters(
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_est_jaccard: float = 0.5,
+    text_col: str = "text",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Collapse near-duplicates into clusters: connected components over
+    the minhash-LSH pair graph; ``cluster_id`` = min doc_id reachable.
+
+    This is the transitive-closure stage ``pipeline.clean_corpus``'s
+    greedy keep-lowest policy deliberately skips: A~B and B~C put A,B,C
+    in ONE cluster even when A~C never collides in any band.
+
+    Scale design — Pregel-style min-label propagation, not a driver-side
+    union-find: each iteration is one shuffle (join labels to edges +
+    groupBy dst), and the iteration count is the graph *diameter*, which
+    for near-dup clusters is tiny (banding makes dup groups near-cliques,
+    so 2-4 rounds converge). Edges and labels are ``localCheckpoint``ed
+    every round so the lineage (and thus the plan Catalyst must optimize)
+    stays O(1) instead of O(iterations). Convergence is detected with an
+    aggregated changed-row count — no data is collected to the driver.
+
+    Output: (doc_id, cluster_id) for every doc in at least one qualifying
+    pair, doc_id-ordered. Singletons are omitted (they are their own
+    cluster by definition; emitting them would just echo `documents`).
+    """
+    pairs = minhash_lsh_pairs(documents, n, num_hashes, bands, text_col).filter(
+        F.col("est_jaccard") >= F.lit(min_est_jaccard)
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = labels.withColumnRenamed("label", "old_label").join(
+            prop, "doc_id", "left"
+        ).select(
+            "doc_id",
+            F.least(F.col("old_label"), F.coalesce("nbr_label", "old_label")).alias("label"),
+            "old_label",
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+        labels = new_labels.select("doc_id", "label")
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")
+
+
 def simhash_signatures(documents: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:
     """SimHash: sign-sum of token-hash bits -> one integer signature.
 
@@ -377,3 +440,28 @@ ORACLES = {
         GROUP BY 1, 2 ORDER BY 1, 2
     """,
 }
+
+# Connected components IS SQL-expressible — as a recursive CTE: walk is the
+# transitive closure of the (symmetrized) pair graph, so MIN(label) over
+# everything that reaches a doc is its component minimum. UNION (distinct)
+# guarantees termination. The Spark side computes the same fixpoint
+# iteratively (label propagation); both must agree exactly.
+ORACLES["neardup_clusters"] = f"""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT doc_a, doc_b FROM ({ORACLES["minhash_lsh_pairs"]}) q
+        WHERE est_jaccard >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    walk (doc_id, label) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.doc_id
+    )
+    SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY 1 ORDER BY 1
+"""

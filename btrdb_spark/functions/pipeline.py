@@ -62,3 +62,55 @@ def clean_corpus(
         .select("doc_id", "n_tokens")
         .orderBy("doc_id")
     )
+
+
+def train_val_test_split(
+    documents: DataFrame,
+    weights: tuple[int, int, int] = (80, 10, 10),
+    salt: str = "split-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by salted id hash.
+
+    The property that matters for a training corpus: the split is a pure
+    function of (salt, id) — stable under corpus growth, repartitioning,
+    re-runs, and engine version, unlike ``randomSplit`` (which depends on
+    partitioning). New documents never move existing ones between splits.
+    One narrow projection, no shuffle: the split column is computed where
+    the row already lives. Change ``salt`` to draw a fresh partition.
+
+    Output: (doc_id, split) with split in {'train','val','test'},
+    hash-bucketed 0-99 against cumulative ``weights`` (must sum to 100).
+    """
+    assert sum(weights) == 100, "weights are percents and must sum to 100"
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < weights[0], F.lit("train"))
+        .when(bucket < weights[0] + weights[1], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return documents.select(F.col(id_col), split.alias("split")).orderBy(id_col)
+
+
+ORACLES = {
+    # mirrors train_val_test_split(weights=(80,10,10), salt='split-v1')
+    "train_val_test_split": """
+        SELECT doc_id,
+               CASE WHEN hv < 80 THEN 'train'
+                    WHEN hv < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id,
+                   ('0x' || substr(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS hv
+            FROM documents
+        )
+        ORDER BY doc_id
+    """,
+}

@@ -1,0 +1,71 @@
+"""Per-stream exact discrete quantiles over point values.
+
+The reference has no quantile operator (its StatPoint carries only
+count/min/mean/max — qtree/qtree.go:796-802); this extends the stat
+surface the way a quality-scoring / outlier-trimming pipeline needs it.
+
+Semantics: discrete (type-1) quantile — the value at sorted position
+``floor(pct * (n - 1) / 100)`` (0-indexed) within each stream. All rank
+arithmetic is integer (pct is a percent), so the DuckDB oracle computes
+bit-identical positions; a float ``p * (n - 1)`` would disagree between
+engines at exact-integer boundaries (binary 0.99 < decimal 0.99).
+
+Scale: one shuffle — a per-uuid sort via window functions; cost is the
+per-stream sort, the honest price of an *exact* quantile. At 100 TB the
+sketch path is ``F.percentile_approx`` (t-digest-style, mergeable,
+partial-aggregated) — same call shape, approximate answer; this operator
+is the correctness baseline the sketch is judged against.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def value_quantiles(
+    points: DataFrame, pcts: Sequence[int] = (25, 50, 90, 99)
+) -> DataFrame:
+    """(uuid, p<pct>...) — exact discrete quantiles of `value` per stream.
+
+    Ties: row_number over equal values assigns arbitrary ranks, but the
+    *value* at any fixed rank is unchanged by that choice, so the output
+    is deterministic.
+    """
+    w = Window.partitionBy("uuid").orderBy("value")
+    wn = Window.partitionBy("uuid")
+    ranked = (
+        points.select("uuid", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("rn") == F.floor(F.lit(int(p)) * (F.col("n") - 1) / F.lit(100)) + 1,
+                F.col("value"),
+            )
+        ).alias(f"p{int(p)}")
+        for p in pcts
+    ]
+    return ranked.groupBy("uuid").agg(*aggs).orderBy("uuid")
+
+
+def quantile_oracle_sql(points_sql: str, pcts: Sequence[int] = (25, 50, 90, 99)) -> str:
+    """DuckDB mirror of value_quantiles over a points relation."""
+    cols = ",\n               ".join(
+        f"MIN(CASE WHEN rn = FLOOR({int(p)} * (n - 1) / 100) + 1 THEN value END) AS p{int(p)}"
+        for p in pcts
+    )
+    return f"""
+        WITH r AS (
+            SELECT uuid, value,
+                   ROW_NUMBER() OVER (PARTITION BY uuid ORDER BY value) AS rn,
+                   COUNT(*) OVER (PARTITION BY uuid) AS n
+            FROM {points_sql} p
+        )
+        SELECT uuid, {cols}
+        FROM r GROUP BY uuid ORDER BY uuid
+    """

@@ -117,3 +117,52 @@ def test_clean_corpus_filters_compose(spark):
         assert lang[i] == "en"
         assert qual[i][0] >= 20 and qual[i][1] >= 0.05
         assert i in dups
+
+
+def test_neardup_clusters_transitive(spark):
+    # chain A~B, B~C where A and C are farther apart: transitive closure
+    # must put all three in one cluster even if (A,C) never pair directly
+    rows = [
+        (10, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (11, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (12, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+        (20, "one two three four five six seven eight nine ten"),
+        (21, "one two three four five six seven eight nine ten"),
+        (30, "unrelated corpus text with nothing shared at all here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.neardup_clusters(docs, bands=16, min_est_jaccard=0.3).collect()
+    cluster = {r["doc_id"]: r["cluster_id"] for r in out}
+    assert cluster[10] == cluster[11] == 10
+    assert cluster[20] == cluster[21] == 20
+    # 12 is a near (not exact) dup of 10/11 -> same component
+    assert cluster[12] == 10
+    # singleton docs don't appear
+    assert 30 not in cluster
+
+
+def test_train_val_test_split_deterministic(spark):
+    from btrdb_spark.functions import pipeline
+
+    docs = spark.createDataFrame([(i, "x") for i in range(500)], "doc_id long, text string")
+    a = {r["doc_id"]: r["split"] for r in pipeline.train_val_test_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in pipeline.train_val_test_split(docs).collect()}
+    assert a == b  # reproducible
+    # growing the corpus never moves existing docs
+    docs2 = spark.createDataFrame([(i, "x") for i in range(1000)], "doc_id long, text string")
+    c = {r["doc_id"]: r["split"] for r in pipeline.train_val_test_split(docs2).collect()}
+    assert all(c[i] == a[i] for i in range(500))
+    frac = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.7 < frac < 0.9  # roughly the 80% weight
+
+
+def test_value_quantiles_exact_ranks(spark, make_points):
+    from btrdb_spark.operators.quantiles import value_quantiles
+
+    # uuid "1": values 0..99 -> p25=value at idx floor(25*99/100)=24, etc.
+    pts = make_points([("1", 1000 + i, float(i), 10) for i in range(100)])
+    row = value_quantiles(pts).collect()[0]
+    assert row["p25"] == 24.0
+    assert row["p50"] == 49.0
+    assert row["p90"] == 89.0
+    assert row["p99"] == 98.0
