@@ -38,6 +38,9 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "ann_ivf_topk": (["BroadcastHashJoin"], ["BatchEvalPython"]),
     "corpus_clean": (["BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython"]),
     "aligned_windows_at_version_via_rollup": (["partial_count"], ["BatchEvalPython"]),
+    # split is a pure projection: the only exchange is the output sort
+    "train_val_test_split": ([], ["Exchange hashpartitioning", "BatchEvalPython"]),
+    "value_quantiles": (["partial_min"], ["CartesianProduct", "BatchEvalPython"]),
 }
 
 
