@@ -31,6 +31,8 @@ from btrdb_spark.sources.tables import events_as_points, load_table
 from btrdb_spark.functions import dedup, multimodal, pipeline, similarity, text
 from btrdb_spark.operators import csv as csv_ops
 from btrdb_spark.operators import quantiles as qt_ops
+from btrdb_spark.operators import asof as asof_ops
+from btrdb_spark.operators import rangejoin as rj_ops
 
 # ---- time constants (events span Jan 2024, ns epoch) ----
 NS = 1_000_000_000
@@ -418,6 +420,54 @@ def q_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
     return pipeline.clean_corpus(load_table(spark, sf, "documents"))
 
 
+def _probes_df(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic as-of probe set: every stream x daily timestamps."""
+    uuids = events_as_points(spark, sf).select("uuid").distinct()
+    days = spark.range(28).select((F.lit(T0) + F.col("id") * DAY).alias("t"))
+    return uuids.crossJoin(F.broadcast(days))
+
+
+PROBES_SQL = (
+    f"(SELECT uuid, CAST({T0} AS BIGINT) + gs.generate_series * {DAY} AS t "
+    f"FROM (SELECT DISTINCT uuid FROM {PTS}) u "
+    f"CROSS JOIN generate_series(0, 27) gs)"
+)
+
+
+def _ranges_df(spark: SparkSession) -> DataFrame:
+    """Ten 36-hour 'maintenance windows', one every other day."""
+    return spark.range(10).select(
+        F.col("id").alias("range_id"),
+        (F.lit(T0) + F.col("id") * 2 * DAY).alias("start"),
+        (F.lit(T0) + F.col("id") * 2 * DAY + 36 * HOUR).alias("end"),
+    )
+
+
+RANGES_SQL = (
+    f"(SELECT gs.generate_series AS range_id, "
+    f"CAST({T0} AS BIGINT) + gs.generate_series * 2 * {DAY} AS start, "
+    f"CAST({T0} AS BIGINT) + gs.generate_series * 2 * {DAY} + {36 * HOUR} AS \"end\" "
+    f"FROM generate_series(0, 9) gs)"
+)
+
+
+def q_asof_join_backward(spark: SparkSession, sf: str) -> DataFrame:
+    """Batched Nearest (J3, backward strict): one window pass answers
+    every (stream, day) probe — the reference needs one RPC per probe."""
+    return asof_ops.asof_join(events_as_points(spark, sf), _probes_df(spark, sf))
+
+
+def q_asof_join_forward(spark: SparkSession, sf: str) -> DataFrame:
+    return asof_ops.asof_join(
+        events_as_points(spark, sf), _probes_df(spark, sf), forward=True
+    )
+
+
+def q_range_join_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval join as bucket-expansion equi-join + StatPoint aggs."""
+    return rj_ops.range_join_agg(events_as_points(spark, sf), _ranges_df(spark), pw=40)
+
+
 def q_neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Transitive near-dup clusters: connected components over the LSH
     pair graph (iterative label propagation; recursive-CTE oracle)."""
@@ -485,6 +535,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multiprobe_topk": q_ann_lsh_multiprobe_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        "asof_join_backward": q_asof_join_backward,
+        "asof_join_forward": q_asof_join_forward,
+        "range_join_stats": q_range_join_stats,
         "neardup_clusters": q_neardup_clusters,
         "train_val_test_split": q_train_val_test_split,
         "value_quantiles": q_value_quantiles,
@@ -810,6 +863,11 @@ def oracle_sql() -> dict[str, str]:
     oracles.update(similarity.ORACLES)
     oracles.update(pipeline.ORACLES)
     oracles["value_quantiles"] = qt_ops.quantile_oracle_sql(PTS)
+    oracles["asof_join_backward"] = asof_ops.asof_oracle_sql(PTS, PROBES_SQL)
+    oracles["asof_join_forward"] = asof_ops.asof_oracle_sql(PTS, PROBES_SQL, forward=True)
+    oracles["range_join_stats"] = rj_ops.range_join_agg_oracle_sql(
+        PTS, RANGES_SQL, MEAN_SQL
+    )
 
     # corpus_clean: composed verbatim from the per-op oracles above, so the
     # pipeline oracle stays consistent with each stage's oracle by

@@ -1,0 +1,106 @@
+"""Set-oriented as-of join: for each (uuid, t) probe, the latest point at
+or before t (or earliest at/after t).
+
+The reference's Nearest RPC (J3 — /root/reference/qtree/qtree.go:24-127,
+quasar.go:359-391) answers ONE probe per call; this is the batched,
+scale-out generalization: N probes in one plan, the canonical "as-of
+join" Spark lacks as a built-in.
+
+Implementation is the union trick, not a range join: probes (value=NULL)
+are unioned with points and a single window pass per uuid picks the last
+non-null value before each probe. Cost = one shuffle + sort per uuid —
+O((P+N) log) with NO candidate blowup, versus a range join whose
+candidate set is probe x matching-bucket. Tie rules are explicit so the
+DuckDB oracle is bit-identical:
+
+- backward strict (the reference's B=true semantics, qtree.go:24-26):
+  points strictly before t — probes sort BEFORE same-time points.
+- forward inclusive (B=false): first point with time >= t — implemented
+  as the mirrored backward pass on negated time.
+- equal-time duplicate points: the max value wins (points at equal time
+  sort by value; last wins), making ties deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    points: DataFrame, probes: DataFrame, forward: bool = False
+) -> DataFrame:
+    """probes(uuid, t) -> (uuid, t, asof_time, asof_value).
+
+    backward (default): latest point with time <  t  (strict, ref B=true)
+    forward:            earliest point with time >= t (inclusive, B=false)
+    Probes with no qualifying point yield NULL asof_time/asof_value.
+    """
+    # sort key: negate time for the forward direction so one "look back"
+    # window serves both; is_probe DESC puts the probe before same-key
+    # points (strict backward) — and for forward, after negation, a
+    # same-time point must WIN (inclusive), which the negated-value sort
+    # preserves by ordering points (is_probe=0) after... see tie note.
+    sgn = -1 if forward else 1
+    pts = points.select(
+        "uuid",
+        (F.col("time") * sgn).alias("k"),
+        F.col("time").alias("pt_time"),
+        "value",
+        F.lit(0).alias("is_probe"),
+    )
+    prb = probes.select(
+        "uuid",
+        (F.col("t") * sgn).alias("k"),
+        F.lit(None).cast("long").alias("pt_time"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("is_probe"),
+    )
+    # backward strict:  probe first at equal k  -> excludes time == t
+    # forward inclusive: point first at equal k -> includes time == t
+    tie = F.col("is_probe").desc() if not forward else F.col("is_probe").asc()
+    w = (
+        Window.partitionBy("uuid")
+        .orderBy(F.col("k").asc(), tie, F.col("value").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = pts.unionByName(prb).select(
+        "uuid",
+        "k",
+        "is_probe",
+        F.last("pt_time", ignorenulls=True).over(w).alias("asof_time"),
+        F.last("value", ignorenulls=True).over(w).alias("asof_value"),
+    )
+    return (
+        u.filter(F.col("is_probe") == 1)
+        .select((F.col("k") * sgn).alias("t"), "uuid", "asof_time", "asof_value")
+        .select("uuid", "t", "asof_time", "asof_value")
+        .orderBy("uuid", "t")
+    )
+
+
+def asof_oracle_sql(points_sql: str, probes_sql: str, forward: bool = False) -> str:
+    """DuckDB mirror: identical union + window formulation (not ASOF JOIN,
+    whose equal-time tie choice among duplicate points is unspecified)."""
+    sgn = -1 if forward else 1
+    tie = "DESC" if not forward else "ASC"
+    return f"""
+        WITH u AS (
+            SELECT uuid, time * {sgn} AS k, time AS pt_time, value, 0 AS is_probe
+            FROM {points_sql} p
+            UNION ALL
+            SELECT uuid, t * {sgn} AS k, NULL, NULL, 1 FROM {probes_sql} pr
+        ), w AS (
+            SELECT uuid, k, is_probe,
+                   LAST_VALUE(pt_time IGNORE NULLS) OVER (
+                       PARTITION BY uuid ORDER BY k ASC, is_probe {tie}, value ASC NULLS FIRST
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_time,
+                   LAST_VALUE(value IGNORE NULLS) OVER (
+                       PARTITION BY uuid ORDER BY k ASC, is_probe {tie}, value ASC NULLS FIRST
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+            FROM u
+        )
+        SELECT uuid, k * {sgn} AS t, asof_time, asof_value
+        FROM w WHERE is_probe = 1
+        ORDER BY uuid, t
+    """

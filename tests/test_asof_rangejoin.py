@@ -1,0 +1,78 @@
+"""As-of join (batched Nearest, J3) and range join edge semantics."""
+
+from __future__ import annotations
+
+from btrdb_spark.operators.asof import asof_join
+from btrdb_spark.operators.rangejoin import range_join, range_join_agg
+
+
+def _probes(spark, rows):
+    return spark.createDataFrame(
+        [(str(u), int(t)) for (u, t) in rows], "uuid string, t long"
+    )
+
+
+def test_asof_backward_strict_excludes_equal_time(spark, make_points):
+    pts = make_points([("1", 100, 1.0, 10), ("1", 200, 2.0, 10), ("1", 300, 3.0, 10)])
+    out = {
+        r["t"]: (r["asof_time"], r["asof_value"])
+        for r in asof_join(pts, _probes(spark, [("1", 200), ("1", 250), ("1", 50)])).collect()
+    }
+    assert out[200] == (100, 1.0)  # strict: the point AT 200 is excluded
+    assert out[250] == (200, 2.0)
+    assert out[50] == (None, None)  # nothing before the first point
+
+
+def test_asof_forward_inclusive(spark, make_points):
+    pts = make_points([("1", 100, 1.0, 10), ("1", 200, 2.0, 10)])
+    out = {
+        r["t"]: (r["asof_time"], r["asof_value"])
+        for r in asof_join(
+            pts, _probes(spark, [("1", 200), ("1", 150), ("1", 201)]), forward=True
+        ).collect()
+    }
+    assert out[200] == (200, 2.0)  # inclusive: point AT t wins
+    assert out[150] == (200, 2.0)
+    assert out[201] == (None, None)
+
+
+def test_asof_duplicate_time_tie_takes_max_value(spark, make_points):
+    pts = make_points([("1", 100, 5.0, 10), ("1", 100, 9.0, 10), ("1", 100, 7.0, 10)])
+    back = asof_join(pts, _probes(spark, [("1", 101)])).collect()[0]
+    fwd = asof_join(pts, _probes(spark, [("1", 100)]), forward=True).collect()[0]
+    assert (back["asof_time"], back["asof_value"]) == (100, 9.0)
+    assert (fwd["asof_time"], fwd["asof_value"]) == (100, 9.0)
+
+
+def test_asof_is_per_stream(spark, make_points):
+    pts = make_points([("1", 100, 1.0, 10), ("2", 150, 2.0, 10)])
+    out = {
+        r["uuid"]: r["asof_value"]
+        for r in asof_join(pts, _probes(spark, [("1", 200), ("2", 200)])).collect()
+    }
+    assert out == {"1": 1.0, "2": 2.0}
+
+
+def _ranges(spark, rows):
+    return spark.createDataFrame(
+        [(int(i), int(s), int(e)) for (i, s, e) in rows],
+        "range_id long, start long, end long",
+    )
+
+
+def test_range_join_half_open_and_overlap(spark, make_points):
+    pts = make_points(
+        [("1", 10, 1.0, 10), ("1", 20, 2.0, 10), ("1", 30, 3.0, 10), ("1", 40, 4.0, 10)]
+    )
+    # overlapping ranges; [start, end) half-open; pw=3 -> 8-tick buckets
+    rj = range_join(pts, _ranges(spark, [(0, 10, 30), (1, 20, 41)]), pw=3).collect()
+    got = {(r["range_id"], r["time"]) for r in rj}
+    assert got == {(0, 10), (0, 20), (1, 20), (1, 30), (1, 40)}  # 30 not in [10,30)
+
+
+def test_range_join_agg_stats(spark, make_points):
+    pts = make_points([("1", 10, 1.0, 10), ("1", 20, 3.0, 10), ("2", 15, 10.0, 10)])
+    rows = range_join_agg(pts, _ranges(spark, [(0, 0, 100)]), pw=4).collect()
+    by_uuid = {r["uuid"]: r for r in rows}
+    assert by_uuid["1"]["cnt"] == 2 and by_uuid["1"]["vmean"] == 2.0
+    assert by_uuid["2"]["vmin"] == by_uuid["2"]["vmax"] == 10.0

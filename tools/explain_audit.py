@@ -41,6 +41,14 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     # split is a pure projection: the only exchange is the output sort
     "train_val_test_split": ([], ["Exchange hashpartitioning", "BatchEvalPython"]),
     "value_quantiles": (["partial_min"], ["CartesianProduct", "BatchEvalPython"]),
+    # asof: ONE window pass; the BroadcastNestedLoop is the tiny 28-row
+    # probe-fixture crossJoin (broadcast), not the operator itself
+    "asof_join_backward": (["Window"], ["CartesianProduct", "BatchEvalPython"]),
+    # interval join must run as bucket equi-join, never a nested loop
+    "range_join_stats": (
+        ["BroadcastHashJoin", "partial_count"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
 }
 
 
