@@ -33,6 +33,7 @@ from btrdb_spark.operators import csv as csv_ops
 from btrdb_spark.operators import quantiles as qt_ops
 from btrdb_spark.operators import asof as asof_ops
 from btrdb_spark.operators import rangejoin as rj_ops
+from btrdb_spark.operators import resample as rs_ops
 
 # ---- time constants (events span Jan 2024, ns epoch) ----
 NS = 1_000_000_000
@@ -468,6 +469,17 @@ def q_range_join_stats(spark: SparkSession, sf: str) -> DataFrame:
     return rj_ops.range_join_agg(events_as_points(spark, sf), _ranges_df(spark), pw=40)
 
 
+def q_resample_locf(spark: SparkSession, sf: str) -> DataFrame:
+    """LOCF gap-fill onto a daily grid (inclusive as-of composition)."""
+    pts = events_as_points(spark, sf)
+    return rs_ops.resample_locf(pts, pts.select("uuid").distinct(), T0, T0 + 28 * DAY, DAY)
+
+
+def q_stream_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stream discrete derivative (rate-of-change) via lag window."""
+    return rs_ops.stream_rate(events_as_points(spark, sf))
+
+
 def q_neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Transitive near-dup clusters: connected components over the LSH
     pair graph (iterative label propagation; recursive-CTE oracle)."""
@@ -538,6 +550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_backward": q_asof_join_backward,
         "asof_join_forward": q_asof_join_forward,
         "range_join_stats": q_range_join_stats,
+        "resample_locf": q_resample_locf,
+        "stream_rate": q_stream_rate,
         "neardup_clusters": q_neardup_clusters,
         "train_val_test_split": q_train_val_test_split,
         "value_quantiles": q_value_quantiles,
@@ -868,6 +882,10 @@ def oracle_sql() -> dict[str, str]:
     oracles["range_join_stats"] = rj_ops.range_join_agg_oracle_sql(
         PTS, RANGES_SQL, MEAN_SQL
     )
+    oracles["resample_locf"] = rs_ops.resample_locf_oracle_sql(
+        PTS, f"(SELECT DISTINCT uuid FROM {PTS} p2)", T0, T0 + 28 * DAY, DAY
+    )
+    oracles["stream_rate"] = rs_ops.stream_rate_oracle_sql(PTS)
 
     # corpus_clean: composed verbatim from the per-op oracles above, so the
     # pipeline oracle stays consistent with each stage's oracle by

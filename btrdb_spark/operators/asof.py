@@ -28,14 +28,19 @@ from pyspark.sql import functions as F
 
 
 def asof_join(
-    points: DataFrame, probes: DataFrame, forward: bool = False
+    points: DataFrame, probes: DataFrame, forward: bool = False, strict: bool | None = None
 ) -> DataFrame:
     """probes(uuid, t) -> (uuid, t, asof_time, asof_value).
 
     backward (default): latest point with time <  t  (strict, ref B=true)
     forward:            earliest point with time >= t (inclusive, B=false)
-    Probes with no qualifying point yield NULL asof_time/asof_value.
+    ``strict`` overrides the equal-time rule (default matches the
+    reference: backward strict, forward inclusive); strict=False backward
+    is last-observation-carried-forward (time <= t) — what resampling
+    wants. Probes with no qualifying point yield NULL asof_time/asof_value.
     """
+    if strict is None:
+        strict = not forward
     # sort key: negate time for the forward direction so one "look back"
     # window serves both; is_probe DESC puts the probe before same-key
     # points (strict backward) — and for forward, after negation, a
@@ -56,9 +61,9 @@ def asof_join(
         F.lit(None).cast("double").alias("value"),
         F.lit(1).alias("is_probe"),
     )
-    # backward strict:  probe first at equal k  -> excludes time == t
-    # forward inclusive: point first at equal k -> includes time == t
-    tie = F.col("is_probe").desc() if not forward else F.col("is_probe").asc()
+    # strict: probe sorts first at equal k -> same-time point excluded;
+    # inclusive: point first -> included. Holds in both directions.
+    tie = F.col("is_probe").desc() if strict else F.col("is_probe").asc()
     w = (
         Window.partitionBy("uuid")
         .orderBy(F.col("k").asc(), tie, F.col("value").asc_nulls_first())
@@ -79,11 +84,15 @@ def asof_join(
     )
 
 
-def asof_oracle_sql(points_sql: str, probes_sql: str, forward: bool = False) -> str:
+def asof_oracle_sql(
+    points_sql: str, probes_sql: str, forward: bool = False, strict: bool | None = None
+) -> str:
     """DuckDB mirror: identical union + window formulation (not ASOF JOIN,
     whose equal-time tie choice among duplicate points is unspecified)."""
+    if strict is None:
+        strict = not forward
     sgn = -1 if forward else 1
-    tie = "DESC" if not forward else "ASC"
+    tie = "DESC" if strict else "ASC"
     return f"""
         WITH u AS (
             SELECT uuid, time * {sgn} AS k, time AS pt_time, value, 0 AS is_probe

@@ -76,3 +76,38 @@ def test_range_join_agg_stats(spark, make_points):
     by_uuid = {r["uuid"]: r for r in rows}
     assert by_uuid["1"]["cnt"] == 2 and by_uuid["1"]["vmean"] == 2.0
     assert by_uuid["2"]["vmin"] == by_uuid["2"]["vmax"] == 10.0
+
+
+def test_asof_inclusive_backward_locf_rule(spark, make_points):
+    pts = make_points([("1", 100, 1.0, 10), ("1", 200, 2.0, 10)])
+    out = {
+        r["t"]: (r["asof_time"], r["asof_value"])
+        for r in asof_join(pts, _probes(spark, [("1", 200)]), strict=False).collect()
+    }
+    assert out[200] == (200, 2.0)  # inclusive: point AT t is its own sample
+
+
+def test_resample_locf_grid(spark, make_points):
+    from btrdb_spark.operators.resample import resample_locf
+
+    pts = make_points([("1", 105, 1.0, 10), ("1", 225, 2.0, 10)])
+    out = resample_locf(pts, pts.select("uuid").distinct(), 100, 500, 100).collect()
+    got = {r["grid_time"]: (r["last_time"], r["value"]) for r in out}
+    assert got[100] == (None, None)  # before first point: no invented data
+    assert got[200] == (105, 1.0)
+    assert got[300] == (225, 2.0)
+    assert got[400] == (225, 2.0)  # carried forward
+    assert len(got) == 4
+
+
+def test_stream_rate(spark, make_points):
+    from btrdb_spark.operators.resample import stream_rate
+
+    ns = 1_000_000_000
+    pts = make_points(
+        [("1", 0, 0.0, 10), ("1", 2 * ns, 4.0, 10), ("1", 2 * ns, 4.0, 10), ("1", 3 * ns, 1.0, 10)]
+    )
+    rows = stream_rate(pts).collect()
+    rates = [(r["time"], r["rate_per_sec"]) for r in rows]
+    # dup timestamp pair (dt=0) dropped; 0->2s: 4/2=2.0; 2->3s: -3/1
+    assert rates == [(2 * ns, 2.0), (3 * ns, -3.0)]

@@ -44,6 +44,8 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     # asof: ONE window pass; the BroadcastNestedLoop is the tiny 28-row
     # probe-fixture crossJoin (broadcast), not the operator itself
     "asof_join_backward": (["Window"], ["CartesianProduct", "BatchEvalPython"]),
+    "resample_locf": (["Window"], ["CartesianProduct", "BatchEvalPython"]),
+    "stream_rate": (["Window"], ["CartesianProduct", "BatchEvalPython"]),
     # interval join must run as bucket equi-join, never a nested loop
     "range_join_stats": (
         ["BroadcastHashJoin", "partial_count"],
