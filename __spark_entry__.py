@@ -415,6 +415,18 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(emb, emb.filter(F.col("vec_id") < 100), threshold=0.28)
 
 
+def q_ngram_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Decontamination scan: corpus docs sharing an 8-gram with the
+    'eval set' (stand-in: doc_id < 5); eval grams broadcast."""
+    docs = load_table(spark, sf, "documents")
+    return text.ngram_contamination(docs, docs.filter(F.col("doc_id") < 5), n=8)
+
+
+def q_topk_docs_per_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 longest docs per predicted language (top-k-per-group)."""
+    return text.topk_by_tokens(load_table(spark, sf, "documents"), k=5)
+
+
 def q_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
     """Flagship pipeline composition: language + quality + exact-dedup +
     minhash-near-dedup in one declarative plan (functions/pipeline.py)."""
@@ -554,6 +566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rate": q_stream_rate,
         "neardup_clusters": q_neardup_clusters,
         "train_val_test_split": q_train_val_test_split,
+        "ngram_contamination": q_ngram_contamination,
+        "topk_docs_per_lang": q_topk_docs_per_lang,
         "value_quantiles": q_value_quantiles,
         "corpus_clean": q_corpus_clean,
         "stream_info": q_stream_info,
@@ -886,6 +900,8 @@ def oracle_sql() -> dict[str, str]:
         PTS, f"(SELECT DISTINCT uuid FROM {PTS} p2)", T0, T0 + 28 * DAY, DAY
     )
     oracles["stream_rate"] = rs_ops.stream_rate_oracle_sql(PTS)
+    oracles["ngram_contamination"] = text.contamination_oracle_sql("doc_id < 5", 8)
+    oracles["topk_docs_per_lang"] = text.topk_oracle_sql(5)
 
     # corpus_clean: composed verbatim from the per-op oracles above, so the
     # pipeline oracle stays consistent with each stage's oracle by

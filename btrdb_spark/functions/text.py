@@ -129,3 +129,112 @@ ORACLES = {
         FROM ranked WHERE rn = 1 ORDER BY doc_id
     """,
 }
+
+
+def ngram_contamination(
+    documents: DataFrame, eval_docs: DataFrame, n: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Benchmark decontamination scan: for every corpus doc, how many of
+    its word n-grams appear in ANY eval-set document.
+
+    The standard pre-training hygiene step (decontaminate the corpus
+    against evaluation sets). Scale shape: the eval side is tiny
+    (benchmarks are KBs, the corpus is TBs), so its distinct gram hashes
+    BROADCAST and the corpus-side explode is followed by a broadcast
+    inner join + one groupBy(doc_id) — the 100 TB side never shuffles on
+    the gram key. Grams are compared as 64-bit hashes; the oracle
+    compares raw gram strings (hash collisions are possible in theory
+    but md5-60bit over a test corpus is collision-free, and the oracle
+    would catch one).
+
+    Output: (doc_id, n_gram_hits, n_grams, contamination_frac) for docs
+    with at least one hit.
+    """
+    from .dedup import _h64, _shingles
+
+    corpus = documents.select(
+        "doc_id",
+        F.size(_shingles(F.col(text_col), n)).cast("long").alias("n_grams"),
+        F.explode(_shingles(F.col(text_col), n)).alias("gram"),
+    ).select("doc_id", "n_grams", _h64(F.col("gram")).alias("gh"))
+    eval_grams = (
+        eval_docs.select(F.explode(_shingles(F.col(text_col), n)).alias("gram"))
+        .select(_h64(F.col("gram")).alias("gh"))
+        .distinct()
+    )
+    return (
+        corpus.join(F.broadcast(eval_grams), "gh")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_gram_hits"))
+        .select(
+            "doc_id",
+            "n_gram_hits",
+            F.col("n_grams"),
+            (F.col("n_gram_hits") / F.col("n_grams")).alias("contamination_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def topk_by_tokens(documents: DataFrame, k: int = 5, text_col: str = "text") -> DataFrame:
+    """Top-k longest documents per predicted language — the top-k-per-group
+    pattern the reference lacks entirely (SURVEY §2.6 'No top-k operator').
+
+    Window row_number + filter: Spark plans this as a partial top-k sort
+    per partition (WindowGroupLimit pushes k below the shuffle in recent
+    Spark), so the full per-group sort never materializes. Deterministic
+    tie-break on doc_id.
+    """
+    scored = lang_id(documents, text_col).join(
+        token_counts(documents, text_col).select("doc_id", "n_tokens"), "doc_id"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("pred_lang").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("pred_lang", "rank", "doc_id", "n_tokens")
+        .orderBy("pred_lang", "rank")
+    )
+
+
+def contamination_oracle_sql(eval_filter_sql: str, n: int) -> str:
+    """DuckDB mirror of ngram_contamination; eval set = documents rows
+    matching ``eval_filter_sql``. Compares raw gram strings (the Spark
+    side compares 60-bit md5 hashes — identical absent a collision)."""
+    from .dedup import _shingle_sql
+
+    return f"""
+        WITH dg AS ({_shingle_sql(n)}),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM dg GROUP BY 1),
+        eg AS (
+            SELECT DISTINCT shingle FROM ({_shingle_sql(n)}) e
+            WHERE doc_id IN (SELECT doc_id FROM documents WHERE {eval_filter_sql})
+        )
+        SELECT dg.doc_id,
+               COUNT(*) AS n_gram_hits,
+               CAST(ANY_VALUE(sizes.n_grams) AS BIGINT) AS n_grams,
+               COUNT(*) / ANY_VALUE(sizes.n_grams) AS contamination_frac
+        FROM dg JOIN eg USING (shingle) JOIN sizes ON sizes.doc_id = dg.doc_id
+        GROUP BY dg.doc_id ORDER BY dg.doc_id
+    """
+
+
+def topk_oracle_sql(k: int) -> str:
+    return f"""
+        WITH langs AS ({ORACLES["lang_id"]}),
+        tok AS (
+            SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        r AS (
+            SELECT l.pred_lang, t.doc_id, t.n_tokens,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY l.pred_lang
+                       ORDER BY t.n_tokens DESC, t.doc_id ASC) AS rank
+            FROM langs l JOIN tok t ON l.doc_id = t.doc_id
+        )
+        SELECT pred_lang, CAST(rank AS BIGINT) AS rank, doc_id, n_tokens
+        FROM r WHERE rank <= {k} ORDER BY pred_lang, rank
+    """

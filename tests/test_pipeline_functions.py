@@ -166,3 +166,29 @@ def test_value_quantiles_exact_ranks(spark, make_points):
     assert row["p50"] == 49.0
     assert row["p90"] == 89.0
     assert row["p99"] == 98.0
+
+
+def test_ngram_contamination(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # eval
+        (1, "prefix words then alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "totally clean document with no overlapping grams at all whatsoever"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.ngram_contamination(docs, docs.filter("doc_id = 0"), n=8).collect()}
+    assert out[0]["contamination_frac"] == 1.0  # eval doc hits itself fully
+    assert out[1]["n_gram_hits"] == 3  # the 3 aligned 8-grams survive the prefix
+    assert 2 not in out  # clean doc emits nothing
+
+
+def test_topk_by_tokens_rank_and_tiebreak(spark):
+    rows = [
+        (1, "the a and of to x"),            # en, 6 tokens
+        (2, "the a and of to"),              # en, 5 tokens
+        (3, "the a and of to y z"),          # en, 7 tokens
+        (4, "el la y de que"),               # es, 5 tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.topk_by_tokens(docs, k=2).collect()
+    got = [(r["pred_lang"], r["rank"], r["doc_id"]) for r in out]
+    assert got == [("en", 1, 3), ("en", 2, 1), ("es", 1, 4)]
