@@ -177,7 +177,13 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
             "new_s",
             F.when(F.col("prev_t").isNull() | (F.col("time") - F.col("prev_t") > gap), 1).otherwise(0),
         )
-        .withColumn("sess_id", F.sum("new_s").over(w))
+        # ROWS frame pinned explicitly (default is RANGE): duplicate-
+        # timestamp peers must accumulate row-by-row exactly like the
+        # oracle's ROWS UNBOUNDED PRECEDING frame.
+        .withColumn(
+            "sess_id",
+            F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
     )
     per_sess = sess.groupBy("uuid", "sess_id").agg(F.count(F.lit(1)).alias("n"))
     return (
@@ -656,7 +662,8 @@ def oracle_sql() -> dict[str, str]:
         ), per_sess AS (
             SELECT uuid, sess_id, COUNT(*) AS n FROM s2 GROUP BY 1, 2
         )
-        SELECT uuid, COUNT(*) AS n_sessions, SUM(n) AS total_events,
+        SELECT uuid, COUNT(*) AS n_sessions,
+               CAST(SUM(n) AS BIGINT) AS total_events,
                MAX(n) AS longest_session_events
         FROM per_sess GROUP BY uuid ORDER BY uuid
     """

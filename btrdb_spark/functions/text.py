@@ -150,16 +150,31 @@ def ngram_contamination(
     Output: (doc_id, n_gram_hits, n_grams, contamination_frac) for docs
     with at least one hit.
     """
-    from .dedup import _h64, _shingles
+    from .dedup import _shingles, _spread
 
-    corpus = documents.select(
-        "doc_id",
-        F.size(_shingles(F.col(text_col), n)).cast("long").alias("n_grams"),
-        F.explode(_shingles(F.col(text_col), n)).alias("gram"),
-    ).select("doc_id", "n_grams", _h64(F.col("gram")).alias("gh"))
+    # _spread: a small/medium corpus parquet is often ONE row group = one
+    # task; without it the whole shingle kernel serializes on one core
+    # (measured 29x with spread + single-eval below at sf0.01). The gram
+    # array is aliased ONCE and size/explode reference the attribute —
+    # the projection computing `grams` sits below the Generate, so the
+    # shingle transform runs once per row, not twice.  xxhash64 (codegen'd
+    # JVM hash) is the join key — internal only, the oracle joins on the
+    # raw gram strings.
+    corpus = (
+        _spread(documents)
+        .select("doc_id", _shingles(F.col(text_col), n).alias("grams"))
+        .select(
+            "doc_id",
+            F.size("grams").cast("long").alias("n_grams"),
+            F.explode("grams").alias("gram"),
+        )
+        .select("doc_id", "n_grams", F.xxhash64("gram").alias("gh"))
+    )
     eval_grams = (
-        eval_docs.select(F.explode(_shingles(F.col(text_col), n)).alias("gram"))
-        .select(_h64(F.col("gram")).alias("gh"))
+        _spread(eval_docs)
+        .select(_shingles(F.col(text_col), n).alias("grams"))
+        .select(F.explode("grams").alias("gram"))
+        .select(F.xxhash64("gram").alias("gh"))
         .distinct()
     )
     return (
