@@ -339,22 +339,68 @@ def simhash_signatures(documents: DataFrame, bits: int = 16, text_col: str = "te
 def simhash_pairs(documents: DataFrame, bits: int = 16, max_hamming: int = 3, text_col: str = "text") -> DataFrame:
     """Near-dup pairs by simhash hamming distance <= max_hamming.
 
-    All-pairs compare (broadcast nested loop on doc-sized signatures with
-    a codegen'd xor+bit_count): this corpus is similarity-dense (~1% of
-    all pairs qualify), where LSH banding generates more candidate rows
-    than the n^2 scan and loses (measured). Banding pays off only for
-    sparse similarity at larger `bits`; signatures stay doc-sized either
-    way, so the scan distributes by fragmenting one side.
+    Pigeonhole banding, NOT an all-pairs scan: split the signature into
+    ``max_hamming + 1`` disjoint bit bands — any pair within hamming
+    distance ``max_hamming`` has at most ``max_hamming`` differing bits,
+    so at least one band is bit-identical. Candidates come from an
+    equi-join on (band_id, band_value) (same bucket-collect + in-bucket
+    pair generation as minhash LSH — no self-join shuffle), then an exact
+    xor+bit_count residual filter keeps output identical to the n^2 scan.
+
+    Scale shape: the shuffled payload is (doc_id, band, int band value);
+    candidate volume is governed by band-bucket occupancy. At the default
+    bits=16 a band is only 4 bits (dense buckets — fine for the oracle
+    corpus); at 100 TB run bits=64 so each band carries 16 bits and
+    buckets stay sparse. The all-pairs O(n^2) broadcast loop this
+    replaces is audited out via explain_audit (no BroadcastNestedLoopJoin).
     """
     sigs = simhash_signatures(documents, bits, text_col)
-    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
-    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    nbands = max_hamming + 1
+    base, rem = divmod(bits, nbands)
+    spans, off = [], 0
+    for b in range(nbands):
+        width = base + (1 if b < rem else 0)
+        spans.append((off, width))
+        off += width
+
+    def bandval(sig: Column, o: int, w: int) -> Column:
+        return F.shiftright(sig, o).bitwiseAND(F.lit((1 << w) - 1))
+
+    band_rows = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    bandval(F.col("simhash"), o, w).alias("bv"),
+                )
+                for i, (o, w) in enumerate(spans)
+            ])
+        ).alias("x"),
+    ).select("doc_id", "simhash", F.col("x.band").alias("band"), F.col("x.bv").alias("bv"))
+    a = band_rows.select(
+        "band", "bv", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a")
+    )
+    b = band_rows.select(
+        "band", "bv", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b")
+    )
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    # a qualifying pair matches in 1..nbands bands; emit it ONLY from its
+    # first matching band (cheap bit predicate on the carried signatures)
+    # instead of a distinct() shuffle over duplicated candidates
+    earlier_band_matches = F.lit(False)
+    for j, (o, w) in enumerate(spans[:-1]):
+        earlier_band_matches = earlier_band_matches | (
+            (F.col("band") > F.lit(j))
+            & (bandval(F.col("sig_a"), o, w) == bandval(F.col("sig_b"), o, w))
+        )
     return (
-        # `a` is groupBy output (already partitioned); broadcast the other side
-        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+        a.join(b, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(ham <= F.lit(max_hamming))
+        .filter(~earlier_band_matches)
         .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
         .orderBy("doc_a", "doc_b")
     )
 

@@ -33,6 +33,12 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "ann_lsh_topk": (["BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython"]),
     "ann_lsh_multiprobe_topk": (["BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython"]),
     "minhash_lsh_pairs": (["partial_min"], ["CartesianProduct", "BatchEvalPython"]),
+    # pigeonhole-banded: candidates via (band, band-value) equi-join, never
+    # an all-pairs broadcast loop
+    "simhash_pairs": (
+        ["partial_sum"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
     "cosine_topk": (["BroadcastNestedLoopJoin"], ["BatchEvalPython"]),  # intended exact scan
     "dedup_exact": (["partial_min", "partial_count"], ["BatchEvalPython"]),
     "ann_ivf_topk": (["BroadcastHashJoin"], ["BatchEvalPython"]),
