@@ -394,7 +394,7 @@ def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
 def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     return similarity.ann_lsh_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=6, n_tables=4
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=5, n_tables=8
     )
 
 
@@ -404,7 +404,7 @@ def q_ann_lsh_multiprobe_topk(spark: SparkSession, sf: str) -> DataFrame:
     side is untouched, which is what matters at 100 TB)."""
     emb = load_table(spark, sf, "embeddings")
     return similarity.ann_lsh_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=6, n_tables=4,
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=5, n_tables=8,
         multiprobe=True,
     )
 

@@ -128,12 +128,12 @@ def main() -> None:
     }
     lsh = {
         (r["query_id"], r["neighbor_id"])
-        for r in sim.ann_lsh_topk(emb, probes, k=5, n_planes=6, n_tables=4).collect()
+        for r in sim.ann_lsh_topk(emb, probes, k=5, n_planes=5, n_tables=8).collect()
     }
     mp = {
         (r["query_id"], r["neighbor_id"])
         for r in sim.ann_lsh_topk(
-            emb, probes, k=5, n_planes=6, n_tables=4, multiprobe=True
+            emb, probes, k=5, n_planes=5, n_tables=8, multiprobe=True
         ).collect()
     }
     ivf = {
