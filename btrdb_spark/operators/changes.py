@@ -57,11 +57,20 @@ def changed_ranges(
         buckets = buckets.unionByName(dbuckets)
     buckets = buckets.distinct()
     w = Window.partitionBy("uuid").orderBy("bstart", "bend")
-    run = buckets.withColumn("prev_end", F.lag("bend").over(w)).withColumn(
+    # prev_end is the RUNNING MAX of bend, not lag(bend): a wide tombstone
+    # range can fully contain later, narrower point buckets, and lag would
+    # see the contained bucket's small end and split the island
+    # (merger.go coalesces overlapping ranges, not just adjacent ones)
+    run = buckets.withColumn(
+        "prev_end", F.max("bend").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    ).withColumn(
         "new_island",
         F.when(F.col("prev_end").isNull() | (F.col("bstart") > F.col("prev_end")), 1).otherwise(0),
     )
-    run = run.withColumn("island", F.sum("new_island").over(w))
+    run = run.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
     out = (
         run.groupBy("uuid", "island")
         .agg(F.min("bstart").alias("range_start"), F.max("bend").alias("range_end"))

@@ -31,6 +31,25 @@ def test_deletes_contribute(make_points, make_deletes):
     assert [(r["range_start"], r["range_end"]) for r in rows] == [(16, 40)]
 
 
+def test_wide_delete_contains_point_buckets(make_points, make_deletes):
+    # delete [0, 80) fully contains the changed point buckets [16,24) and
+    # [40,48): the island pass must track the RUNNING MAX end (lag(bend)
+    # would split after the contained bucket) -> exactly one range [0, 80)
+    pts = make_points([("s", 17, 1.0, 11), ("s", 41, 1.0, 11)])
+    dels = make_deletes([("s", 0, 80, 11)])
+    rows = changed_ranges(pts, "s", 10, 11, resolution=3, deletes=dels).collect()
+    assert [(r["range_start"], r["range_end"]) for r in rows] == [(0, 80)]
+
+
+def test_contained_bucket_then_gap(make_points, make_deletes):
+    # containment followed by a genuine gap: [0,80) covers [16,24); the
+    # next bucket [96,104) starts after the running max -> two ranges
+    pts = make_points([("s", 17, 1.0, 11), ("s", 100, 1.0, 11)])
+    dels = make_deletes([("s", 0, 80, 11)])
+    rows = changed_ranges(pts, "s", 10, 11, resolution=3, deletes=dels).collect()
+    assert [(r["range_start"], r["range_end"]) for r in rows] == [(0, 80), (96, 104)]
+
+
 def test_negative_time_buckets(make_points):
     pts = make_points([("s", -1, 1.0, 11), ("s", -9, 1.0, 11)])
     rows = changed_ranges(pts, "s", 10, 11, resolution=3).collect()
