@@ -21,12 +21,18 @@ Maps the reference's ingest machinery onto Spark-native storage (SURVEY.md
 Version bookkeeping mirrors internal/bprovider/bprovider.go:32-33:
 9 = created-but-empty, 10 = first committed data, +1 per flush/delete.
 
-Storage layout: each logical table is a parquet directory; commits are
-appends (immutable files — the COW analog), so historical versions remain
-readable forever. On a cluster this is a Delta/Iceberg table partitioned
-by (uuid_bucket, time_bucket); the engine only relies on append +
-version-column semantics, which both provide. Stream metadata is
-dimension-sized and rewritten per mutation (etcd analog).
+Storage layout: each logical table is a set of generation directories
+behind an atomic pointer file (btrdb_spark/store.py — the superblock-flip
+analog of internal/bstore/blockstore.go:317-360). Commits are appends
+(immutable files — the COW analog), so historical versions remain
+readable forever; REWRITES (compaction, metadata CAS, obliterate) build a
+new generation — hardlinking every partition directory they don't touch,
+so cost is O(changed partition), not O(table) — and flip the pointer in
+one atomic rename. Mutable tables are hash-partitioned by uuid
+(`uuid_bucket` / `meta_bucket`) so per-stream mutations rewrite exactly
+one partition. On a cluster this whole mechanism is a Delta/Iceberg
+table (MERGE + transaction log); the engine relies only on
+"atomic publish + append + partition rewrite", which both provide.
 """
 
 from __future__ import annotations
@@ -39,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import metadata as md
+from . import store
 from .operators import raw as raw_ops
 from .operators import windows as win_ops
 from .operators import changes as chg_ops
@@ -96,19 +103,36 @@ class BTrDBEngine:
 
     # ---------- table access ----------
 
-    def _path(self, name: str) -> str:
-        return f"{self.base}/{name}"
+    def _data_dir(self, name: str) -> str | None:
+        """Live generation directory for reads (None = never written)."""
+        return store.resolve(self.base, name)
+
+    def _append_dir(self, name: str) -> str:
+        """Live generation directory for appends (created+published empty
+        on first use)."""
+        return store.current_dir(self.base, name, create=True)
+
+    @staticmethod
+    def _has_parquet(path: str | None) -> bool:
+        if path is None:
+            return False
+        for _root, _dirs, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     def _read(self, name: str, schema) -> DataFrame:
-        path = self._path(name)
-        if not os.path.exists(path):
+        path = self._data_dir(name)
+        if not self._has_parquet(path):
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(path)
+        # select by name: drops the physical partition columns
+        # (uuid_bucket / meta_bucket) from the logical schema
+        return self.spark.read.parquet(path).select(*[f.name for f in schema.fields])
 
     @property
     def points(self) -> DataFrame:
-        path = self._path("points")
-        if not os.path.exists(path):
+        path = self._data_dir("points")
+        if not self._has_parquet(path):
             return self.spark.createDataFrame(
                 [], "uuid string, time long, value double, version long, uuid_bucket long"
             )
@@ -125,8 +149,8 @@ class BTrDBEngine:
         bounds allow: uuid -> uuid_bucket directory, [start, end) ->
         time_bucket directory range (plus parquet min/max on uuid/time
         inside the surviving files)."""
-        path = self._path("points")
-        if not os.path.exists(path):
+        path = self._data_dir("points")
+        if not self._has_parquet(path):
             return self.spark.createDataFrame([], POINTS_SCHEMA)
         df = self.spark.read.parquet(path)
         if uuid is not None:
@@ -199,7 +223,12 @@ class BTrDBEngine:
         row = self.spark.createDataFrame(
             [(uuid, collection, tags, annotations, 1, None)], STREAMS_SCHEMA
         )
-        row.write.mode("append").parquet(self._path("streams"))
+        (
+            row.withColumn("meta_bucket", uuid_bucket(F.col("uuid")))
+            .write.mode("append")
+            .partitionBy("meta_bucket")
+            .parquet(self._append_dir("streams"))
+        )
         return uuid
 
     def set_annotations(
@@ -225,18 +254,69 @@ class BTrDBEngine:
                 anns[k] = v
         self._rewrite_stream_row(uuid, annotations=anns, annotation_version=expected_version + 1)
 
-    def _rewrite_stream_row(self, uuid: str, **updates) -> None:
-        rows = [r.asDict() for r in self.streams.collect()]
-        for r in rows:
-            if r["uuid"] == uuid:
-                r.update(updates)
-        df = self.spark.createDataFrame(
-            [tuple(r[f.name] for f in STREAMS_SCHEMA.fields) for r in rows], STREAMS_SCHEMA
+    def _bucket_of(self, uuid: str) -> int:
+        """Partition bucket of one uuid, via the SAME hash Spark applies on
+        write (xxhash64 has no portable driver-side twin): one local 1-row
+        job, O(1) regardless of catalog size."""
+        return int(
+            self.spark.range(1).select(uuid_bucket(F.lit(uuid)).alias("b")).first()["b"]
         )
-        df.write.mode("overwrite").parquet(self._path("streams_tmp"))
-        self.spark.read.schema(STREAMS_SCHEMA).parquet(self._path("streams_tmp")).write.mode(
-            "overwrite"
-        ).parquet(self._path("streams"))
+
+    @staticmethod
+    def _typed_lit(v):
+        if isinstance(v, Mapping):
+            if not v:
+                return F.expr("map()").cast("map<string,string>")
+            return F.create_map(*[c for kv in v.items() for c in (F.lit(kv[0]), F.lit(kv[1]))])
+        return F.lit(v)
+
+    def _rewrite_bucket_partition(
+        self, name: str, bucket_col: str, bucket: int, rewrite, child_partition: str | None = None
+    ) -> None:
+        """Keyed merge onto a hash-partitioned table: build a new
+        generation where ONLY `{bucket_col}={bucket}` is rewritten through
+        ``rewrite(bucket_df)`` — every other partition directory is
+        hardlinked (O(#files) metadata ops, zero data copied) — then flip
+        the table pointer atomically (store.publish). A crash at any step
+        leaves the previous generation fully live."""
+        cur = self._data_dir(name)
+        if cur is None:
+            return
+        sub = f"{bucket_col}={bucket}"
+        gen = store.new_generation(self.base, name)
+        legacy_root = any(f.endswith(".parquet") for f in os.listdir(cur))
+        if legacy_root:
+            # pre-partitioned layout: the transforms are keyed on uuid, so
+            # applying them to the whole (small, legacy) table is exact
+            rewrite(self.spark.read.parquet(cur)).write.mode("append").parquet(gen)
+        else:
+            store.link_unchanged_partitions(cur, gen, exclude_subdir=sub)
+            part = os.path.join(cur, sub)
+            if self._has_parquet(part):
+                out = rewrite(self.spark.read.parquet(part))
+                w = out.write.mode("append")
+                if child_partition is not None:
+                    w = w.partitionBy(child_partition)
+                w.parquet(os.path.join(gen, sub))
+        store.publish(self.base, name, gen)
+
+    def _rewrite_stream_row(self, uuid: str, **updates) -> None:
+        """Metadata merge keyed on uuid: rewrites only the stream's
+        meta_bucket partition (1/N of the catalog); no driver-side
+        collect of the catalog (the CAS read in set_annotations fetches
+        exactly one row)."""
+        bucket = self._bucket_of(uuid)
+        cols = [f.name for f in STREAMS_SCHEMA.fields]
+
+        def xf(df: DataFrame) -> DataFrame:
+            out = df
+            for k, v in updates.items():
+                out = out.withColumn(
+                    k, F.when(F.col("uuid") == uuid, self._typed_lit(v)).otherwise(F.col(k))
+                )
+            return out.select(cols)
+
+        self._rewrite_bucket_partition("streams", "meta_bucket", bucket, xf)
 
     # ---------- version bookkeeping (V4) ----------
 
@@ -291,13 +371,22 @@ class BTrDBEngine:
                 raise ValueError(f"non-finite value at t={t}")
         base_seq = minor
         rows = [(uuid, int(t), float(v), base_seq + i) for i, (t, v) in enumerate(values)]
-        self.spark.createDataFrame(rows, HOT_POINTS_SCHEMA).write.mode("append").parquet(
-            self._path("hot")
-        )
+        self.append_hot(self.spark.createDataFrame(rows, HOT_POINTS_SCHEMA))
         minor += len(values)
         if sync or minor >= self.flush_threshold:
             return self.flush(uuid)
         return major, minor
+
+    def append_hot(self, batch: DataFrame) -> None:
+        """Append (uuid, time, value, seq) rows to the hot buffer,
+        partitioned by uuid_bucket so a flush's clear touches 1/N of the
+        buffer. Used by insert() and the streaming ingest sink."""
+        (
+            batch.withColumn("uuid_bucket", uuid_bucket(F.col("uuid")))
+            .write.mode("append")
+            .partitionBy("uuid_bucket")
+            .parquet(self._append_dir("hot"))
+        )
 
     def flush(self, uuid: str) -> tuple[int, int]:
         """S4: commit the hot buffer into the cold points table at major+1."""
@@ -315,7 +404,7 @@ class BTrDBEngine:
             .sort("time")  # the reference sorts batches before merge (qtree.go:623)
             .write.mode("append")
             .partitionBy("uuid_bucket", "time_bucket")
-            .parquet(self._path("points"))
+            .parquet(self._append_dir("points"))
         )
         if self.ladder is not None:
             # incremental rollup maintenance (A4) — O(batch) partial append,
@@ -353,7 +442,7 @@ class BTrDBEngine:
             .sortWithinPartitions("uuid", "time")
             .write.mode("append")
             .partitionBy("uuid_bucket", "time_bucket")
-            .parquet(self._path("points"))
+            .parquet(self._append_dir("points"))
         )
         if self.ladder is not None:
             self.ladder.ingest_batch(
@@ -369,32 +458,38 @@ class BTrDBEngine:
         files (every flush = one commit); scan cost at 100 TB is dominated
         by file/footer overhead unless a background compactor runs. On
         Delta/Iceberg this is OPTIMIZE / rewriteDataFiles; versions are
-        unaffected (the version column, not file identity, carries MVCC)."""
-        import shutil
+        unaffected (the version column, not file identity, carries MVCC).
 
-        path = self._path("points")
-        if not os.path.exists(path):
+        Crash-safe: the compacted copy is written to a NEW generation and
+        published with one atomic pointer flip — the old table is never
+        removed before the replacement is complete."""
+        path = self._data_dir("points")
+        if not self._has_parquet(path):
             return
-        tmp = self._path("points_compact_tmp")
+        gen = store.new_generation(self.base, "points")
         (
             self.spark.read.parquet(path)
             .repartition(N_UUID_BUCKETS, F.col("uuid_bucket"))
             .sortWithinPartitions("uuid", "time")
-            .write.mode("overwrite")
+            .write.mode("append")
             .partitionBy("uuid_bucket", "time_bucket")
-            .parquet(tmp)
+            .parquet(gen)
         )
-        shutil.rmtree(path)
-        os.rename(tmp, path)
+        store.publish(self.base, "points", gen)
         if self.ladder is not None:
             self.ladder.compact()
 
     def _clear_hot(self, uuid: str) -> None:
-        rest = self.hot.filter(F.col("uuid") != uuid)
-        rest.write.mode("overwrite").parquet(self._path("hot_tmp"))
-        self.spark.read.schema(HOT_POINTS_SCHEMA).parquet(self._path("hot_tmp")).write.mode(
-            "overwrite"
-        ).parquet(self._path("hot"))
+        """Drop one stream's buffered rows: rewrites only its uuid_bucket
+        partition of the hot table (others hardlink into the new
+        generation); atomic flip."""
+        cols = [f.name for f in HOT_POINTS_SCHEMA.fields]
+        self._rewrite_bucket_partition(
+            "hot",
+            "uuid_bucket",
+            self._bucket_of(uuid),
+            lambda df: df.filter(F.col("uuid") != uuid).select(cols),
+        )
 
     def delete_range(self, uuid: str, start: int, end: int) -> int:
         """V3: range tombstone at a new version; flushes the buffer first so
@@ -407,7 +502,7 @@ class BTrDBEngine:
         new_major = VERSION_FIRST_DATA if major == VERSION_CREATED else major + 1
         self.spark.createDataFrame(
             [(uuid, start, end, new_major)], DELETES_SCHEMA
-        ).write.mode("append").parquet(self._path("deletes"))
+        ).write.mode("append").parquet(self._append_dir("deletes"))
         if self.ladder is not None:
             from .operators.raw import apply_deletes
             from .plans.rollup import invalidate_buckets
@@ -417,33 +512,28 @@ class BTrDBEngine:
         return new_major
 
     def obliterate(self, uuid: str) -> None:
-        """S7: tombstone metadata and drop the stream's data."""
+        """S7: tombstone metadata and drop the stream's data.
+
+        Touches ONLY the stream's own partitions: its meta_bucket row
+        group, its uuid_bucket directory of the cold/hot tables (all other
+        partition directories hardlink into the new generation), and the
+        ladder levels; every swap is an atomic pointer flip."""
         if not self.streams.filter(F.col("uuid") == uuid).count():
             raise KeyError(f"no such stream: {uuid}")
         self._rewrite_stream_row(uuid, tombstoned="deleted")
-        if os.path.exists(self._path("points")):
-            import shutil
-
-            rest = self.points.filter(F.col("uuid") != uuid).withColumn(
-                "time_bucket", time_bucket(F.col("time"))
+        if self._has_parquet(self._data_dir("points")):
+            self._rewrite_bucket_partition(
+                "points",
+                "uuid_bucket",
+                self._bucket_of(uuid),
+                lambda df: df.filter(F.col("uuid") != uuid),
+                child_partition="time_bucket",
             )
-            if rest.isEmpty():
-                shutil.rmtree(self._path("points"))
-            else:
-                rest.write.mode("overwrite").partitionBy("uuid_bucket", "time_bucket").parquet(
-                    self._path("points_tmp")
-                )
-                self.spark.read.parquet(self._path("points_tmp")).write.mode(
-                    "overwrite"
-                ).partitionBy("uuid_bucket", "time_bucket").parquet(self._path("points"))
         self._clear_hot(uuid)
         if self.ladder is not None:
             for pw in self.ladder.levels:
-                tmp = f"{self.ladder._path(pw)}_tmp"
-                keep = self.ladder.level(pw).filter(F.col("uuid") != uuid)
-                keep.write.mode("overwrite").parquet(tmp)
-                self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
-                    self.ladder._path(pw)
+                self.ladder.rewrite_level(
+                    pw, lambda df: df.filter(F.col("uuid") != uuid)
                 )
 
     # ---------- read path (merge-on-read) ----------

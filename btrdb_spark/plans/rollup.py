@@ -34,6 +34,8 @@ buckets per stream — still 6 orders of magnitude below raw.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -303,26 +305,34 @@ def windows_from_rollup(
 
 
 class RollupLadder:
-    """Parquet-backed append-only ladder with merge-on-read partials."""
+    """Parquet-backed append-only ladder with merge-on-read partials.
+
+    Levels live behind the same atomic generation pointers as the engine
+    tables (btrdb_spark/store.py): appends land in the live generation;
+    compaction/invalidation write a NEW generation and flip the pointer,
+    so a crash mid-rewrite never loses a level."""
 
     def __init__(self, spark, base_dir: str, levels: tuple[int, ...] = LEVELS):
         self.spark = spark
         self.base = base_dir
         self.levels = tuple(sorted(levels))
 
-    def _path(self, pw: int) -> str:
-        return f"{self.base}/agg_{pw}"
+    def _name(self, pw: int) -> str:
+        return f"agg_{pw}"
 
     def level(self, pw: int) -> DataFrame:
-        import os
+        from .. import store
 
-        if not os.path.exists(self._path(pw)):
+        path = store.resolve(self.base, self._name(pw))
+        if path is None or not any(
+            f.endswith(".parquet") for _r, _d, fs in os.walk(path) for f in fs
+        ):
             return self.spark.createDataFrame(
                 [],
                 f"uuid string, bucket_start long, version long, cnt long, "
                 f"vmin double, vmax double, vsum {DEC}",
             )
-        return self.spark.read.parquet(self._path(pw))
+        return self.spark.read.parquet(path)
 
     def ingest_batch(self, batch_points: DataFrame) -> None:
         """Append per-level partials for a batch — O(batch) work.
@@ -340,14 +350,26 @@ class RollupLadder:
         for i, pw in enumerate(self.levels):
             if i > 0:
                 partial = coarsen(partial, self.levels[i - 1], pw)
-            partial.write.mode("append").parquet(self._path(pw))
+            from .. import store
+
+            partial.write.mode("append").parquet(
+                store.current_dir(self.base, self._name(pw), create=True)
+            )
+
+    def rewrite_level(self, pw: int, rewrite) -> None:
+        """Replace level pw with ``rewrite(level_df)`` via a new generation
+        + atomic pointer flip (the old level stays live until the new one
+        is complete)."""
+        from .. import store
+
+        gen = store.new_generation(self.base, self._name(pw))
+        rewrite(self.level(pw)).write.mode("append").parquet(gen)
+        store.publish(self.base, self._name(pw), gen)
 
     def compact(self) -> None:
         """Fold partials to one row per bucket (Delta OPTIMIZE analog)."""
         for pw in self.levels:
-            tmp = f"{self._path(pw)}_tmp"
-            combine(self.level(pw)).write.mode("overwrite").parquet(tmp)
-            self.spark.read.parquet(tmp).write.mode("overwrite").parquet(self._path(pw))
+            self.rewrite_level(pw, combine)
 
     def aligned_windows(
         self, uuid: str | None, start: int, end: int, pw: int, version: int | None = None
@@ -413,6 +435,4 @@ def invalidate_buckets(ladder: RollupLadder, points: DataFrame, uuid: str, start
         # engine disables version-routed ladder reads for streams with
         # tombstones (historical versions fall back to the raw path)
         recomputed = rollup_points(src, pw, versioned=True)
-        tmp = f"{ladder._path(pw)}_tmp"
-        keep.unionByName(recomputed).write.mode("overwrite").parquet(tmp)
-        ladder.spark.read.parquet(tmp).write.mode("overwrite").parquet(ladder._path(pw))
+        ladder.rewrite_level(pw, lambda df: keep.unionByName(recomputed))

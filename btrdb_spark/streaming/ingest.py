@@ -10,18 +10,28 @@ streaming window state.
 Spark mapping:
 - ``readStream`` on a source -> ``foreachBatch`` append into the engine's
   hot table. The streaming checkpoint is the WAL: a batch is acked only
-  after its parquet commit, and replay after failure is idempotent per
-  epoch id (at-least-once + idempotent sink = the reference's
-  version-guarded journal replay, pqm.go:152-188).
+  after its parquet commit (at-least-once), and a committed-epoch marker
+  makes replay after failure skip epochs whose data commit completed —
+  the version-guarded journal replay of pqm.go:152-188. The residual
+  window (crash between the data commit and the marker write) re-appends
+  one batch; closing it entirely requires a transactional table format
+  (Delta/Iceberg txn appends keyed by (queryId, epochId)), which is what
+  this sink becomes on a cluster.
 - Flush/compaction runs inside the same foreachBatch once a stream's
   buffer exceeds the threshold — exactly the reference's size-triggered
-  commit (pqm.go:568-600).
+  commit (pqm.go:568-600). The per-stream count check is bounded: one row
+  per active stream in the micro-batch, never the whole buffer.
 - Optionally each batch also appends rollup-ladder partials
   (plans/rollup.py), which is how the materialized rollup stays fresh
-  under continuous ingest.
+  under continuous ingest. The ladder here must NOT be the engine's own
+  ladder: engine.flush() ingests the flushed batch into engine.ladder at
+  its commit version, so wiring the same ladder in both places would
+  double-count every point (guarded below).
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -41,20 +51,41 @@ def attach_ingest(
 
     Returns the StreamingQuery. Caller owns awaitTermination/stop.
     """
+    if ladder is not None and ladder is engine.ladder:
+        raise ValueError(
+            "pass ladder=None: engine.flush() already maintains engine.ladder "
+            "at commit time; wiring it here too would double-count every batch"
+        )
+    marker_dir = os.path.join(checkpoint_dir, "committed_epochs")
+    os.makedirs(marker_dir, exist_ok=True)
 
     def process_batch(batch: DataFrame, epoch_id: int) -> None:
+        marker = os.path.join(marker_dir, f"{epoch_id}.done")
+        if os.path.exists(marker):
+            return  # crashed-then-replayed epoch: data commit already done
         batch = batch.select(
             "uuid",
             F.col("time").cast("long"),
             F.col("value").cast("double"),
             F.lit(epoch_id).cast("long").alias("seq"),
         )
-        batch.write.mode("append").parquet(engine._path("hot"))
+        engine.append_hot(batch)
         if ladder is not None:
             ladder.ingest_batch(batch.select("uuid", "time", "value"))
-        # size-triggered flush per stream (pqm.go:568-600)
+        # atomic marker AFTER the data commit (write tmp + rename)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("ok")
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, marker)
+        # size-triggered flush per stream (pqm.go:568-600); only streams
+        # present in THIS batch can have crossed the threshold
+        touched = [r["uuid"] for r in batch.select("uuid").distinct().collect()]
         counts = (
-            engine.hot.groupBy("uuid").agg(F.count(F.lit(1)).alias("n"))
+            engine.hot.filter(F.col("uuid").isin(touched))
+            .groupBy("uuid")
+            .agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") >= engine.flush_threshold)
             .collect()
         )

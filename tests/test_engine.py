@@ -134,11 +134,18 @@ def test_compact_points_preserves_answers(spark, tmp_path):
     for b in range(5):  # 5 flush commits -> >= 5 files in the partition
         eng.insert(u, [(b * 10**6 + i, float(b * 100 + i)) for i in range(50)])
         eng.flush(u)
+    from btrdb_spark import store
+
     before = eng.raw_values(u, 0, 10**12).collect()
     ver_before = eng.stream_version(u)
-    nfiles_before = len(glob.glob(str(tmp_path / "cp" / "points" / "**" / "*.parquet"), recursive=True))
+    base = str(tmp_path / "cp")
+    nfiles_before = len(
+        glob.glob(store.resolve(base, "points") + "/**/*.parquet", recursive=True)
+    )
     eng.compact_points()
-    nfiles_after = len(glob.glob(str(tmp_path / "cp" / "points" / "**" / "*.parquet"), recursive=True))
+    nfiles_after = len(
+        glob.glob(store.resolve(base, "points") + "/**/*.parquet", recursive=True)
+    )
     assert nfiles_after < nfiles_before
     assert eng.raw_values(u, 0, 10**12).collect() == before
     assert eng.stream_version(u) == ver_before
