@@ -305,6 +305,13 @@ def neardup_clusters(
         labels = new_labels.select("doc_id", "label")
         if changed == 0:
             break
+    else:
+        # chain-shaped graphs can have diameter > max_iter; silently
+        # returning half-propagated labels would be wrong, so fail loud
+        raise RuntimeError(
+            f"neardup_clusters did not converge in max_iter={max_iter} "
+            "rounds (graph diameter exceeds the bound); raise max_iter"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")
 
 

@@ -14,6 +14,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.timeops import floor_div
 from .align import align_streams
 from .windows import aligned_windows, windows
 
@@ -33,10 +34,12 @@ def csv_raw(
     df = align_streams(points, uuids, start, end, version=version, deletes=deletes)
     cols = [F.col("time")]
     if rfc3339:
-        # serve.go:974-975 renders RFC3339 from the ns timestamp
+        # serve.go:974-975 renders RFC3339 from the ns timestamp;
+        # floor (not truncate-toward-zero) so pre-1970 times round the
+        # same direction as every other ns->bucket conversion (timeops.py)
         cols.append(
             F.date_format(
-                F.timestamp_micros(F.call_function("div", F.col("time"), F.lit(1000).cast("long"))),
+                F.timestamp_micros(floor_div(F.col("time"), F.lit(1000).cast("long"))),
                 "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
             ).alias("time_rfc3339")
         )
