@@ -282,6 +282,57 @@ def q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ppm_decode_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image decode path (functions/multimodal.py PPM codec): blobs
+    are genuine P6 files built on executors; features are integer-exact
+    pixel statistics the oracle recomputes arithmetically — this gates
+    actual byte-level decoding, not just plumbing."""
+    media = multimodal.synthetic_ppm_media(load_table(spark, sf, "documents"))
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id",
+        "feat_dim",
+        F.element_at("feature", 1).alias("w"),
+        F.element_at("feature", 2).alias("h"),
+        F.element_at("feature", 3).alias("sum_r"),
+        F.element_at("feature", 4).alias("sum_g"),
+        F.element_at("feature", 5).alias("sum_b"),
+        F.element_at("feature", 6).alias("px_min"),
+        F.element_at("feature", 7).alias("px_max"),
+    ).orderBy("media_id")
+
+
+def q_ppm_resize_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL decode -> nearest-neighbor resize -> re-encode -> re-decode,
+    checksummed per image; the oracle computes the same checksum from the
+    closed-form pixel function + the floor index mapping, never touching
+    bytes — so any pixel the codec gets wrong flips the sum."""
+    media = multimodal.synthetic_ppm_media(load_table(spark, sf, "documents"))
+    resized = multimodal.resize(media, out_width=5, out_height=4)
+    sums = multimodal.raster_byte_sum(resized)
+    return (
+        resized.select("media_id", "out_width", "out_height")
+        .join(sums, "media_id")
+        .orderBy("media_id")
+    )
+
+
+def q_wav_decode_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio decode path (stdlib WAV/PCM16): integer-exact sample
+    statistics recomputed arithmetically by the oracle."""
+    media = multimodal.synthetic_wav_media(load_table(spark, sf, "documents"))
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id",
+        F.element_at("feature", 2).alias("n_frames"),
+        F.element_at("feature", 4).alias("sum0"),
+        F.element_at("feature", 5).alias("smin"),
+        F.element_at("feature", 6).alias("smax"),
+        F.element_at("feature", 7).alias("zero_crossings"),
+        F.element_at("feature", 8).alias("peak_abs"),
+    ).orderBy("media_id")
+
+
 def q_list_collections(spark: SparkSession, sf: str) -> DataFrame:
     return md.list_collections(_streams_df(spark, sf), prefix="site1")
 
@@ -545,6 +596,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "resize": q_resize,
         "frame_sample": q_frame_sample,
+        "ppm_decode_features": q_ppm_decode_features,
+        "ppm_resize_exact": q_ppm_resize_exact,
+        "wav_decode_features": q_wav_decode_features,
         "list_collections": q_list_collections,
         "lookup_streams": q_lookup_streams,
         "lookup_streams_ann": q_lookup_streams_ann,
@@ -815,6 +869,77 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id AS media_id, CAST(doc_id % 30 + 2 AS BIGINT) AS n_frames,
                CAST(1000 * (doc_id % 30 + 1) AS BIGINT) AS last_ts_ms
         FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id
+    """
+
+    # Real-codec gates: blobs are genuine PPM/WAV whose pixels/samples are
+    # closed-form functions of doc_id (functions/multimodal.py generators),
+    # so the oracle recomputes every statistic arithmetically — it never
+    # builds a blob, making the comparison a true cross-check of the
+    # byte-level decode. Sums are integer-exact, hence order-independent.
+    oracles["ppm_decode_features"] = """
+        WITH dims AS (
+            SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h FROM documents
+        ),
+        px AS (
+            SELECT d.doc_id, d.w, d.h, r.range AS i,
+                   (d.doc_id * 31 + r.range) % 256 AS v
+            FROM dims d CROSS JOIN range(0, 288) r
+            WHERE r.range < d.w * d.h * 3
+        )
+        SELECT doc_id AS media_id,
+               CAST(8 AS BIGINT) AS feat_dim,
+               CAST(MAX(w) AS DOUBLE) AS w,
+               CAST(MAX(h) AS DOUBLE) AS h,
+               CAST(SUM(v) FILTER (WHERE i % 3 = 0) AS DOUBLE) AS sum_r,
+               CAST(SUM(v) FILTER (WHERE i % 3 = 1) AS DOUBLE) AS sum_g,
+               CAST(SUM(v) FILTER (WHERE i % 3 = 2) AS DOUBLE) AS sum_b,
+               CAST(MIN(v) AS DOUBLE) AS px_min,
+               CAST(MAX(v) AS DOUBLE) AS px_max
+        FROM px GROUP BY doc_id ORDER BY media_id
+    """
+
+    oracles["ppm_resize_exact"] = """
+        WITH dims AS (
+            SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h FROM documents
+        ),
+        cells AS (
+            SELECT d.doc_id, d.w,
+                   (y.range * d.h) // 4 AS sy,
+                   (x.range * d.w) // 5 AS sx,
+                   c.range AS c
+            FROM dims d
+            CROSS JOIN range(0, 4) y CROSS JOIN range(0, 5) x CROSS JOIN range(0, 3) c
+        )
+        SELECT doc_id AS media_id,
+               CAST(5 AS BIGINT) AS out_width,
+               CAST(4 AS BIGINT) AS out_height,
+               CAST(SUM((doc_id * 31 + (sy * w * 3 + sx * 3 + c)) % 256) AS BIGINT)
+                   AS byte_sum
+        FROM cells GROUP BY doc_id ORDER BY media_id
+    """
+
+    oracles["wav_decode_features"] = """
+        WITH base AS (
+            SELECT doc_id, 200 + (doc_id % 7) * 40 AS n FROM documents
+        ),
+        s AS (
+            SELECT b.doc_id, b.n, r.range AS i,
+                   (b.doc_id * 7 + r.range * 13) % 65536 - 32768 AS v,
+                   CASE WHEN r.range > 0
+                        THEN (b.doc_id * 7 + (r.range - 1) * 13) % 65536 - 32768
+                   END AS vp
+            FROM base b CROSS JOIN range(0, 440) r
+            WHERE r.range < b.n
+        )
+        SELECT doc_id AS media_id,
+               CAST(MAX(n) AS DOUBLE) AS n_frames,
+               CAST(SUM(v) AS DOUBLE) AS sum0,
+               CAST(MIN(v) AS DOUBLE) AS smin,
+               CAST(MAX(v) AS DOUBLE) AS smax,
+               CAST(SUM(CASE WHEN i > 0 AND ((v < 0) <> (vp < 0)) THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS zero_crossings,
+               CAST(MAX(ABS(v)) AS DOUBLE) AS peak_abs
+        FROM s GROUP BY doc_id ORDER BY media_id
     """
 
     oracles["list_collections"] = f"""
