@@ -479,6 +479,22 @@ class BTrDBEngine:
         if self.ladder is not None:
             self.ladder.compact()
 
+    def vacuum(self, keep: int = 2) -> dict[str, int]:
+        """Reap superseded table generations (Delta VACUUM analog). Old
+        generations are the MVCC window for in-flight readers — `keep`
+        bounds how far back a long-running query may lag. Returns
+        {table: generations removed}."""
+        out: dict[str, int] = {}
+        names = ["points", "hot", "streams", "deletes"]
+        if self.ladder is not None:
+            names += [self.ladder._name(pw) for pw in self.ladder.levels]
+        for name in names:
+            base = self.ladder.base if name.startswith("agg_") else self.base
+            victims = store.gc_generations(base, name, keep=keep)
+            if victims:
+                out[name] = len(victims)
+        return out
+
     def _clear_hot(self, uuid: str) -> None:
         """Drop one stream's buffered rows: rewrites only its uuid_bucket
         partition of the hot table (others hardlink into the new

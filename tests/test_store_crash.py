@@ -91,6 +91,17 @@ def test_flush_clear_hot_crash_keeps_buffer(engine, monkeypatch):
     monkeypatch.undo()
 
 
+def test_vacuum_reaps_old_generations(engine):
+    u = engine.create_stream("c/vac")
+    engine.insert(u, [(i, float(i)) for i in range(30)], sync=True)
+    before = engine.raw_values(u, 0, 10**9).collect()
+    for _ in range(3):
+        engine.compact_points()  # each compaction strands a generation
+    removed = engine.vacuum(keep=1)
+    assert removed.get("points", 0) >= 1
+    assert engine.raw_values(u, 0, 10**9).collect() == before
+
+
 def test_publish_is_pointer_flip_and_gc_spares_live(tmp_path):
     base = str(tmp_path / "t")
     os.makedirs(base)
