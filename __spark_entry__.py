@@ -564,6 +564,22 @@ def q_value_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     return qt_ops.value_quantiles(events_as_points(spark, sf))
 
 
+def q_pack_token_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """GPT-style stream packing: per-source running token sum cut into
+    2048-token shards; one window pass partitioned by source."""
+    return pipeline.pack_token_shards(
+        load_table(spark, sf, "documents"), budget_tokens=2048
+    )
+
+
+def q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted source mixture (salted-hash survival)."""
+    return pipeline.mixture_sample(
+        load_table(spark, sf, "documents"),
+        weights={"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1},
+    )
+
+
 def q_stream_info(spark: SparkSession, sf: str) -> DataFrame:
     """V4/M3: descriptor + latest (major) version for every stream."""
     streams = _streams_df(spark, sf).select("uuid", "collection")
@@ -630,6 +646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_docs_per_lang": q_topk_docs_per_lang,
         "value_quantiles": q_value_quantiles,
         "corpus_clean": q_corpus_clean,
+        "pack_token_shards": q_pack_token_shards,
+        "mixture_sample": q_mixture_sample,
         "stream_info": q_stream_info,
     }
 

@@ -13,6 +13,8 @@ never raw text (see functions/dedup.py scale notes).
 
 from __future__ import annotations
 
+from collections.abc import Mapping
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -99,7 +101,120 @@ def train_val_test_split(
     return documents.select(F.col(id_col), split.alias("split")).orderBy(id_col)
 
 
+def pack_token_shards(
+    documents: DataFrame,
+    budget_tokens: int = 2048,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training shards — the
+    GPT-style stream-packing convention: concatenate documents in a
+    deterministic order (group, doc_id) and cut every ``budget_tokens``;
+    a document may straddle a shard boundary (its ``offset_in_shard``
+    says where it starts in its shard).
+
+    Scale design: ONE window pass, partitioned by ``group_col`` (source /
+    language / date-bucket), so each group's running sum is independent —
+    the natural parallel unit for mixture-of-sources corpora. A single
+    global stream (group_col=None semantics) would serialize the cumsum
+    into one task and is deliberately not offered. All integer
+    arithmetic: shard ids are reproducible bit-for-bit on any engine.
+    """
+    from pyspark.sql import Window
+
+    from .text import token_counts
+
+    toks = token_counts(documents, text_col).select("doc_id", "n_tokens")
+    df = documents.select(group_col, "doc_id").join(toks, "doc_id")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return df.select(
+        "doc_id",
+        F.col(group_col).alias("source"),
+        "n_tokens",
+        cum_before.alias("cum_before"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr(f"cum_before DIV {int(budget_tokens)}").alias("shard_id"),
+        (F.col("cum_before") % F.lit(int(budget_tokens))).alias("offset_in_shard"),
+    ).orderBy("source", "doc_id")
+
+
+def mixture_sample(
+    documents: DataFrame,
+    weights: Mapping[str, float],
+    salt: str = "mix-v1",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted mixture over sources: keep a
+    ``weights[source]`` fraction of each source's documents, chosen by
+    salted id hash (same stability contract as train_val_test_split —
+    pure function of (salt, id), immune to partitioning/corpus growth;
+    a new salt draws a fresh sample). Sources absent from ``weights``
+    are dropped. Pure narrow filter: no shuffle, no sampling state.
+
+    Output: (doc_id, source), the surviving mixture.
+    """
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 10_000
+    )
+    keep = F.lit(False)
+    for src, frac in sorted(weights.items()):
+        keep = keep | ((F.col(group_col) == F.lit(src)) & (bucket < int(frac * 10_000)))
+    return (
+        documents.filter(keep)
+        .select(F.col(id_col), F.col(group_col).alias("source"))
+        .orderBy(id_col)
+    )
+
+
 ORACLES = {
+    # mirrors pack_token_shards(budget_tokens=2048, group_col='source')
+    "pack_token_shards": """
+        WITH t AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, source, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM t
+        )
+        SELECT doc_id, source, n_tokens,
+               CAST(cum_before // 2048 AS BIGINT) AS shard_id,
+               CAST(cum_before % 2048 AS BIGINT) AS offset_in_shard
+        FROM c ORDER BY source, doc_id
+    """,
+    # mirrors mixture_sample(weights={'src0':1.0,'src1':.5,'src2':.25,'src3':.1})
+    "mixture_sample": """
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   ('0x' || substr(md5('mix-v1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 10000 AS hv
+            FROM documents
+        )
+        WHERE (source = 'src0' AND hv < 10000)
+           OR (source = 'src1' AND hv < 5000)
+           OR (source = 'src2' AND hv < 2500)
+           OR (source = 'src3' AND hv < 1000)
+        ORDER BY doc_id
+    """,
     # mirrors train_val_test_split(weights=(80,10,10), salt='split-v1')
     "train_val_test_split": """
         SELECT doc_id,

@@ -192,3 +192,39 @@ def test_topk_by_tokens_rank_and_tiebreak(spark):
     out = text.topk_by_tokens(docs, k=2).collect()
     got = [(r["pred_lang"], r["rank"], r["doc_id"]) for r in out]
     assert got == [("en", 1, 3), ("en", 2, 1), ("es", 1, 4)]
+
+
+def test_pack_token_shards_stream_packing(spark):
+    from btrdb_spark.functions import pipeline
+
+    rows = [
+        (0, "a b c", "s1"),        # 3 tokens
+        (1, "d e f g", "s1"),      # 4 tokens
+        (2, "h i", "s1"),          # 2 tokens
+        (3, "j k l m n", "s2"),    # 5 tokens (independent stream)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in pipeline.pack_token_shards(docs, budget_tokens=5).collect()}
+    # s1 stream: cum_before 0, 3, 7 -> shards 0, 0, 1; offsets 0, 3, 2
+    assert (out[0]["shard_id"], out[0]["offset_in_shard"]) == (0, 0)
+    assert (out[1]["shard_id"], out[1]["offset_in_shard"]) == (0, 3)  # straddles
+    assert (out[2]["shard_id"], out[2]["offset_in_shard"]) == (1, 2)
+    # s2 packs independently of s1
+    assert (out[3]["shard_id"], out[3]["offset_in_shard"]) == (0, 0)
+
+
+def test_mixture_sample_deterministic_and_weighted(spark):
+    from btrdb_spark.functions import pipeline
+
+    rows = [(i, "t", "a" if i % 2 == 0 else "b") for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    w = {"a": 1.0, "b": 0.25}
+    got1 = pipeline.mixture_sample(docs, w).collect()
+    got2 = pipeline.mixture_sample(docs, w, salt="mix-v1").collect()
+    assert got1 == got2  # pure function of (salt, id)
+    by_src = {}
+    for r in got1:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by_src["a"]) == 200  # weight 1.0 keeps everything
+    assert 20 <= len(by_src["b"]) <= 80  # ~25% of 200, hash-binomial
+    assert pipeline.mixture_sample(docs, w, salt="mix-v2").collect() != got1

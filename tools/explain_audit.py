@@ -57,6 +57,17 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "partial_count"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
     ),
+    # one window pass per source partition, no nested loops
+    "pack_token_shards": (
+        ["Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # pure narrow filter: no shuffle but the output sort, no Python
+    "mixture_sample": ([], ["Exchange hashpartitioning", "BatchEvalPython"]),
+    # Arrow-batched kernels (mapInPandas = ArrowEvalPython-free MapInPandas
+    # node), never row-at-a-time BatchEvalPython
+    "ppm_resize_exact": (["MapInPandas"], ["BatchEvalPython", "CartesianProduct"]),
+    "wav_decode_features": (["MapInPandas"], ["BatchEvalPython"]),
 }
 
 
