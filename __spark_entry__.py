@@ -580,6 +580,12 @@ def q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_value_quantiles_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-path per-stream quantiles (percentile_approx at exact
+    accuracy so the oracle can gate it; see operators/quantiles.py)."""
+    return qt_ops.value_quantiles_sketch(events_as_points(spark, sf))
+
+
 def q_stream_info(spark: SparkSession, sf: str) -> DataFrame:
     """V4/M3: descriptor + latest (major) version for every stream."""
     streams = _streams_df(spark, sf).select("uuid", "collection")
@@ -648,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "pack_token_shards": q_pack_token_shards,
         "mixture_sample": q_mixture_sample,
+        "value_quantiles_sketch": q_value_quantiles_sketch,
         "stream_info": q_stream_info,
     }
 
@@ -1041,6 +1048,7 @@ def oracle_sql() -> dict[str, str]:
     oracles.update(similarity.ORACLES)
     oracles.update(pipeline.ORACLES)
     oracles["value_quantiles"] = qt_ops.quantile_oracle_sql(PTS)
+    oracles["value_quantiles_sketch"] = qt_ops.quantile_sketch_oracle_sql(PTS)
     oracles["asof_join_backward"] = asof_ops.asof_oracle_sql(PTS, PROBES_SQL)
     oracles["asof_join_forward"] = asof_ops.asof_oracle_sql(PTS, PROBES_SQL, forward=True)
     oracles["range_join_stats"] = rj_ops.range_join_agg_oracle_sql(

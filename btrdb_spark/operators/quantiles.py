@@ -53,6 +53,42 @@ def value_quantiles(
     return ranked.groupBy("uuid").agg(*aggs).orderBy("uuid")
 
 
+def value_quantiles_sketch(
+    points: DataFrame,
+    pcts: Sequence[int] = (25, 50, 90, 99),
+    accuracy: int = 2147483647,
+) -> DataFrame:
+    """Sketch-path quantiles: ``percentile_approx`` (Greenwald-Khanna
+    summary) — ONE map-side-combinable aggregation, no per-stream sort or
+    window pass, bounded memory per stream regardless of n. This is the
+    100 TB path; `value_quantiles` is the exact baseline.
+
+    ``accuracy`` trades memory for rank error (error <= n/accuracy). The
+    default (INT_MAX) makes the sketch exact, which is how the oracle
+    gates this operator bit-for-bit; production at 100 TB would run
+    accuracy ~1e4 for O(accuracy) state per stream.
+    """
+    aggs = [
+        F.percentile_approx("value", int(p) / 100.0, accuracy).alias(f"p{int(p)}")
+        for p in pcts
+    ]
+    return points.select("uuid", "value").groupBy("uuid").agg(*aggs).orderBy("uuid")
+
+
+def quantile_sketch_oracle_sql(
+    points_sql: str, pcts: Sequence[int] = (25, 50, 90, 99)
+) -> str:
+    """DuckDB mirror of the exact-accuracy sketch path: discrete quantiles
+    (both engines return an actual data element at the same nearest rank)."""
+    cols = ",\n               ".join(
+        f"quantile_disc(value, {int(p) / 100.0}) AS p{int(p)}" for p in pcts
+    )
+    return f"""
+        SELECT uuid, {cols}
+        FROM {points_sql} p GROUP BY uuid ORDER BY uuid
+    """
+
+
 def quantile_oracle_sql(points_sql: str, pcts: Sequence[int] = (25, 50, 90, 99)) -> str:
     """DuckDB mirror of value_quantiles over a points relation."""
     cols = ",\n               ".join(

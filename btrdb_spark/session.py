@@ -29,7 +29,12 @@ def get_spark(app_name: str = "btrdb_spark", cpus: int | None = None) -> SparkSe
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("BTRDB_SPARK_DRIVER_MEM", "8g"))
+        # local[N] runs executors inside the driver JVM: size the heap for
+        # N concurrent tasks (32 threads on the bench box), not a lone
+        # driver. 24g keeps sf0.1 shuffles and the 20M-point probes fully
+        # in memory (no spill); harmless where less RAM exists because the
+        # heap is lazily committed.
+        .config("spark.driver.memory", os.environ.get("BTRDB_SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
     )

@@ -168,6 +168,30 @@ def test_value_quantiles_exact_ranks(spark, make_points):
     assert row["p99"] == 98.0
 
 
+def test_value_quantiles_sketch_discrete_ranks(spark, make_points):
+    """percentile_approx at exact accuracy returns an ACTUAL data element
+    at the nearest rank (its convention is ceil(p*n), one off from
+    value_quantiles' floor(p*(n-1))+1 at some n — each op is gated against
+    its own oracle; here we pin the sketch's contract directly."""
+    import math
+    import random
+
+    from btrdb_spark.operators.quantiles import value_quantiles_sketch
+
+    rng = random.Random(7)
+    rows = [(str(u), i, rng.uniform(-50, 50), 10) for u in (1, 2) for i in range(257)]
+    pts = make_points(rows)
+    by_uuid = {}
+    for u, _t, v, _ver in rows:
+        by_uuid.setdefault(u, []).append(v)
+    sk = {r["uuid"]: r for r in value_quantiles_sketch(pts).collect()}
+    for u, vals in by_uuid.items():
+        vals.sort()
+        for p in (25, 50, 90, 99):
+            got = sk[u][f"p{p}"]
+            assert got == vals[math.ceil(p / 100 * len(vals)) - 1], (u, p)
+
+
 def test_ngram_contamination(spark):
     rows = [
         (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # eval
