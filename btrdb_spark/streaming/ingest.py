@@ -79,6 +79,12 @@ def attach_ingest(
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, marker)
+        # bound the marker set: replay can only revisit epochs still in the
+        # streaming checkpoint's recent window, so markers far behind the
+        # current epoch are dead weight (keep a generous 1000)
+        for fn in os.listdir(marker_dir):
+            if fn.endswith(".done") and int(fn[:-5]) < epoch_id - 1000:
+                os.unlink(os.path.join(marker_dir, fn))
         # size-triggered flush per stream (pqm.go:568-600); only streams
         # present in THIS batch can have crossed the threshold
         touched = [r["uuid"] for r in batch.select("uuid").distinct().collect()]
