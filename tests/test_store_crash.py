@@ -91,6 +91,26 @@ def test_flush_clear_hot_crash_keeps_buffer(engine, monkeypatch):
     monkeypatch.undo()
 
 
+def test_legacy_flat_layout_still_mutable(spark, tmp_path):
+    """Tables written before the pointer layout (bare `streams/` dir, no
+    partitioning) must stay readable AND mutable: the rewrite path falls
+    back to a whole-table (dimension-sized) rewrite into a new
+    generation."""
+    from btrdb_spark.schemas import STREAMS_SCHEMA
+
+    base = str(tmp_path / "old")
+    os.makedirs(base)
+    spark.createDataFrame(
+        [("u-1", "c/legacy", {"unit": "kw"}, {}, 1, None)], STREAMS_SCHEMA
+    ).write.parquet(f"{base}/streams")
+    eng = BTrDBEngine(spark, base)
+    assert eng.streams.count() == 1
+    eng.set_annotations("u-1", 1, {"owner": "ops"})
+    row = eng.streams.first()
+    assert row["annotations"] == {"owner": "ops"} and row["annotation_version"] == 2
+    assert store.resolve(base, "streams").endswith(".g0")  # migrated
+
+
 def test_vacuum_reaps_old_generations(engine):
     u = engine.create_stream("c/vac")
     engine.insert(u, [(i, float(i)) for i in range(30)], sync=True)
