@@ -555,6 +555,18 @@ def q_neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.neardup_clusters(load_table(spark, sf, "documents"), min_est_jaccard=0.5)
 
 
+def q_neardup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup endpoint: keep-longest canonical doc per near-dup cluster
+    (singletons survive); the doc set a cleaning pipeline ships."""
+    return dedup.neardup_keep_best(load_table(spark, sf, "documents"), min_est_jaccard=0.5)
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc top-5 characteristic terms by tf-idf (linear idf for
+    engine-exact float parity)."""
+    return text.tfidf_top_terms(load_table(spark, sf, "documents"), k=5)
+
+
 def q_train_val_test_split(spark: SparkSession, sf: str) -> DataFrame:
     return pipeline.train_val_test_split(load_table(spark, sf, "documents"))
 
@@ -647,6 +659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_locf": q_resample_locf,
         "stream_rate": q_stream_rate,
         "neardup_clusters": q_neardup_clusters,
+        "neardup_keep_best": q_neardup_keep_best,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "train_val_test_split": q_train_val_test_split,
         "ngram_contamination": q_ngram_contamination,
         "topk_docs_per_lang": q_topk_docs_per_lang,
@@ -1060,6 +1074,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["stream_rate"] = rs_ops.stream_rate_oracle_sql(PTS)
     oracles["ngram_contamination"] = text.contamination_oracle_sql("doc_id < 5", 8)
     oracles["topk_docs_per_lang"] = text.topk_oracle_sql(5)
+    oracles["neardup_keep_best"] = dedup.ORACLES["neardup_keep_best"]
+    oracles["tfidf_top_terms"] = text.tfidf_oracle_sql(5)
 
     # corpus_clean: composed verbatim from the per-op oracles above, so the
     # pipeline oracle stays consistent with each stage's oracle by

@@ -315,6 +315,54 @@ def neardup_clusters(
     return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")
 
 
+def neardup_keep_best(
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_est_jaccard: float = 0.5,
+    text_col: str = "text",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """The dedup ENDPOINT: one canonical survivor per near-dup cluster.
+
+    ``neardup_clusters`` labels the graph; this picks the doc a cleaning
+    pipeline actually keeps — the longest (``len_col`` DESC, ties to the
+    smallest doc_id), the standard keep-longest canonicalization. Docs in
+    no cluster survive as their own singleton cluster.
+
+    Scale: cluster labels join back on doc_id — the corpus's natural key,
+    a plain shuffle join (labels can be a large fraction of the corpus on
+    boilerplate-heavy crawls, so no broadcast). Survivor choice is one
+    window pass per cluster; cluster cardinality is bounded by dup-group
+    size, so no skew pathologies.
+
+    Output: (doc_id, cluster_id, cluster_size) for survivors only,
+    doc_id-ordered. sum(cluster_size) == count(documents).
+    """
+    clusters = neardup_clusters(
+        documents, n, num_hashes, bands, min_est_jaccard, text_col
+    )
+    labeled = (
+        documents.select("doc_id", F.col(len_col).alias("doc_len"))
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    )
+    wc = Window.partitionBy("cluster_id")
+    w = wc.orderBy(F.desc("doc_len"), F.asc("doc_id"))
+    return (
+        labeled.select(
+            "doc_id",
+            "cluster_id",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("cluster_size"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cluster_id", F.col("cluster_size").cast("long").alias("cluster_size"))
+        .orderBy("doc_id")
+    )
+
+
 def simhash_signatures(documents: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:
     """SimHash: sign-sum of token-hash bits -> one integer signature.
 
@@ -527,4 +575,23 @@ ORACLES["neardup_clusters"] = f"""
         SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.doc_id
     )
     SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY 1 ORDER BY 1
+"""
+
+# Survivor choice on top of the same recursive-CTE fixpoint: keep-longest
+# (n_chars DESC, doc_id ASC) per cluster, singletons self-clustered.
+ORACLES["neardup_keep_best"] = f"""
+    WITH clusters AS ({ORACLES["neardup_clusters"]}),
+    labeled AS (
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+        FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cs
+        FROM labeled
+    )
+    SELECT doc_id, cluster_id, CAST(cs AS BIGINT) AS cluster_size
+    FROM ranked WHERE rn = 1 ORDER BY doc_id
 """

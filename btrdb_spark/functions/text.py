@@ -253,3 +253,71 @@ def topk_oracle_sql(k: int) -> str:
         SELECT pred_lang, CAST(rank AS BIGINT) AS rank, doc_id, n_tokens
         FROM r WHERE rank <= {k} ORDER BY pred_lang, rank
     """
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 5, text_col: str = "text") -> DataFrame:
+    """Per-document top-k characteristic terms by a tf-idf weight.
+
+    score = tf * N / df (linear idf). Linear rather than log idf so the
+    score is built purely from IEEE-exact ops (*, /) and the DuckDB
+    oracle is bit-identical — ln() is correctly-rounded in neither engine
+    and may differ in the last ulp. Ranking is score DESC, term ASC, so
+    equal-score ties are deterministic.
+
+    Scale: two partial-aggregated shuffles (tf on (doc, term), df on
+    term), one shuffle join tf x df keyed on term (vocab-sized keyspace —
+    balanced, not broadcast: a 100 TB crawl's vocabulary is not
+    dimension-sized), then a WindowGroupLimit top-k per doc. The corpus
+    count is a scalar aggregate, not a collect.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import _spread
+
+    # _spread: a small-file corpus parquet is one row group = one task;
+    # round-robin it so the explode+partial-agg map side parallelizes.
+    toks = _spread(documents).select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.count()
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (F.col("tf") * F.lit(float(n_docs)) / F.col("df")).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+        .orderBy("doc_id", "rank")
+    )
+
+
+def tfidf_oracle_sql(k: int) -> str:
+    """DuckDB mirror; the corpus count is computed in-query so the oracle
+    is self-contained on the same table."""
+    return f"""
+        WITH tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+                  FROM documents)
+            GROUP BY 1, 2
+        ),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+        r AS (
+            SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                   tf.tf * n.n_docs / dfreq.df AS score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * n.n_docs / dfreq.df DESC, tf.term ASC) AS rank
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score
+        FROM r WHERE rank <= {k} ORDER BY doc_id, rank
+    """

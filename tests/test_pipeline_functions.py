@@ -252,3 +252,48 @@ def test_mixture_sample_deterministic_and_weighted(spark):
     assert len(by_src["a"]) == 200  # weight 1.0 keeps everything
     assert 20 <= len(by_src["b"]) <= 80  # ~25% of 200, hash-binomial
     assert pipeline.mixture_sample(docs, w, salt="mix-v2").collect() != got1
+
+
+def test_neardup_keep_best_survivors(spark):
+    rows = [
+        (10, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (11, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (12, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+        (20, "one two three four five six seven eight nine ten"),
+        (21, "one two three four five six seven eight nine ten"),
+        (30, "unrelated corpus text with nothing shared at all here now"),
+    ]
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "n_chars", F.length("text")
+    )
+    out = dedup.neardup_keep_best(docs, bands=16, min_est_jaccard=0.3).collect()
+    got = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in out}
+    # cluster {10,11,12}: 12 is longest -> survives; {20,21}: tie on length
+    # -> min doc_id 20; singleton 30 keeps itself
+    assert got == {12: (10, 3), 20: (20, 2), 30: (30, 1)}
+    # survivor cluster sizes partition the corpus
+    assert sum(cs for _, cs in got.values()) == docs.count()
+
+
+def test_tfidf_top_terms_rank_and_score(spark):
+    rows = [
+        (1, "spark spark spark unique"),
+        (2, "spark common common"),
+        (3, "common other words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["tf"], r["df"], r["score"]))
+    # doc 1: 'spark' tf=3 df=2 -> 3*3/2=4.5 beats 'unique' tf=1 df=1 -> 3.0
+    assert by_doc[1][0] == (1, "spark", 3, 2, 4.5)
+    assert by_doc[1][1] == (2, "unique", 1, 1, 3.0)
+    # doc 2: 'common' tf=2 df=2 -> 3.0 ties 'spark' tf=1 df=2 -> 1.5? no:
+    # common 2*3/2=3.0, spark 1*3/2=1.5 -> common first
+    assert by_doc[2][0][1] == "common" and by_doc[2][0][0] == 1
+    # every doc emits at most k rows with contiguous ranks from 1
+    for doc, lst in by_doc.items():
+        assert [r for r, *_ in sorted(lst)] == list(range(1, len(lst) + 1))

@@ -68,6 +68,17 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     # node), never row-at-a-time BatchEvalPython
     "ppm_resize_exact": (["MapInPandas"], ["BatchEvalPython", "CartesianProduct"]),
     "wav_decode_features": (["MapInPandas"], ["BatchEvalPython"]),
+    # survivor pick: label join on doc_id + one window pass, no loops
+    "neardup_keep_best": (
+        ["Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # tf/df: partial-aggregated shuffles; tf x df joins on term (vocab-keyed
+    # shuffle join at scale); top-k per doc via window rank
+    "tfidf_top_terms": (
+        ["partial_count", "Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
 }
 
 
