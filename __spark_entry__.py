@@ -533,6 +533,16 @@ def q_asof_join_forward(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_asof_join_chunked(spark: SparkSession, sf: str) -> DataFrame:
+    """The skew-safe as-of plan: windows partition by (uuid, time-chunk)
+    so one hot stream can't serialize into one task; a chunk-count-sized
+    second pass carries values across boundaries. Same oracle as
+    asof_join_backward — the output is bit-identical by construction."""
+    return asof_ops.asof_join(
+        events_as_points(spark, sf), _probes_df(spark, sf), chunk_width=7 * DAY
+    )
+
+
 def q_range_join_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Interval join as bucket-expansion equi-join + StatPoint aggs."""
     return rj_ops.range_join_agg(events_as_points(spark, sf), _ranges_df(spark), pw=40)
@@ -654,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "asof_join_backward": q_asof_join_backward,
+        "asof_join_chunked": q_asof_join_chunked,
         "asof_join_forward": q_asof_join_forward,
         "range_join_stats": q_range_join_stats,
         "resample_locf": q_resample_locf,
@@ -1064,6 +1075,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["value_quantiles"] = qt_ops.quantile_oracle_sql(PTS)
     oracles["value_quantiles_sketch"] = qt_ops.quantile_sketch_oracle_sql(PTS)
     oracles["asof_join_backward"] = asof_ops.asof_oracle_sql(PTS, PROBES_SQL)
+    oracles["asof_join_chunked"] = oracles["asof_join_backward"]
     oracles["asof_join_forward"] = asof_ops.asof_oracle_sql(PTS, PROBES_SQL, forward=True)
     oracles["range_join_stats"] = rj_ops.range_join_agg_oracle_sql(
         PTS, RANGES_SQL, MEAN_SQL

@@ -26,9 +26,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeops import floor_div
+
 
 def asof_join(
-    points: DataFrame, probes: DataFrame, forward: bool = False, strict: bool | None = None
+    points: DataFrame,
+    probes: DataFrame,
+    forward: bool = False,
+    strict: bool | None = None,
+    chunk_width: int | None = None,
 ) -> DataFrame:
     """probes(uuid, t) -> (uuid, t, asof_time, asof_value).
 
@@ -38,6 +44,16 @@ def asof_join(
     reference: backward strict, forward inclusive); strict=False backward
     is last-observation-carried-forward (time <= t) — what resampling
     wants. Probes with no qualifying point yield NULL asof_time/asof_value.
+
+    ``chunk_width`` (ns) switches to the skew-safe two-pass plan: the
+    single-window path partitions by uuid only, so one pathological
+    stream (a 100 TB table can hold a stream with billions of points)
+    serializes into one task. Chunked, the window partitions by
+    (uuid, time-chunk) — parallelism = streams x chunks — and a second,
+    chunk-count-sized pass carries the last point across chunk
+    boundaries. Output is bit-identical for any chunk_width: equal sort
+    keys always land in the same chunk, so the tie rules never straddle
+    a boundary.
     """
     if strict is None:
         strict = not forward
@@ -64,24 +80,73 @@ def asof_join(
     # strict: probe sorts first at equal k -> same-time point excluded;
     # inclusive: point first -> included. Holds in both directions.
     tie = F.col("is_probe").desc() if strict else F.col("is_probe").asc()
-    w = (
-        Window.partitionBy("uuid")
+    if chunk_width is None:
+        w = (
+            Window.partitionBy("uuid")
+            .orderBy(F.col("k").asc(), tie, F.col("value").asc_nulls_first())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        u = pts.unionByName(prb).select(
+            "uuid",
+            "k",
+            "is_probe",
+            F.last("pt_time", ignorenulls=True).over(w).alias("asof_time"),
+            F.last("value", ignorenulls=True).over(w).alias("asof_value"),
+        )
+        return (
+            u.filter(F.col("is_probe") == 1)
+            .select((F.col("k") * sgn).alias("t"), "uuid", "asof_time", "asof_value")
+            .select("uuid", "t", "asof_time", "asof_value")
+            .orderBy("uuid", "t")
+        )
+    # --- two-pass chunked plan ---
+    u = pts.unionByName(prb).withColumn(
+        "chunk", floor_div(F.col("k"), F.lit(chunk_width).cast("long"))
+    )
+    # pass 1: within-chunk look-back (same ordering, narrower partition)
+    wl = (
+        Window.partitionBy("uuid", "chunk")
         .orderBy(F.col("k").asc(), tie, F.col("value").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    u = pts.unionByName(prb).select(
+    local = u.select(
         "uuid",
+        "chunk",
         "k",
         "is_probe",
-        F.last("pt_time", ignorenulls=True).over(w).alias("asof_time"),
-        F.last("value", ignorenulls=True).over(w).alias("asof_value"),
+        F.last("pt_time", ignorenulls=True).over(wl).alias("l_time"),
+        F.last("value", ignorenulls=True).over(wl).alias("l_value"),
+    ).filter(F.col("is_probe") == 1)
+    # pass 2: per (uuid, chunk) the LAST point under the in-chunk point
+    # ordering (k asc, value asc) is max(struct(k, value)); its running
+    # max over all STRICTLY EARLIER chunks is the boundary carry-in.
+    # Chunk count is data-size/chunk_width — the per-uuid window here is
+    # over chunk summaries, not points, so the skewed-stream serial work
+    # is O(chunks), not O(points).
+    summaries = (
+        u.filter(F.col("is_probe") == 0)
+        .groupBy("uuid", "chunk")
+        .agg(F.max(F.struct("k", "value", "pt_time")).alias("lastp"))
     )
-    return (
-        u.filter(F.col("is_probe") == 1)
-        .select((F.col("k") * sgn).alias("t"), "uuid", "asof_time", "asof_value")
-        .select("uuid", "t", "asof_time", "asof_value")
-        .orderBy("uuid", "t")
+    # probe-only chunks still need a carry row: enumerate every chunk the
+    # union touches, left-join the point summaries (max ignores nulls)
+    chunks = u.select("uuid", "chunk").distinct()
+    wc = (
+        Window.partitionBy("uuid")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
+    carry = (
+        chunks.join(summaries, ["uuid", "chunk"], "left")
+        .select("uuid", "chunk", F.max("lastp").over(wc).alias("carry"))
+    )
+    joined = local.join(carry, ["uuid", "chunk"], "left").select(
+        "uuid",
+        (F.col("k") * sgn).alias("t"),
+        F.coalesce(F.col("l_time"), F.col("carry.pt_time")).alias("asof_time"),
+        F.coalesce(F.col("l_value"), F.col("carry.value")).alias("asof_value"),
+    )
+    return joined.orderBy("uuid", "t")
 
 
 def asof_oracle_sql(

@@ -25,7 +25,12 @@ NS_PER_SEC = 1_000_000_000
 
 
 def resample_locf(
-    points: DataFrame, uuids: DataFrame, start: int, end: int, width: int
+    points: DataFrame,
+    uuids: DataFrame,
+    start: int,
+    end: int,
+    width: int,
+    chunk_width: int | None = None,
 ) -> DataFrame:
     """(uuid, grid_time, last_time, value): LOCF sample of each stream in
     ``uuids`` at grid_time = start + k*width for k in [0, (end-start)/width).
@@ -33,13 +38,15 @@ def resample_locf(
     Inclusive as-of (time <= grid_time): a point exactly on the grid is
     its own sample. One window shuffle; the grid generation is a
     broadcast cross join against a `spark.range` (no driver loop).
+    ``chunk_width`` opts into the skew-safe two-pass as-of plan (see
+    asof_join) for pathological single-stream volumes.
     """
     n = (end - start) // width
     grid = points.sparkSession.range(n).select(
         (F.lit(start) + F.col("id") * F.lit(width)).alias("t")
     )
     probes = uuids.select("uuid").crossJoin(F.broadcast(grid))
-    out = asof_join(points, probes, forward=False, strict=False)
+    out = asof_join(points, probes, forward=False, strict=False, chunk_width=chunk_width)
     return out.select(
         "uuid",
         F.col("t").alias("grid_time"),

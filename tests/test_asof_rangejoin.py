@@ -111,3 +111,32 @@ def test_stream_rate(spark, make_points):
     rates = [(r["time"], r["rate_per_sec"]) for r in rows]
     # dup timestamp pair (dt=0) dropped; 0->2s: 4/2=2.0; 2->3s: -3/1
     assert rates == [(2 * ns, 2.0), (3 * ns, -3.0)]
+
+
+def test_asof_chunked_matches_single_window(spark, make_points):
+    # randomized: duplicates, negative times, probe-only chunks, several
+    # uuids — the chunked two-pass plan must be bit-identical to the
+    # single-window plan for every (direction, strictness, chunk_width)
+    import random
+
+    rng = random.Random(7)
+    pts_rows = []
+    for u in ("a", "b", "c"):
+        for _ in range(200):
+            t = rng.randrange(-1000, 1000)
+            pts_rows.append((u, t, float(rng.randrange(0, 50)), 10))
+        # duplicate timestamps with distinct values
+        pts_rows += [(u, 0, 1.0, 10), (u, 0, 9.0, 10), (u, 0, 4.0, 10)]
+    pts = make_points(pts_rows)
+    probe_rows = [(u, rng.randrange(-1500, 1500)) for u in ("a", "b", "c") for _ in range(150)]
+    probe_rows += [("a", 0), ("b", 0), ("c", 1400)]  # equal-time + far-future probes
+    probes = _probes(spark, probe_rows)
+
+    for forward in (False, True):
+        for strict in (None, False, True):
+            base = asof_join(pts, probes, forward=forward, strict=strict).collect()
+            for cw in (64, 257, 5000):  # power-of-2, prime, one-chunk-covers-all
+                chunked = asof_join(
+                    pts, probes, forward=forward, strict=strict, chunk_width=cw
+                ).collect()
+                assert chunked == base, (forward, strict, cw)

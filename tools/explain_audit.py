@@ -50,6 +50,12 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     # asof: ONE window pass; the BroadcastNestedLoop is the tiny 28-row
     # probe-fixture crossJoin (broadcast), not the operator itself
     "asof_join_backward": (["Window"], ["CartesianProduct", "BatchEvalPython"]),
+    # skew-safe variant: the big window must partition by (uuid, chunk),
+    # never by uuid alone
+    "asof_join_chunked": (
+        ["Window", "chunk"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
     "resample_locf": (["Window"], ["CartesianProduct", "BatchEvalPython"]),
     "stream_rate": (["Window"], ["CartesianProduct", "BatchEvalPython"]),
     # interval join must run as bucket equi-join, never a nested loop
