@@ -38,17 +38,24 @@ def events_as_points(spark: SparkSession, sf_dir: str, truncate_us: bool = True)
              10 + (event_id % 7) version FROM events
     """
     ev = load_table(spark, sf_dir, "events")
-    # ts arrives as raw int64 nanoseconds (nanosAsLong). DuckDB (1.0)
-    # truncates TIMESTAMP(NANOS) -> µs at parquet read, so the oracle's
-    # epoch_ns(ts) loses the sub-µs digits; we must truncate identically
-    # for value parity. The truncation expression blocks parquet predicate
+    # The driver has shipped `ts` two ways across testdata generations:
+    # TIMESTAMP(NANOS) (surfaced as raw int64 ns via nanosAsLong) and
+    # plain timestamp[us] (TIMESTAMP_NTZ to Spark 4, which refuses a
+    # direct numeric cast). Adapt on the read schema; both roads end at
+    # int64 ns truncated to µs — exactly what DuckDB's epoch_ns(ts)
+    # yields on its µs-native timestamps (session tz is UTC, so NTZ→LTZ
+    # is identity). The conversion expression blocks parquet predicate
     # pushdown on this FIXTURE adapter — the engine's canonical storage
     # stores `time` as a physical long column (engine.py), where range
     # predicates do push down (asserted in tools/explain_audit.py); this
     # adapter exists only to map the driver's fixture.
-    t = F.col("ts").cast("long")
-    if truncate_us:
-        t = t - F.pmod(t, F.lit(1000))
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type in ("timestamp", "timestamp_ntz"):
+        t = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+    else:
+        t = F.col("ts").cast("long")
+        if truncate_us:
+            t = t - F.pmod(t, F.lit(1000))
     return ev.select(
         F.col("user_id").cast("string").alias("uuid"),
         t.alias("time"),
