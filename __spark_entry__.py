@@ -27,8 +27,9 @@ from btrdb_spark.operators import changes as chg_ops
 from btrdb_spark.operators import raw as raw_ops
 from btrdb_spark.operators import windows as win_ops
 from btrdb_spark.plans import rollup as ru
-from btrdb_spark.sources.tables import events_as_points, load_table
-from btrdb_spark.functions import dedup, multimodal, pipeline, similarity, text
+from btrdb_spark.sources.tables import events_as_points, events_with_time_ns, load_table
+from btrdb_spark.functions import chunking, dedup, multimodal, pipeline, similarity, text
+from btrdb_spark.functions import events as events_fn
 from btrdb_spark.operators import csv as csv_ops
 from btrdb_spark.operators import quantiles as qt_ops
 from btrdb_spark.operators import asof as asof_ops
@@ -619,6 +620,34 @@ def q_stream_info(spark: SparkSession, sf: str) -> DataFrame:
     return streams.join(versions, "uuid", "left").orderBy("uuid")
 
 
+def q_doc_chunk(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping 32-token/stride-24 chunking (pure scan-project-explode)."""
+    return chunking.doc_chunk(load_table(spark, sf, "documents"), chunk_tokens=32, stride=24)
+
+
+def q_chunk_dedup_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Chunk-level dedup rollup: per-doc shared-chunk fraction."""
+    return chunking.chunk_dedup_stats(
+        load_table(spark, sf, "documents"), chunk_tokens=32, stride=24
+    )
+
+
+def q_repetition_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document."""
+    return text.repetition_scores(load_table(spark, sf, "documents"))
+
+
+def q_props_extract_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured JSON property extraction + per-type rollup."""
+    return events_fn.props_extract_stats(events_with_time_ns(spark, sf))
+
+
+def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Causal view->click->purchase funnel per user (one shuffle, three
+    stacked window passes over the same partitioning)."""
+    return events_fn.event_funnel(events_with_time_ns(spark, sf))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "raw_values": q_raw_values,
@@ -681,6 +710,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "value_quantiles_sketch": q_value_quantiles_sketch,
         "stream_info": q_stream_info,
+        "doc_chunk": q_doc_chunk,
+        "chunk_dedup_stats": q_chunk_dedup_stats,
+        "repetition_scores": q_repetition_scores,
+        "props_extract_stats": q_props_extract_stats,
+        "event_funnel": q_event_funnel,
     }
 
 
@@ -1112,4 +1146,10 @@ def oracle_sql() -> dict[str, str]:
         WHERE d.doc_id NOT IN (SELECT doc_b FROM near_b)
         ORDER BY d.doc_id
     """
+
+    oracles["doc_chunk"] = chunking.chunk_oracle_sql(32, 24)
+    oracles["chunk_dedup_stats"] = chunking.chunk_dedup_oracle_sql(32, 24)
+    oracles["repetition_scores"] = text.repetition_oracle_sql()
+    oracles["props_extract_stats"] = events_fn.PROPS_EXTRACT_ORACLE
+    oracles["event_funnel"] = events_fn.FUNNEL_ORACLE
     return oracles

@@ -1,0 +1,142 @@
+"""Behavioral-event analytics: semi-structured property extraction and
+funnel analysis over the events stream.
+
+These extend the engine beyond the reference's (time, value) data plane
+(SURVEY §1.1 — BTrDB has no event-typed or semi-structured payloads) to
+the event-log shape every training-data/telemetry pipeline also carries.
+
+Scale shape:
+- ``props_extract_stats``: JSON field extraction is a pure codegen'd
+  projection (get_json_object runs JVM-side); the rollup is one
+  partial-aggregated groupBy on event_type — a handful of keys, with
+  map-side combine doing almost all the work, so the reduce side is
+  trivially small even at 100 TB.
+- ``event_funnel``: one shuffle on user_id, then THREE window passes over
+  the same partitioning (Spark reuses the exchange — no second shuffle;
+  verify with .explain: a single Exchange feeds stacked Window nodes).
+  The per-user state is O(1) (three timestamps), never a collected list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def props_extract_stats(events_ns: DataFrame) -> DataFrame:
+    """Extract the integer `k` field from the JSON `props` column and
+    roll up per event_type.
+
+    Input: events with `time_ns` (sources.tables.events_with_time_ns).
+    Output: (event_type, n_events, sum_k, min_k, max_k, avg_k), ordered
+    by event_type. avg_k is a single double division of exact int sums,
+    so the DuckDB oracle matches bit-for-bit.
+    """
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events_ns.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PROPS_EXTRACT_ORACLE = """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(k) AS sum_k,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k,
+           CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type ORDER BY event_type
+"""
+
+
+def event_funnel(events_ns: DataFrame) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase per user.
+
+    Stage timestamps are causal: first_click is the earliest click AT OR
+    AFTER the user's first view, first_purchase the earliest purchase at
+    or after that click. Users with no view have all stages NULL (they
+    appear — the output covers every user, which is what a conversion
+    denominator needs).
+
+    Output: (uuid, first_view, first_click, first_purchase) with uuid =
+    user_id as string and ns timestamps, ordered by uuid.
+    """
+    w = Window.partitionBy("user_id")
+    staged = (
+        events_ns.select("user_id", "event_type", F.col("time_ns").alias("t"))
+        .withColumn(
+            "first_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("t"))).over(w),
+        )
+        .withColumn(
+            "first_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("t") >= F.col("first_view")),
+                    F.col("t"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "first_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("t") >= F.col("first_click")),
+                    F.col("t"),
+                )
+            ).over(w),
+        )
+    )
+    return (
+        staged.groupBy("user_id")
+        .agg(
+            F.first("first_view").alias("first_view"),
+            F.first("first_click").alias("first_click"),
+            F.first("first_purchase").alias("first_purchase"),
+        )
+        .select(
+            F.col("user_id").cast("string").alias("uuid"),
+            "first_view",
+            "first_click",
+            "first_purchase",
+        )
+        .orderBy("uuid")
+    )
+
+
+FUNNEL_ORACLE = """
+    WITH e AS (
+        SELECT user_id, event_type, epoch_ns(ts) AS t FROM events
+    ), s1 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'view' THEN t END)
+                      OVER (PARTITION BY user_id) AS first_view
+        FROM e
+    ), s2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND t >= first_view THEN t END)
+                      OVER (PARTITION BY user_id) AS first_click
+        FROM s1
+    ), s3 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND t >= first_click THEN t END)
+                      OVER (PARTITION BY user_id) AS first_purchase
+        FROM s2
+    )
+    SELECT CAST(user_id AS VARCHAR) AS uuid,
+           ANY_VALUE(first_view) AS first_view,
+           ANY_VALUE(first_click) AS first_click,
+           ANY_VALUE(first_purchase) AS first_purchase
+    FROM s3 GROUP BY user_id ORDER BY uuid
+"""

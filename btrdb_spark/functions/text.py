@@ -255,6 +255,97 @@ def topk_oracle_sql(k: int) -> str:
     """
 
 
+def repetition_scores(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1):
+    the fraction of bigram occurrences taken by the single most frequent
+    bigram, and the fraction of trigram occurrences whose trigram appears
+    more than once. High values flag machine-generated / boilerplate text.
+
+    Scale shape: one explode per gram order, partial-aggregated groupBy on
+    (doc_id, gram) — a high-cardinality balanced key — then a per-doc
+    rollup on doc_id. No window over the full corpus, no broadcast of
+    anything corpus-sized; fractions are single double divisions of int
+    counts so the DuckDB oracle matches bit-for-bit.
+
+    Output: (doc_id, n_tokens, top_bigram_frac, dup_trigram_frac).
+    """
+
+    def gram_counts(n: int) -> DataFrame:
+        # bind the split ONCE via the single-element-transform trick
+        # (dedup._shingles) — element_at inside the lambda references the
+        # bound array, so split(text) is not re-evaluated per gram term
+        def grams_of(toks: Column) -> Column:
+            return F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
+                lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+            )
+
+        grams = F.element_at(
+            F.transform(F.array(F.split(F.col(text_col), " ")), grams_of), 1
+        )
+        from .dedup import _spread
+
+        return (
+            _spread(documents)
+            .select("doc_id", F.explode(grams).alias("gram"))
+            .groupBy("doc_id", "gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    bi = gram_counts(2).groupBy("doc_id").agg(
+        (F.max("cnt") / F.sum("cnt")).alias("top_bigram_frac")
+    )
+    tri = gram_counts(3).groupBy("doc_id").agg(
+        (
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)) / F.sum("cnt")
+        ).alias("dup_trigram_frac")
+    )
+    ntok = documents.select(
+        "doc_id", F.size(_tokens(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    return (
+        ntok.join(bi, "doc_id").join(tri, "doc_id")
+        .select("doc_id", "n_tokens", "top_bigram_frac", "dup_trigram_frac")
+        .orderBy("doc_id")
+    )
+
+
+def repetition_oracle_sql() -> str:
+    return """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks,
+                   len(string_split(text, ' ')) AS n
+            FROM documents
+        ), bi AS (
+            SELECT doc_id, gram, COUNT(*) AS cnt
+            FROM (SELECT doc_id,
+                         UNNEST(list_transform(generate_series(1, n - 1),
+                                i -> toks[i] || ' ' || toks[i + 1])) AS gram
+                  FROM t)
+            GROUP BY 1, 2
+        ), tri AS (
+            SELECT doc_id, gram, COUNT(*) AS cnt
+            FROM (SELECT doc_id,
+                         UNNEST(list_transform(generate_series(1, n - 2),
+                                i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gram
+                  FROM t)
+            GROUP BY 1, 2
+        ), bia AS (
+            SELECT doc_id, MAX(cnt) / CAST(SUM(cnt) AS DOUBLE) AS top_bigram_frac
+            FROM bi GROUP BY 1
+        ), tria AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) / CAST(SUM(cnt) AS DOUBLE)
+                       AS dup_trigram_frac
+            FROM tri GROUP BY 1
+        )
+        SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens,
+               bia.top_bigram_frac, tria.dup_trigram_frac
+        FROM t JOIN bia ON t.doc_id = bia.doc_id JOIN tria ON t.doc_id = tria.doc_id
+        ORDER BY t.doc_id
+    """
+
+
 def tfidf_top_terms(documents: DataFrame, k: int = 5, text_col: str = "text") -> DataFrame:
     """Per-document top-k characteristic terms by a tf-idf weight.
 

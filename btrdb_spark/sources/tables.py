@@ -25,7 +25,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def events_as_points(spark: SparkSession, sf_dir: str, truncate_us: bool = True) -> DataFrame:
+def events_as_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map the driver's `events` table onto the canonical points shape.
 
     Per FIXTURES.md §6: key column -> uuid, timestamp -> time (ns),
@@ -37,6 +37,20 @@ def events_as_points(spark: SparkSession, sf_dir: str, truncate_us: bool = True)
       SELECT CAST(user_id AS VARCHAR) uuid, epoch_ns(ts) time, value,
              10 + (event_id % 7) version FROM events
     """
+    ev = events_with_time_ns(spark, sf_dir)
+    return ev.select(
+        F.col("user_id").cast("string").alias("uuid"),
+        F.col("time_ns").alias("time"),
+        F.col("value").alias("value"),
+        (F.lit(10) + F.col("event_id") % F.lit(7)).cast("long").alias("version"),
+    )
+
+
+def events_with_time_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw events table plus a `time_ns` long column (epoch ns,
+    truncated to µs precision to match DuckDB's epoch_ns(ts)). Keeps the
+    full event payload (event_type, props) for the behavioral-analytics
+    operators (funnel, sessionize, json extraction)."""
     ev = load_table(spark, sf_dir, "events")
     # The driver has shipped `ts` two ways across testdata generations:
     # TIMESTAMP(NANOS) (surfaced as raw int64 ns via nanosAsLong) and
@@ -54,11 +68,5 @@ def events_as_points(spark: SparkSession, sf_dir: str, truncate_us: bool = True)
         t = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
     else:
         t = F.col("ts").cast("long")
-        if truncate_us:
-            t = t - F.pmod(t, F.lit(1000))
-    return ev.select(
-        F.col("user_id").cast("string").alias("uuid"),
-        t.alias("time"),
-        F.col("value").alias("value"),
-        (F.lit(10) + F.col("event_id") % F.lit(7)).cast("long").alias("version"),
-    )
+        t = t - F.pmod(t, F.lit(1000))
+    return ev.select("*", t.alias("time_ns"))
