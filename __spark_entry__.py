@@ -560,6 +560,25 @@ def q_stream_rate(spark: SparkSession, sf: str) -> DataFrame:
     return rs_ops.stream_rate(events_as_points(spark, sf))
 
 
+def q_resample_linear(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear interpolation onto a daily grid (backward + forward as-of
+    sharing one exchange)."""
+    pts = events_as_points(spark, sf)
+    return rs_ops.resample_linear(
+        pts, pts.select("uuid").distinct(), T0, T0 + 28 * DAY, DAY
+    )
+
+
+def q_rolling_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-20-point rolling z-score anomaly signal per stream."""
+    return rs_ops.rolling_zscore(events_as_points(spark, sf), window_rows=20)
+
+
+def q_global_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Reproducible training-order shuffle (sharded, no global sort)."""
+    return pipeline.global_shuffle(load_table(spark, sf, "documents"), n_shards=64)
+
+
 def q_neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Transitive near-dup clusters: connected components over the LSH
     pair graph (iterative label propagation; recursive-CTE oracle)."""
@@ -697,6 +716,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_forward": q_asof_join_forward,
         "range_join_stats": q_range_join_stats,
         "resample_locf": q_resample_locf,
+        "resample_linear": q_resample_linear,
+        "rolling_zscore": q_rolling_zscore,
+        "global_shuffle": q_global_shuffle,
         "stream_rate": q_stream_rate,
         "neardup_clusters": q_neardup_clusters,
         "neardup_keep_best": q_neardup_keep_best,
@@ -1117,6 +1139,11 @@ def oracle_sql() -> dict[str, str]:
     oracles["resample_locf"] = rs_ops.resample_locf_oracle_sql(
         PTS, f"(SELECT DISTINCT uuid FROM {PTS} p2)", T0, T0 + 28 * DAY, DAY
     )
+    oracles["resample_linear"] = rs_ops.resample_linear_oracle_sql(
+        PTS, f"(SELECT DISTINCT uuid FROM {PTS} p2)", T0, T0 + 28 * DAY, DAY
+    )
+    oracles["rolling_zscore"] = rs_ops.rolling_zscore_oracle_sql(PTS, 20)
+    oracles["global_shuffle"] = pipeline.global_shuffle_oracle_sql(64, "shuffle-v1")
     oracles["stream_rate"] = rs_ops.stream_rate_oracle_sql(PTS)
     oracles["ngram_contamination"] = text.contamination_oracle_sql("doc_id < 5", 8)
     oracles["topk_docs_per_lang"] = text.topk_oracle_sql(5)

@@ -180,6 +180,56 @@ def mixture_sample(
     )
 
 
+def global_shuffle(
+    documents: DataFrame,
+    n_shards: int = 64,
+    salt: str = "shuffle-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-order shuffle: every document gets a
+    (shard, pos_in_shard) slot from a salted hash — the reproducible
+    global shuffle a training run needs (same (salt, corpus) -> same
+    order on any cluster, any partitioning).
+
+    Scale shape: the hash is a narrow projection; position assignment is
+    a row_number WINDOW PER SHARD (never a global single-partition sort —
+    the classic driver-bottleneck mistake). Readers consume shards in id
+    order, rows in pos order: a total order without any global sort.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    from pyspark.sql import Window
+
+    df = documents.select(F.col(id_col), h.alias("h"))
+    w = Window.partitionBy(F.col("h") % n_shards).orderBy("h", id_col)
+    return (
+        df.select(
+            id_col,
+            (F.col("h") % n_shards).alias("shard"),
+            F.row_number().over(w).cast("long").alias("pos_in_shard"),
+        )
+        .orderBy("shard", "pos_in_shard")
+    )
+
+
+def global_shuffle_oracle_sql(n_shards: int, salt: str) -> str:
+    return f"""
+        WITH h AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+            FROM documents
+        )
+        SELECT doc_id,
+               h % {n_shards} AS shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY h % {n_shards} ORDER BY h, doc_id) AS BIGINT)
+                   AS pos_in_shard
+        FROM h ORDER BY shard, pos_in_shard
+    """
+
+
 ORACLES = {
     # mirrors pack_token_shards(budget_tokens=2048, group_col='source')
     "pack_token_shards": """

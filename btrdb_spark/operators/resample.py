@@ -70,6 +70,140 @@ def resample_locf_oracle_sql(points_sql: str, uuids_sql: str, start: int, end: i
     )
 
 
+def resample_linear(
+    points: DataFrame,
+    uuids: DataFrame,
+    start: int,
+    end: int,
+    width: int,
+) -> DataFrame:
+    """Linear interpolation of each stream onto a regular grid.
+
+    For each grid cell: prev = inclusive backward as-of point, nxt =
+    strict forward as-of point. value = pv + (nv - pv) * frac with
+    frac = (grid - prev_t) / (next_t - prev_t) — a point exactly on the
+    grid interpolates to itself (frac = 0). Grid cells after a stream's
+    last point carry the previous value (LOCF tail); cells before the
+    first point stay NULL.
+
+    Two window passes over the SAME (uuid[, chunk]) partitioning — Spark
+    reuses one exchange for both as-of directions. The arithmetic is the
+    identical IEEE expression in the oracle (long subtraction, one double
+    division, one multiply, one add) so values match bit-for-bit.
+    """
+    n = (end - start) // width
+    grid = points.sparkSession.range(n).select(
+        (F.lit(start) + F.col("id") * F.lit(width)).alias("t")
+    )
+    probes = uuids.select("uuid").crossJoin(F.broadcast(grid))
+    back = asof_join(points, probes, forward=False, strict=False)
+    fwd = asof_join(points, probes, forward=True, strict=True).select(
+        "uuid",
+        "t",
+        F.col("asof_time").alias("next_t"),
+        F.col("asof_value").alias("next_v"),
+    )
+    j = back.join(fwd, ["uuid", "t"])
+    frac = (F.col("t") - F.col("asof_time")).cast("double") / (
+        F.col("next_t") - F.col("asof_time")
+    ).cast("double")
+    interp = F.when(
+        F.col("asof_time").isNull(), F.lit(None).cast("double")
+    ).when(
+        F.col("next_t").isNull(), F.col("asof_value")
+    ).otherwise(F.col("asof_value") + (F.col("next_v") - F.col("asof_value")) * frac)
+    return j.select(
+        "uuid",
+        F.col("t").alias("grid_time"),
+        interp.alias("value"),
+    ).orderBy("uuid", "grid_time")
+
+
+def resample_linear_oracle_sql(
+    points_sql: str, uuids_sql: str, start: int, end: int, width: int
+) -> str:
+    from .asof import asof_oracle_sql
+
+    n = (end - start) // width
+    probes = (
+        f"(SELECT uuid, CAST({start} AS BIGINT) + gs.generate_series * {width} AS t "
+        f"FROM {uuids_sql} u CROSS JOIN generate_series(0, {n - 1}) gs)"
+    )
+    back = asof_oracle_sql(points_sql, probes, forward=False, strict=False)
+    fwd = asof_oracle_sql(points_sql, probes, forward=True, strict=True)
+    return f"""
+        WITH b AS ({back}), f AS ({fwd})
+        SELECT b.uuid, b.t AS grid_time,
+               CASE WHEN b.asof_time IS NULL THEN NULL
+                    WHEN f.asof_time IS NULL THEN b.asof_value
+                    ELSE b.asof_value + (f.asof_value - b.asof_value) *
+                         (CAST(b.t - b.asof_time AS DOUBLE) /
+                          CAST(f.asof_time - b.asof_time AS DOUBLE))
+               END AS value
+        FROM b JOIN f ON b.uuid = f.uuid AND b.t = f.t
+        ORDER BY b.uuid, grid_time
+    """
+
+
+def rolling_zscore(points: DataFrame, window_rows: int = 20) -> DataFrame:
+    """Per-stream rolling z-score anomaly signal over the trailing
+    ``window_rows`` points (ROWS frame, ordered by (time, value) so
+    duplicate timestamps are deterministic).
+
+    Running sums go through DECIMAL(38,6) (the engine's exact-mean
+    convention, timeops.py) — a double sum over a sliding frame would
+    accumulate in engine-specific order and drift by ulps. The variance is
+    the textbook (ss - s*m) / (n-1) expansion computed with the identical
+    IEEE op sequence in the oracle; z is NULL until the frame holds
+    ``window_rows`` points or when the variance is 0 (constant window).
+
+    One shuffle on uuid; the frame state is O(window) per task.
+    """
+    w = (
+        Window.partitionBy("uuid")
+        .orderBy("time", "value")
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    dec = F.col("value").cast("decimal(38,6)")
+    dec2 = (F.col("value") * F.col("value")).cast("decimal(38,6)")
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(dec).over(w).cast("double")
+    ss = F.sum(dec2).over(w).cast("double")
+    m = s / n
+    var = (ss - s * m) / (n - F.lit(1))
+    z = F.when(
+        (n >= window_rows) & (var > 0), (F.col("value") - m) / F.sqrt(var)
+    )
+    return points.select(
+        "uuid",
+        "time",
+        "value",
+        n.cast("long").alias("n_window"),
+        m.alias("mean_w"),
+        z.alias("z"),
+    ).orderBy("uuid", "time", "value")
+
+
+def rolling_zscore_oracle_sql(points_sql: str, window_rows: int = 20) -> str:
+    wf = f"OVER (PARTITION BY uuid ORDER BY time, value ROWS BETWEEN {window_rows - 1} PRECEDING AND CURRENT ROW)"
+    return f"""
+        WITH t AS (
+            SELECT uuid, time, value,
+                   COUNT(*) {wf} AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) {wf} AS DOUBLE) AS s,
+                   CAST(SUM(CAST(value * value AS DECIMAL(38,6))) {wf} AS DOUBLE) AS ss
+            FROM {points_sql} p
+        )
+        SELECT uuid, time, value,
+               CAST(n AS BIGINT) AS n_window,
+               s / n AS mean_w,
+               CASE WHEN n >= {window_rows} AND (ss - s * (s / n)) / (n - 1) > 0
+                    THEN (value - s / n) / sqrt((ss - s * (s / n)) / (n - 1))
+               END AS z
+        FROM t ORDER BY uuid, time, value
+    """
+
+
 def stream_rate(points: DataFrame) -> DataFrame:
     """(uuid, time, rate_per_sec): (v - v_prev) * 1e9 / (t - t_prev) per
     stream, consecutive points by (time, value) order; zero-dt dropped."""

@@ -1,0 +1,67 @@
+"""resample_linear, rolling_zscore, global_shuffle unit semantics."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from btrdb_spark.functions import pipeline
+from btrdb_spark.operators import resample as rs
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    rows = [
+        ("a", 0, 0.0, 10),
+        ("a", 100, 10.0, 10),
+        ("a", 200, 30.0, 10),
+        ("b", 50, 5.0, 10),
+    ]
+    return spark.createDataFrame(rows, "uuid string, time long, value double, version long")
+
+
+def test_resample_linear_interpolates_and_edges(spark, pts):
+    uuids = pts.select("uuid").distinct()
+    out = {
+        (r["uuid"], r["grid_time"]): r["value"]
+        for r in rs.resample_linear(pts, uuids, 0, 250, 50).collect()
+    }
+    assert out[("a", 0)] == 0.0          # exact point -> itself
+    assert out[("a", 50)] == 5.0         # midway 0..100 of 0..10
+    assert out[("a", 150)] == 20.0       # midway 100..200 of 10..30
+    assert out[("a", 200)] == 30.0
+    assert out[("b", 0)] is None         # before first point -> NULL
+    assert out[("b", 100)] == 5.0        # LOCF tail after last point
+    assert out[("b", 200)] == 5.0
+
+
+def test_rolling_zscore_window_math(spark):
+    # stream of 1..25: after 20 rows the window is full
+    rows = [("s", i, float(i), 10) for i in range(1, 26)]
+    df = spark.createDataFrame(rows, "uuid string, time long, value double, version long")
+    out = {r["time"]: r for r in rs.rolling_zscore(df, window_rows=20).collect()}
+    assert out[5]["z"] is None and out[5]["n_window"] == 5    # frame not full
+    r20 = out[20]
+    assert r20["n_window"] == 20
+    # window holds 1..20: mean 10.5, sample var 35, z = (20-10.5)/sqrt(35)
+    assert r20["mean_w"] == pytest.approx(10.5)
+    assert r20["z"] == pytest.approx((20 - 10.5) / math.sqrt(35.0))
+
+
+def test_rolling_zscore_constant_window_null(spark):
+    rows = [("s", i, 7.0, 10) for i in range(30)]
+    df = spark.createDataFrame(rows, "uuid string, time long, value double, version long")
+    assert all(r["z"] is None for r in rs.rolling_zscore(df, window_rows=20).collect())
+
+
+def test_global_shuffle_deterministic_total_order(spark):
+    docs = spark.createDataFrame([(i, "x") for i in range(100)], "doc_id long, text string")
+    a = [(r["doc_id"], r["shard"], r["pos_in_shard"])
+         for r in pipeline.global_shuffle(docs, n_shards=8).collect()]
+    b = [(r["doc_id"], r["shard"], r["pos_in_shard"])
+         for r in pipeline.global_shuffle(docs.repartition(7), n_shards=8).collect()]
+    assert a == b                        # partitioning-independent
+    assert len({(s, p) for _, s, p in a}) == 100   # slots are unique
+    c = [r["doc_id"] for r in pipeline.global_shuffle(docs, n_shards=8, salt="v2").collect()]
+    assert c != [x[0] for x in a]        # a new salt reshuffles
