@@ -85,6 +85,46 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         ["partial_count", "Window"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
     ),
+    # pure scan-project-explode: no shuffle but the output sort, no joins
+    "doc_chunk": (
+        ["Generate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # chunk-hash groupBy is partial-aggregated; join keyed on the hash
+    "chunk_dedup_stats": (
+        ["partial_count"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # per-(doc, gram) counts: partial-aggregated; rollups keyed on doc_id
+    "repetition_scores": (
+        ["partial_count"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # JSON extraction is a codegen'd projection; tiny-key groupBy combines
+    # map-side
+    "props_extract_stats": (
+        ["partial_count"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # three stacked windows over ONE user_id exchange
+    "event_funnel": (
+        ["Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # backward + forward as-of both window passes; grid is a broadcast cross
+    # of a dimension-sized range (the BroadcastNestedLoop there is intended)
+    "resample_linear": (["Window"], ["CartesianProduct", "BatchEvalPython"]),
+    # single window pass with a ROWS frame; no joins at all
+    "rolling_zscore": (
+        ["Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython", "Join"],
+    ),
+    # per-shard windows, never a global single-partition sort
+    "global_shuffle": (
+        ["Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
+         "SinglePartition"],
+    ),
 }
 
 
