@@ -473,6 +473,18 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(emb, emb.filter(F.col("vec_id") < 100), threshold=0.28)
 
 
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup: drop embedding near-dups within each coarse cluster cell."""
+    return similarity.semantic_dedup(
+        load_table(spark, sf, "embeddings"), n_centroids=16, threshold=0.28
+    )
+
+
+def q_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label mean embedding (class prototypes), decimal-exact means."""
+    return similarity.label_centroids(load_table(spark, sf, "embeddings"))
+
+
 def q_ngram_contamination(spark: SparkSession, sf: str) -> DataFrame:
     """Decontamination scan: corpus docs sharing an 8-gram with the
     'eval set' (stand-in: doc_id < 5); eval grams broadcast."""
@@ -711,6 +723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multiprobe_topk": q_ann_lsh_multiprobe_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        "semantic_dedup": q_semantic_dedup,
+        "label_centroids": q_label_centroids,
         "asof_join_backward": q_asof_join_backward,
         "asof_join_chunked": q_asof_join_chunked,
         "asof_join_forward": q_asof_join_forward,
@@ -1174,6 +1188,8 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY d.doc_id
     """
 
+    oracles["semantic_dedup"] = similarity.semantic_dedup_oracle_sql(16, 0.28)
+    oracles["label_centroids"] = similarity.LABEL_CENTROIDS_ORACLE
     oracles["doc_chunk"] = chunking.chunk_oracle_sql(32, 24)
     oracles["chunk_dedup_stats"] = chunking.chunk_dedup_oracle_sql(32, 24)
     oracles["repetition_scores"] = text.repetition_oracle_sql()

@@ -386,6 +386,142 @@ def ann_ivf_topk(
 _ANN_PLANES = 5
 _ANN_TABLES = 8
 
+def semantic_dedup(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): drop embedding-level near-duplicates
+    WITHIN each coarse cluster cell — the semantic analog of minhash
+    dedup, catching paraphrases exact n-grams miss.
+
+    A vector is dropped when a LOWER-id vector in the same cell has
+    cosine >= threshold (the deterministic greedy keep-first rule; the
+    paper's keep-one-per-group up to tie-ordering). Pairs are generated
+    only inside a cell: one shuffle on cell, quadratic only in cell size —
+    at 100 TB n_centroids grows with the corpus (sqrt(n) rule of thumb)
+    so cells stay bounded; cross-cell near-dups are accepted misses
+    exactly as in the paper.
+
+    Centroids: first n_centroids vectors by id (deterministic,
+    oracle-reproducible) — a deployment plugs k-means centroids into the
+    same `ivf_cells` call.
+
+    Output: (vec_id, cell, kept) for every vector, ordered by vec_id.
+    """
+    centroids = vectors.filter(F.col(id_col) < n_centroids)
+    cells = ivf_cells(vectors, centroids, id_col, vec_col, nprobe=1).select(
+        "vec_id", "cell"
+    )
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    ).join(cells, "vec_id")
+    a = v.select("cell", F.col("vec_id").alias("earlier"), F.col("vec").alias("avec"), F.col("nrm").alias("anrm"))
+    b = v.select("cell", F.col("vec_id").alias("vec_id"), F.col("vec").alias("bvec"), F.col("nrm").alias("bnrm"))
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("earlier") < F.col("vec_id"))
+        .filter(
+            _dot(F.col("avec"), F.col("bvec")) / (F.col("anrm") * F.col("bnrm"))
+            >= F.lit(threshold)
+        )
+        .select("vec_id")
+        .distinct()
+    )
+    return (
+        cells.join(dropped.withColumn("d", F.lit(1)), "vec_id", "left")
+        .select("vec_id", "cell", F.col("d").isNull().alias("kept"))
+        .orderBy("vec_id")
+    )
+
+
+def semantic_dedup_oracle_sql(n_centroids: int, threshold: float) -> str:
+    return f"""
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings
+        ), cents AS (
+            SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM vecs WHERE vec_id < {n_centroids}
+        ), assign AS (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY list_dot_product(vecs.v, cents.cv) / (vecs.nrm * cents.cnrm) DESC,
+                                cell ASC) AS rnk
+            FROM vecs CROSS JOIN cents
+        ), cells AS (
+            SELECT vec_id, cell FROM assign WHERE rnk = 1
+        ), dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM cells ca JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+            JOIN vecs a ON a.vec_id = ca.vec_id
+            JOIN vecs b ON b.vec_id = cb.vec_id
+            WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {threshold}
+        )
+        SELECT c.vec_id, c.cell, d.vec_id IS NULL AS kept
+        FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+        ORDER BY c.vec_id
+    """
+
+
+def label_centroids(
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean embedding (class prototypes — the building block of
+    centroid classifiers, SemDeDup clustering, and drift monitors).
+
+    posexplode + groupBy(label, dim): one partial-aggregated shuffle whose
+    key count is labels x dims — balanced regardless of label skew, which
+    a groupBy(label)-with-array-agg would not be. Sums go through
+    DECIMAL(38,6) (engine-exact mean convention).
+
+    Output: (label, dim, centroid, n_vectors), dim 0-based.
+    """
+    exploded = vectors.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("dim").cast("long").alias("dim"),
+            "centroid",
+            "n_vectors",
+        )
+        .orderBy("label", "dim")
+    )
+
+
+LABEL_CENTROIDS_ORACLE = """
+    WITH e AS (
+        SELECT label,
+               UNNEST(generate_series(1, len(embedding))) AS i,
+               UNNEST(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(i - 1 AS BIGINT) AS dim,
+           CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS centroid,
+           COUNT(*) AS n_vectors
+    FROM e GROUP BY label, i ORDER BY label, dim
+"""
+
+
 ORACLES = {
     "ann_ivf_topk": """
         WITH vecs AS (

@@ -297,3 +297,29 @@ def test_tfidf_top_terms_rank_and_score(spark):
     # every doc emits at most k rows with contiguous ranks from 1
     for doc, lst in by_doc.items():
         assert [r for r, *_ in sorted(lst)] == list(range(1, len(lst) + 1))
+
+
+def test_semantic_dedup_greedy_keep_first(spark):
+    # two identical vectors + one orthogonal; same cell for identicals
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.0, 0.0], 0),   # dup of 0 -> dropped (higher id)
+        (2, [0.0, 1.0, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["vec_id"]: r["kept"] for r in
+           similarity.semantic_dedup(emb, n_centroids=3, threshold=0.9).collect()}
+    assert out[0] is True and out[1] is False and out[2] is True
+
+
+def test_label_centroids_means(spark):
+    rows = [
+        (0, [1.0, 3.0], 7),
+        (1, [3.0, 5.0], 7),
+        (2, [10.0, 20.0], 8),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {(r["label"], r["dim"]): (r["centroid"], r["n_vectors"])
+           for r in similarity.label_centroids(emb).collect()}
+    assert out[(7, 0)] == (2.0, 2) and out[(7, 1)] == (4.0, 2)
+    assert out[(8, 1)] == (20.0, 1)

@@ -119,6 +119,17 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         ["Window"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython", "Join"],
     ),
+    # in-cell pair join is an equi-join on cell (quadratic only in cell
+    # size), never an all-pairs loop over the corpus
+    "semantic_dedup": (
+        ["Window"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
+    # labels x dims keyed partial agg (balanced under label skew)
+    "label_centroids": (
+        ["partial_count"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
     # per-shard windows, never a global single-partition sort
     "global_shuffle": (
         ["Window"],
