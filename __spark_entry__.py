@@ -167,6 +167,18 @@ def q_windows_1h_hybrid(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_windows_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping 6h windows every 1h (bounded explode + one groupBy)."""
+    return win_ops.windows_sliding(
+        events_as_points(spark, sf), None, T0, T0 + 7 * DAY, width=6 * HOUR, hop=HOUR
+    )
+
+
+def q_find_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stream data gaps longer than 1 day (telemetry QC lag pass)."""
+    return rs_ops.find_gaps(events_as_points(spark, sf), min_gap=DAY)
+
+
 def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Gaps-and-islands sessionization per stream (1-day inactivity gap)."""
     gap = DAY
@@ -689,6 +701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aligned_windows_at_version_via_rollup": q_aligned_windows_at_version_via_rollup,
         "windows_1h": q_windows_1h,
         "windows_1h_hybrid": q_windows_1h_hybrid,
+        "windows_sliding": q_windows_sliding,
+        "find_gaps": q_find_gaps,
         "sessionize": q_sessionize,
         "nearest_before": q_nearest_before,
         "nearest_after": q_nearest_after,
@@ -1153,6 +1167,10 @@ def oracle_sql() -> dict[str, str]:
     oracles["resample_locf"] = rs_ops.resample_locf_oracle_sql(
         PTS, f"(SELECT DISTINCT uuid FROM {PTS} p2)", T0, T0 + 28 * DAY, DAY
     )
+    oracles["windows_sliding"] = win_ops.windows_sliding_oracle_sql(
+        PTS, MEAN_SQL, T0, T0 + 7 * DAY, 6 * HOUR, HOUR
+    )
+    oracles["find_gaps"] = rs_ops.find_gaps_oracle_sql(PTS, DAY)
     oracles["resample_linear"] = rs_ops.resample_linear_oracle_sql(
         PTS, f"(SELECT DISTINCT uuid FROM {PTS} p2)", T0, T0 + 28 * DAY, DAY
     )

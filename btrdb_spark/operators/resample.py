@@ -204,6 +204,40 @@ def rolling_zscore_oracle_sql(points_sql: str, window_rows: int = 20) -> str:
     """
 
 
+def find_gaps(points: DataFrame, min_gap: int) -> DataFrame:
+    """Telemetry QC: intervals longer than ``min_gap`` ns with no data,
+    per stream — the first question an operator asks of a sensor fleet
+    (the reference's users run this client-side over ChangedRanges; here
+    it is one lag-window pass).
+
+    Output: (uuid, gap_start, gap_end, gap_ns) where gap_start/gap_end
+    are the bracketing point timestamps, ordered by (uuid, gap_start).
+    """
+    w = Window.partitionBy("uuid").orderBy("time", "value")
+    df = points.select(
+        "uuid", "time", F.lag("time").over(w).alias("pt")
+    ).filter(F.col("pt").isNotNull() & (F.col("time") - F.col("pt") > min_gap))
+    return df.select(
+        "uuid",
+        F.col("pt").alias("gap_start"),
+        F.col("time").alias("gap_end"),
+        (F.col("time") - F.col("pt")).alias("gap_ns"),
+    ).orderBy("uuid", "gap_start", "gap_end")
+
+
+def find_gaps_oracle_sql(points_sql: str, min_gap: int) -> str:
+    return f"""
+        WITH l AS (
+            SELECT uuid, time,
+                   LAG(time) OVER (PARTITION BY uuid ORDER BY time, value) AS pt
+            FROM {points_sql} p
+        )
+        SELECT uuid, pt AS gap_start, time AS gap_end, time - pt AS gap_ns
+        FROM l WHERE pt IS NOT NULL AND time - pt > {min_gap}
+        ORDER BY uuid, gap_start, gap_end
+    """
+
+
 def stream_rate(points: DataFrame) -> DataFrame:
     """(uuid, time, rate_per_sec): (v - v_prev) * 1e9 / (t - t_prev) per
     stream, consecutive points by (time, value) order; zero-dt dropped."""

@@ -125,3 +125,82 @@ def windows(
         "vmax",
     )
     return out.orderBy("uuid", "window_start")
+
+
+def windows_sliding(
+    points: DataFrame,
+    uuid: str | None,
+    start: int,
+    end: int,
+    width: int,
+    hop: int,
+) -> DataFrame:
+    """Sliding stat windows: width-ns windows anchored every hop ns
+    (hop < width => overlapping). The reference's Windows is the hop ==
+    width special case; overlapping windows are the standard smoothing /
+    alert-evaluation shape its users build client-side.
+
+    Each point contributes to ceil(width/hop) windows: a bounded explode
+    of window indices followed by ONE partial-aggregated groupBy — never
+    a per-window scan (width/hop passes) and never a range join. Windows
+    are emitted only where they have data (sparse output, like A1);
+    window_start ranges over [start, end - width] on the hop grid.
+
+    Output: (uuid, window_start, cnt, vmin, vmean, vmax).
+    """
+    if width <= 0 or hop <= 0:
+        raise ValueError("width and hop must be positive")
+    last_anchor = (end - width - start) // hop  # max k with window inside range
+    if last_anchor < 0:
+        raise ValueError("empty window range")
+    df = points
+    if uuid is not None:
+        df = df.filter(F.col("uuid") == F.lit(uuid))
+    df = df.filter((F.col("time") >= F.lit(start)) & (F.col("time") < F.lit(end)))
+    t = F.col("time") - F.lit(start)
+    # window k covers t iff k*hop <= t < k*hop + width; k_min is a ceil
+    # division kept on NON-NEGATIVE ints so floor/truncate conventions
+    # can't diverge between engines (DuckDB // truncates toward zero)
+    k_min = floor_div(
+        F.greatest(t - F.lit(width) + F.lit(1), F.lit(0).cast("long"))
+        + F.lit(hop - 1),
+        F.lit(hop),
+    )
+    k_max = F.least(floor_div(t, F.lit(hop)), F.lit(last_anchor).cast("long"))
+    out = (
+        df.select(
+            "uuid", "value", F.explode(F.sequence(k_min, k_max)).alias("k")
+        )
+        .groupBy("uuid", "k")
+        .agg(*_stat_aggs())
+        .select(
+            "uuid",
+            (F.lit(start) + F.col("k") * F.lit(hop)).cast("long").alias("window_start"),
+            "cnt",
+            "vmin",
+            "vmean",
+            "vmax",
+        )
+    )
+    return out.orderBy("uuid", "window_start")
+
+
+def windows_sliding_oracle_sql(
+    points_sql: str, mean_sql: str, start: int, end: int, width: int, hop: int
+) -> str:
+    last_anchor = (end - width - start) // hop
+    return f"""
+        WITH inr AS (
+            SELECT uuid, time - {start} AS t, value FROM {points_sql} p
+            WHERE time >= {start} AND time < {end}
+        ), ks AS (
+            SELECT uuid, value,
+                   UNNEST(generate_series(
+                       (GREATEST(t - {width} + 1, 0) + {hop - 1}) // {hop},
+                       LEAST(t // {hop}, {last_anchor}))) AS k
+            FROM inr
+        )
+        SELECT uuid, CAST({start} + k * {hop} AS BIGINT) AS window_start,
+               COUNT(*) AS cnt, MIN(value) AS vmin, {mean_sql} AS vmean, MAX(value) AS vmax
+        FROM ks GROUP BY uuid, k ORDER BY uuid, window_start
+    """

@@ -67,3 +67,37 @@ def test_windows_empty_stream_emits_nothing(make_points):
     pts = make_points([("other", 5, 1.0, 10)])
     rows = windows(pts, "missing", 0, 32, width=8).collect()
     assert rows == []
+
+
+def test_windows_sliding_overlap(spark):
+    # points at t=0..9 on one stream; width=4, hop=2 over [0, 10)
+    rows = [("s", t, float(t), 10) for t in range(10)]
+    pts = spark.createDataFrame(rows, "uuid string, time long, value double, version long")
+    from btrdb_spark.operators.windows import windows_sliding
+
+    out = {r["window_start"]: r for r in
+           windows_sliding(pts, None, 0, 10, width=4, hop=2).collect()}
+    # anchors 0,2,4,6 (last window [6,10) fits); each holds 4 points
+    assert sorted(out) == [0, 2, 4, 6]
+    assert out[2]["cnt"] == 4 and out[2]["vmin"] == 2.0 and out[2]["vmax"] == 5.0
+    assert out[2]["vmean"] == 3.5
+
+
+def test_windows_sliding_early_points_clamped(spark):
+    # a point before the first full window must not invent window -1
+    pts = spark.createDataFrame(
+        [("s", 0, 1.0, 10)], "uuid string, time long, value double, version long"
+    )
+    from btrdb_spark.operators.windows import windows_sliding
+
+    out = windows_sliding(pts, None, 0, 100, width=10, hop=3).collect()
+    assert min(r["window_start"] for r in out) == 0
+
+
+def test_find_gaps(spark):
+    rows = [("s", 0, 1.0, 10), ("s", 5, 1.0, 10), ("s", 100, 1.0, 10), ("s", 103, 1.0, 10)]
+    pts = spark.createDataFrame(rows, "uuid string, time long, value double, version long")
+    from btrdb_spark.operators.resample import find_gaps
+
+    out = [(r["gap_start"], r["gap_end"], r["gap_ns"]) for r in find_gaps(pts, 10).collect()]
+    assert out == [(5, 100, 95)]

@@ -119,6 +119,16 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         ["Window"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython", "Join"],
     ),
+    # bounded explode of covering anchors + ONE partial-aggregated groupBy
+    # (never width/hop scan passes, never a range join)
+    "windows_sliding": (
+        ["Generate", "partial_count"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    "find_gaps": (
+        ["Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython", "Join"],
+    ),
     # in-cell pair join is an equi-join on cell (quadratic only in cell
     # size), never an all-pairs loop over the corpus
     "semantic_dedup": (
