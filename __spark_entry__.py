@@ -373,6 +373,58 @@ def q_key_usage_prefix(spark: SparkSession, sf: str) -> DataFrame:
     return md.key_usage(_streams_df(spark, sf), prefix="site1")
 
 
+def q_collection_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Fleet dashboard: per-collection stream/point counts + stat summary.
+
+    The M5 metadata plane joined against the data plane: the streams
+    catalog is dimension-sized and BROADCAST; the points side partial-
+    aggregates per uuid before the tiny per-collection rollup, so the
+    shuffled payload is stream-count rows, not points.
+    """
+    streams = _streams_df(spark, sf).select("uuid", "collection")
+    pts = events_as_points(spark, sf)
+    per_stream = pts.groupBy("uuid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("time").alias("tmin"),
+        F.max("time").alias("tmax"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("vsum"),
+    )
+    return (
+        per_stream.join(F.broadcast(streams), "uuid")
+        .groupBy("collection")
+        .agg(
+            F.count(F.lit(1)).alias("n_streams"),
+            F.sum("n").alias("n_points"),
+            F.min("tmin").alias("tmin"),
+            F.max("tmax").alias("tmax"),
+            (F.sum("vsum").cast("double") / F.sum("n")).alias("vmean"),
+        )
+        .orderBy("collection")
+    )
+
+
+def q_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: top-20 terms by total frequency.
+
+    One balanced groupBy on term (partial-aggregated), then a global
+    top-k — Spark plans the final orderBy+limit as TakeOrderedAndProject
+    (per-partition top-k, never a full sort)."""
+    from btrdb_spark.functions.dedup import _spread
+
+    toks = _spread(load_table(spark, sf, "documents")).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(20)
+    )
+
+
 def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     dec = lambda c: c.cast("decimal(38,6)")
@@ -722,6 +774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_streams_ann": q_lookup_streams_ann,
         "key_usage": q_key_usage,
         "key_usage_prefix": q_key_usage_prefix,
+        "collection_rollup": q_collection_rollup,
+        "vocab_topk": q_vocab_topk,
         "tpch_q1": q_tpch_q1,
         "segment_revenue": q_segment_revenue,
         "dedup_exact": q_dedup_exact,
@@ -1167,6 +1221,28 @@ def oracle_sql() -> dict[str, str]:
     oracles["resample_locf"] = rs_ops.resample_locf_oracle_sql(
         PTS, f"(SELECT DISTINCT uuid FROM {PTS} p2)", T0, T0 + 28 * DAY, DAY
     )
+    oracles["collection_rollup"] = f"""
+        WITH per_stream AS (
+            SELECT uuid, COUNT(*) AS n, MIN(time) AS tmin, MAX(time) AS tmax,
+                   SUM(CAST(value AS DECIMAL(38,6))) AS vsum
+            FROM {PTS} p GROUP BY uuid
+        )
+        SELECT s.collection,
+               COUNT(*) AS n_streams,
+               CAST(SUM(p.n) AS BIGINT) AS n_points,
+               MIN(p.tmin) AS tmin,
+               MAX(p.tmax) AS tmax,
+               CAST(SUM(p.vsum) AS DOUBLE) / CAST(SUM(p.n) AS BIGINT) AS vmean
+        FROM per_stream p JOIN {STREAMS_SQL} s ON p.uuid = s.uuid
+        GROUP BY s.collection ORDER BY s.collection
+    """
+
+    oracles["vocab_topk"] = """
+        SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY term ORDER BY tf DESC, term ASC LIMIT 20
+    """
+
     oracles["windows_sliding"] = win_ops.windows_sliding_oracle_sql(
         PTS, MEAN_SQL, T0, T0 + 7 * DAY, 6 * HOUR, HOUR
     )

@@ -119,6 +119,16 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         ["Window"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython", "Join"],
     ),
+    # catalog side broadcast; points partial-agg per uuid BEFORE the join
+    "collection_rollup": (
+        ["BroadcastHashJoin", "partial_count"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # global top-k must be TakeOrdered (per-partition top-k), not a sort
+    "vocab_topk": (
+        ["TakeOrderedAndProject"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
     # bounded explode of covering anchors + ONE partial-aggregated groupBy
     # (never width/hop scan passes, never a range join)
     "windows_sliding": (
