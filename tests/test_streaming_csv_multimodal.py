@@ -189,3 +189,47 @@ def test_live_stat_view_stateful(spark, tmp_path):
     # every fully-delivered bucket matches the batch answer
     matching = sum(1 for k, v in got.items() if want.get(k) == v)
     assert matching >= len(got) - 2  # at most the two in-flight buckets differ
+
+
+def test_live_sessions_gap_close(spark, tmp_path):
+    """Streaming sessionizer closes a session when the time gap exceeds
+    `gap`, and the closed rows match the batch gaps-and-islands answer."""
+    from btrdb_spark.streaming.sessions import live_sessions
+
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", "200").load()
+        .select(
+            F.lit("u1").alias("uuid"),
+            # value = 0,1,2,... -> bursts of 5 close together, then a jump
+            # 100x the gap: sessions of exactly 5 events each
+            ((F.col("value") % 5) * 10 + (F.col("value") / F.lit(5)).cast("long") * 10_000).alias("time"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+    q = (
+        live_sessions(src, gap=100, idle_close_ms=5_000)
+        .writeStream.format("memory")
+        .queryName("live_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sessckpt"))
+        .start()
+    )
+    try:
+        # no processAllAvailable: the rate source never drains, it would
+        # chase its tail — poll the sink until enough sessions closed
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("SELECT COUNT(*) c FROM live_sessions").collect()[0]["c"] >= 3:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "SELECT * FROM live_sessions ORDER BY session_start"
+    ).collect()
+    assert len(rows) >= 3
+    for r in rows:
+        # every gap-closed session is a full burst: 5 events spanning 40ns
+        if r["closed_by"] == "gap":
+            assert r["n_events"] == 5
+            assert r["session_end"] - r["session_start"] == 40
