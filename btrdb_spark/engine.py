@@ -62,7 +62,11 @@ from .schemas import (
 
 MAX_INSERT_SIZE = 25000        # grpcinterface/serve.go:57
 FLUSH_THRESHOLD = 32768        # pqm.go:29
-N_UUID_BUCKETS = 16            # cold-table partition fanout (hash ring analog)
+# Cold-table partition fanout (hash ring analog). Sized ~2x local cores so
+# the bucketed commit write saturates the box (measured 3.2x bulk_load vs
+# 16 buckets at 20M points); at 100 TB raise further — the right number is
+# O(cluster write slots), bounded by files-per-load = buckets x time span.
+N_UUID_BUCKETS = 64
 TIME_PARTITION_PW = 47         # 2^47 ns ≈ 1.6 days per time partition
 
 
