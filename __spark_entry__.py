@@ -620,6 +620,20 @@ def q_asof_join_chunked(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_asof_join_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of with a 12h max-staleness bound (merge_asof tolerance parity)."""
+    return asof_ops.asof_join_tolerance(
+        events_as_points(spark, sf), _probes_df(spark, sf), tolerance=12 * HOUR
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention matrix over the events stream."""
+    return events_fn.cohort_retention(
+        events_with_time_ns(spark, sf), epoch=T0, week=7 * DAY
+    )
+
+
 def q_range_join_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Interval join as bucket-expansion equi-join + StatPoint aggs."""
     return rj_ops.range_join_agg(events_as_points(spark, sf), _ranges_df(spark), pw=40)
@@ -796,6 +810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_backward": q_asof_join_backward,
         "asof_join_chunked": q_asof_join_chunked,
         "asof_join_forward": q_asof_join_forward,
+        "asof_join_tolerance": q_asof_join_tolerance,
+        "cohort_retention": q_cohort_retention,
         "range_join_stats": q_range_join_stats,
         "resample_locf": q_resample_locf,
         "resample_linear": q_resample_linear,
@@ -1215,6 +1231,10 @@ def oracle_sql() -> dict[str, str]:
     oracles["asof_join_backward"] = asof_ops.asof_oracle_sql(PTS, PROBES_SQL)
     oracles["asof_join_chunked"] = oracles["asof_join_backward"]
     oracles["asof_join_forward"] = asof_ops.asof_oracle_sql(PTS, PROBES_SQL, forward=True)
+    oracles["asof_join_tolerance"] = asof_ops.asof_tolerance_oracle_sql(
+        PTS, PROBES_SQL, 12 * HOUR
+    )
+    oracles["cohort_retention"] = events_fn.cohort_retention_oracle_sql(T0, 7 * DAY)
     oracles["range_join_stats"] = rj_ops.range_join_agg_oracle_sql(
         PTS, RANGES_SQL, MEAN_SQL
     )

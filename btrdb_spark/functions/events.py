@@ -118,6 +118,59 @@ def event_funnel(events_ns: DataFrame) -> DataFrame:
     )
 
 
+def cohort_retention(events_ns: DataFrame, epoch: int, week: int) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-activity
+    week; for each (cohort, week offset), how many of them were active.
+
+    One shuffle on user_id (window min for the cohort week), one
+    partial-aggregated distinct on (user, week), then a tiny rollup —
+    the matrix is cohorts x offsets, dashboard-sized, regardless of the
+    event volume feeding it.
+
+    Output: (cohort_week, week_offset, n_users), ordered.
+    """
+    w = Window.partitionBy("user_id")
+    weeks = events_ns.select(
+        "user_id",
+        floor_div_col(F.col("time_ns") - F.lit(epoch), week).alias("week"),
+    )
+    staged = weeks.withColumn("cohort_week", F.min("week").over(w))
+    return (
+        staged.select("user_id", "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def floor_div_col(num: "F.Column", den: int) -> "F.Column":
+    from ..functions.timeops import floor_div
+
+    return floor_div(num, F.lit(den).cast("long"))
+
+
+def cohort_retention_oracle_sql(epoch: int, week: int) -> str:
+    # times are >= epoch in the fixture, so integer // (truncating in
+    # DuckDB) equals floor division here; the Spark side uses floor_div
+    # on the same non-negative values
+    return f"""
+        WITH weeks AS (
+            SELECT user_id, (epoch_ns(ts) - {epoch}) // {week} AS week
+            FROM events
+        ), staged AS (
+            SELECT user_id, week,
+                   MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+            FROM weeks
+        )
+        SELECT cohort_week, week_offset, COUNT(*) AS n_users
+        FROM (SELECT DISTINCT user_id, cohort_week, week - cohort_week AS week_offset
+              FROM staged)
+        GROUP BY cohort_week, week_offset
+        ORDER BY cohort_week, week_offset
+    """
+
+
 FUNNEL_ORACLE = """
     WITH e AS (
         SELECT user_id, event_type, epoch_ns(ts) AS t FROM events

@@ -149,6 +149,48 @@ def asof_join(
     return joined.orderBy("uuid", "t")
 
 
+def asof_join_tolerance(
+    points: DataFrame,
+    probes: DataFrame,
+    tolerance: int,
+    forward: bool = False,
+    strict: bool | None = None,
+    chunk_width: int | None = None,
+) -> DataFrame:
+    """As-of join with a max-staleness bound (pandas merge_asof
+    `tolerance` parity): a match further than ``tolerance`` ns from the
+    probe is nulled out — the standard guard against joining against
+    stale telemetry. Pure post-projection over asof_join: same single
+    window pass, no extra shuffle."""
+    out = asof_join(points, probes, forward=forward, strict=strict, chunk_width=chunk_width)
+    dist = F.abs(F.col("asof_time") - F.col("t"))
+    ok = F.col("asof_time").isNotNull() & (dist <= tolerance)
+    return out.select(
+        "uuid",
+        "t",
+        F.when(ok, F.col("asof_time")).alias("asof_time"),
+        F.when(ok, F.col("asof_value")).alias("asof_value"),
+    )
+
+
+def asof_tolerance_oracle_sql(
+    points_sql: str,
+    probes_sql: str,
+    tolerance: int,
+    forward: bool = False,
+    strict: bool | None = None,
+) -> str:
+    inner = asof_oracle_sql(points_sql, probes_sql, forward=forward, strict=strict)
+    return f"""
+        SELECT uuid, t,
+               CASE WHEN asof_time IS NOT NULL AND ABS(asof_time - t) <= {tolerance}
+                    THEN asof_time END AS asof_time,
+               CASE WHEN asof_time IS NOT NULL AND ABS(asof_time - t) <= {tolerance}
+                    THEN asof_value END AS asof_value
+        FROM ({inner}) q ORDER BY uuid, t
+    """
+
+
 def asof_oracle_sql(
     points_sql: str, probes_sql: str, forward: bool = False, strict: bool | None = None
 ) -> str:

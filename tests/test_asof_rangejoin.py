@@ -140,3 +140,31 @@ def test_asof_chunked_matches_single_window(spark, make_points):
                     pts, probes, forward=forward, strict=strict, chunk_width=cw
                 ).collect()
                 assert chunked == base, (forward, strict, cw)
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, make_points):
+    from btrdb_spark.operators.asof import asof_join_tolerance
+
+    pts = make_points([("a", 100, 1.0, 10), ("a", 1000, 2.0, 10)])
+    probes = spark.createDataFrame([("a", 150), ("a", 5000)], "uuid string, t long")
+    out = {r["t"]: (r["asof_time"], r["asof_value"])
+           for r in asof_join_tolerance(pts, probes, tolerance=100).collect()}
+    assert out[150] == (100, 1.0)          # 50ns stale, within tolerance
+    assert out[5000] == (None, None)       # 4000ns stale -> nulled
+
+
+def test_cohort_retention_matrix(spark):
+    from btrdb_spark.functions.events import cohort_retention
+
+    W = 100
+    rows = [
+        (1, 0), (1, 10), (1, 150),    # cohort 0, active weeks 0 and 1
+        (2, 50),                       # cohort 0, week 0 only
+        (3, 250), (3, 450),            # cohort 2, offsets 0 and 2
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, time_ns long")
+    out = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+           for r in cohort_retention(ev, epoch=0, week=W).collect()}
+    assert out[(0, 0)] == 2 and out[(0, 1)] == 1
+    assert out[(2, 0)] == 1 and out[(2, 2)] == 1
+    assert (0, 2) not in out

@@ -57,6 +57,13 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         ["CartesianProduct", "BatchEvalPython"],
     ),
     "resample_locf": (["Window"], ["CartesianProduct", "BatchEvalPython"]),
+    # tolerance is a post-projection: same single window pass as asof
+    "asof_join_tolerance": (["Window"], ["CartesianProduct", "BatchEvalPython"]),
+    # matrix rollup: distinct + tiny groupBy, no joins
+    "cohort_retention": (
+        ["Window", "partial_count"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython", "Join"],
+    ),
     "stream_rate": (["Window"], ["CartesianProduct", "BatchEvalPython"]),
     # interval join must run as bucket equi-join, never a nested loop
     "range_join_stats": (
