@@ -712,6 +712,12 @@ def q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-bin per-stream value histogram [0, 500) x 20 bins, tails
+    clamped into the edge bins."""
+    return qt_ops.value_histogram(events_as_points(spark, sf), lo=0.0, hi=500.0, n_bins=20)
+
+
 def q_value_quantiles_sketch(spark: SparkSession, sf: str) -> DataFrame:
     """Sketch-path per-stream quantiles (percentile_approx at exact
     accuracy so the oracle can gate it; see operators/quantiles.py)."""
@@ -829,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_token_shards": q_pack_token_shards,
         "mixture_sample": q_mixture_sample,
         "value_quantiles_sketch": q_value_quantiles_sketch,
+        "value_histogram": q_value_histogram,
         "stream_info": q_stream_info,
         "doc_chunk": q_doc_chunk,
         "chunk_dedup_stats": q_chunk_dedup_stats,
@@ -1228,6 +1235,7 @@ def oracle_sql() -> dict[str, str]:
     oracles.update(pipeline.ORACLES)
     oracles["value_quantiles"] = qt_ops.quantile_oracle_sql(PTS)
     oracles["value_quantiles_sketch"] = qt_ops.quantile_sketch_oracle_sql(PTS)
+    oracles["value_histogram"] = qt_ops.histogram_oracle_sql(PTS, 0.0, 500.0, 20)
     oracles["asof_join_backward"] = asof_ops.asof_oracle_sql(PTS, PROBES_SQL)
     oracles["asof_join_chunked"] = oracles["asof_join_backward"]
     oracles["asof_join_forward"] = asof_ops.asof_oracle_sql(PTS, PROBES_SQL, forward=True)

@@ -105,3 +105,53 @@ def quantile_oracle_sql(points_sql: str, pcts: Sequence[int] = (25, 50, 90, 99))
         SELECT uuid, {cols}
         FROM r GROUP BY uuid ORDER BY uuid
     """
+
+
+def value_histogram(
+    points: DataFrame, lo: float, hi: float, n_bins: int = 20
+) -> DataFrame:
+    """Fixed-bin value histogram per stream — the monitoring-dashboard
+    distribution view (the reference's users recompute this client-side
+    from raw scans; here it is one partial-aggregated groupBy whose key
+    count is streams x bins, balanced regardless of value skew).
+
+    Out-of-range values clamp into the edge bins (standard monitoring
+    convention — the tails stay visible). bin_start/bin_end are the
+    nominal bin bounds. Bins with no data are absent (sparse output).
+
+    Output: (uuid, bin, bin_start, bin_end, cnt), ordered.
+    """
+    if not (hi > lo and n_bins > 0):
+        raise ValueError("need hi > lo and n_bins > 0")
+    binw = (hi - lo) / n_bins
+    raw_bin = F.floor((F.col("value") - F.lit(lo)) / F.lit(binw))
+    b = F.least(F.greatest(raw_bin, F.lit(0)), F.lit(n_bins - 1)).cast("long")
+    return (
+        points.select("uuid", b.alias("bin"))
+        .groupBy("uuid", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "uuid",
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(binw)).alias("bin_start"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(binw)).alias("bin_end"),
+            "cnt",
+        )
+        .orderBy("uuid", "bin")
+    )
+
+
+def histogram_oracle_sql(points_sql: str, lo: float, hi: float, n_bins: int = 20) -> str:
+    binw = (hi - lo) / n_bins
+    return f"""
+        WITH b AS (
+            SELECT uuid,
+                   CAST(LEAST(GREATEST(FLOOR((value - {lo!r}) / {binw!r}), 0), {n_bins - 1}) AS BIGINT) AS bin
+            FROM {points_sql} p
+        )
+        SELECT uuid, bin,
+               {lo!r} + bin * {binw!r} AS bin_start,
+               {lo!r} + (bin + 1) * {binw!r} AS bin_end,
+               COUNT(*) AS cnt
+        FROM b GROUP BY uuid, bin ORDER BY uuid, bin
+    """

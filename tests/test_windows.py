@@ -101,3 +101,15 @@ def test_find_gaps(spark):
 
     out = [(r["gap_start"], r["gap_end"], r["gap_ns"]) for r in find_gaps(pts, 10).collect()]
     assert out == [(5, 100, 95)]
+
+
+def test_value_histogram_clamping(spark):
+    from btrdb_spark.operators.quantiles import value_histogram
+
+    rows = [("s", i, v, 10) for i, v in enumerate([-5.0, 0.0, 4.9, 5.0, 99.0, 200.0])]
+    pts = spark.createDataFrame(rows, "uuid string, time long, value double, version long")
+    out = {r["bin"]: r for r in value_histogram(pts, lo=0.0, hi=100.0, n_bins=20).collect()}
+    assert out[0]["cnt"] == 3          # -5 clamps in, 0.0 and 4.9 belong
+    assert out[1]["cnt"] == 1          # 5.0 starts bin 1
+    assert out[19]["cnt"] == 2         # 99 belongs, 200 clamps in
+    assert out[1]["bin_start"] == 5.0 and out[1]["bin_end"] == 10.0

@@ -126,6 +126,11 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         ["Window"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython", "Join"],
     ),
+    # (uuid, bin)-keyed partial agg, balanced under value skew; no joins
+    "value_histogram": (
+        ["partial_count"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython", "Join"],
+    ),
     # catalog side broadcast; points partial-agg per uuid BEFORE the join
     "collection_rollup": (
         ["BroadcastHashJoin", "partial_count"],
