@@ -718,6 +718,14 @@ def q_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
     return qt_ops.value_histogram(events_as_points(spark, sf), lo=0.0, hi=500.0, n_bins=20)
 
 
+def q_mixture_upsample(spark: SparkSession, sf: str) -> DataFrame:
+    """Epoch-style mixture: src0 x2.5, src1 x1, src3 x0.3 (others dropped)."""
+    return pipeline.mixture_upsample(
+        load_table(spark, sf, "documents"),
+        weights={"src0": 2.5, "src1": 1.0, "src3": 0.3},
+    )
+
+
 def q_value_quantiles_sketch(spark: SparkSession, sf: str) -> DataFrame:
     """Sketch-path per-stream quantiles (percentile_approx at exact
     accuracy so the oracle can gate it; see operators/quantiles.py)."""
@@ -834,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "pack_token_shards": q_pack_token_shards,
         "mixture_sample": q_mixture_sample,
+        "mixture_upsample": q_mixture_upsample,
         "value_quantiles_sketch": q_value_quantiles_sketch,
         "value_histogram": q_value_histogram,
         "stream_info": q_stream_info,
@@ -1280,6 +1289,9 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["rolling_zscore"] = rs_ops.rolling_zscore_oracle_sql(PTS, 20)
     oracles["global_shuffle"] = pipeline.global_shuffle_oracle_sql(64, "shuffle-v1")
+    oracles["mixture_upsample"] = pipeline.mixture_upsample_oracle_sql(
+        {"src0": 2.5, "src1": 1.0, "src3": 0.3}, "mix-v1"
+    )
     oracles["stream_rate"] = rs_ops.stream_rate_oracle_sql(PTS)
     oracles["ngram_contamination"] = text.contamination_oracle_sql("doc_id < 5", 8)
     oracles["topk_docs_per_lang"] = text.topk_oracle_sql(5)

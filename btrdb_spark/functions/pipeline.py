@@ -180,6 +180,80 @@ def mixture_sample(
     )
 
 
+def mixture_upsample(
+    documents: DataFrame,
+    weights: Mapping[str, float],
+    salt: str = "mix-v1",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted mixture supporting UPSAMPLING: weight 2.7 emits every doc
+    of that source 2 times plus a salted-hash-chosen 70% of docs a 3rd
+    time — how pre-training mixes repeat high-quality sources (epochs >
+    1) while downsampling crawl. Deterministic: a pure function of
+    (salt, id), stable under partitioning and corpus growth.
+
+    Scale shape: a narrow projection + bounded explode (copies ≤
+    ceil(max weight)); no shuffle, no sampling state.
+
+    Output: (doc_id, source, copy) with copy in [0, n_copies); sources
+    absent from ``weights`` are dropped.
+    """
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 10_000
+    )
+    n_copies = F.lit(0)
+    for src, w in sorted(weights.items()):
+        whole = int(w)
+        frac_bps = int(round((w - whole) * 10_000))
+        n_copies = F.when(
+            F.col(group_col) == F.lit(src),
+            F.lit(whole) + F.when(bucket < frac_bps, 1).otherwise(0),
+        ).otherwise(n_copies)
+    return (
+        documents.select(
+            F.col(id_col), F.col(group_col).alias("source"), n_copies.alias("n")
+        )
+        .filter(F.col("n") > 0)
+        .select(
+            id_col,
+            "source",
+            F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("copy"),
+        )
+        .select(id_col, "source", F.col("copy").cast("long").alias("copy"))
+        .orderBy(id_col, "copy")
+    )
+
+
+def mixture_upsample_oracle_sql(weights: Mapping[str, float], salt: str) -> str:
+    cases = []
+    for src, w in sorted(weights.items()):
+        whole = int(w)
+        frac_bps = int(round((w - whole) * 10_000))
+        cases.append(
+            f"WHEN source = '{src}' THEN {whole} + CASE WHEN hv < {frac_bps} THEN 1 ELSE 0 END"
+        )
+    case_sql = "CASE " + " ".join(cases) + " ELSE 0 END"
+    return f"""
+        WITH h AS (
+            SELECT doc_id, source,
+                   ('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 10000 AS hv
+            FROM documents
+        ), n AS (
+            SELECT doc_id, source, {case_sql} AS n FROM h
+        )
+        SELECT doc_id, source, CAST(UNNEST(generate_series(0, n - 1)) AS BIGINT) AS copy
+        FROM n WHERE n > 0
+        ORDER BY doc_id, copy
+    """
+
+
 def global_shuffle(
     documents: DataFrame,
     n_shards: int = 64,

@@ -323,3 +323,22 @@ def test_label_centroids_means(spark):
            for r in similarity.label_centroids(emb).collect()}
     assert out[(7, 0)] == (2.0, 2) and out[(7, 1)] == (4.0, 2)
     assert out[(8, 1)] == (20.0, 1)
+
+
+def test_mixture_upsample_epochs(spark):
+    from btrdb_spark.functions import pipeline
+
+    docs = spark.createDataFrame(
+        [(i, "x", "a" if i < 50 else "b") for i in range(100)],
+        "doc_id long, text string, source string",
+    )
+    out = pipeline.mixture_upsample(docs, {"a": 2.0, "b": 0.5}).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["copy"])
+    # every 'a' doc appears exactly twice (copies 0,1)
+    assert all(sorted(by_doc[i]) == [0, 1] for i in range(50))
+    # 'b' docs appear 0 or 1 times, roughly half survive
+    b_survivors = sum(1 for i in range(50, 100) if i in by_doc)
+    assert 10 < b_survivors < 40
+    assert all(by_doc[i] == [0] for i in range(50, 100) if i in by_doc)

@@ -77,6 +77,11 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     ),
     # pure narrow filter: no shuffle but the output sort, no Python
     "mixture_sample": ([], ["Exchange hashpartitioning", "BatchEvalPython"]),
+    # narrow projection + bounded explode; still no shuffle
+    "mixture_upsample": (
+        ["Generate"],
+        ["Exchange hashpartitioning", "BatchEvalPython", "Join"],
+    ),
     # Arrow-batched kernels (mapInPandas = ArrowEvalPython-free MapInPandas
     # node), never row-at-a-time BatchEvalPython
     "ppm_resize_exact": (["MapInPandas"], ["BatchEvalPython", "CartesianProduct"]),
