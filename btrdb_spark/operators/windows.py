@@ -167,10 +167,16 @@ def windows_sliding(
         F.lit(hop),
     )
     k_max = F.least(floor_div(t, F.lit(hop)), F.lit(last_anchor).cast("long"))
+    # Guard: F.sequence(a, b) with a > b yields a DESCENDING sequence (step
+    # defaults to -1), not an empty array. k_min > k_max is reachable when
+    # width < hop (points falling in the gap between windows) and for points
+    # past last_anchor's window on an unaligned range — those rows cover no
+    # window and must produce no k at all.
+    ks = F.when(k_min <= k_max, F.sequence(k_min, k_max)).otherwise(
+        F.array().cast("array<long>")
+    )
     out = (
-        df.select(
-            "uuid", "value", F.explode(F.sequence(k_min, k_max)).alias("k")
-        )
+        df.select("uuid", "value", F.explode(ks).alias("k"))
         .groupBy("uuid", "k")
         .agg(*_stat_aggs())
         .select(

@@ -191,6 +191,68 @@ def test_live_stat_view_stateful(spark, tmp_path):
     assert matching >= len(got) - 2  # at most the two in-flight buckets differ
 
 
+def _run_event_time_sessions(spark, tmp_path, tag):
+    from btrdb_spark.streaming.sessions import live_sessions_event_time
+
+    src = (
+        spark.readStream.schema("uuid string, time long, value double")
+        .parquet(str(tmp_path / "sessdata"))
+    )
+    name = f"ev_sessions_{tag}"
+    q = (
+        live_sessions_event_time(src, gap=100)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # one more cycle so the watermark computed at the end of the data
+        # batch gets applied and fires the event-time timeouts
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            n = spark.sql(f"SELECT COUNT(*) c FROM {name}").collect()[0]["c"]
+            if n >= 5:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    return {
+        (r["uuid"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+        if r["uuid"] != "zz"
+    }
+
+
+def test_event_time_sessions_match_batch_and_replay(spark, tmp_path):
+    """Event-time sessionizer: closed sessions equal the batch
+    gaps-and-islands answer, and a full replay emits the identical set
+    (no wall-clock dependence), unlike the processing-time idle close."""
+    rows = (
+        [("u1", t, 1.0) for t in (0, 50, 70, 10_000, 10_020, 50_000)]
+        + [("u2", t, 1.0) for t in (5, 200, 220)]
+        + [("zz", 10**12, 1.0)]  # sentinel advances the global watermark
+    )
+    spark.createDataFrame(rows, "uuid string, time long, value double").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "sessdata"))
+
+    expected = {
+        ("u1", 0, 70, 3),
+        ("u1", 10_000, 10_020, 2),
+        ("u1", 50_000, 50_000, 1),
+        ("u2", 5, 5, 1),
+        ("u2", 200, 220, 2),
+    }
+    got1 = _run_event_time_sessions(spark, tmp_path, "a")
+    assert got1 == expected
+    # replay from a fresh checkpoint: byte-identical session set
+    got2 = _run_event_time_sessions(spark, tmp_path, "b")
+    assert got2 == got1
+
+
 def test_live_sessions_gap_close(spark, tmp_path):
     """Streaming sessionizer closes a session when the time gap exceeds
     `gap`, and the closed rows match the batch gaps-and-islands answer."""

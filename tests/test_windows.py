@@ -94,6 +94,52 @@ def test_windows_sliding_early_points_clamped(spark):
     assert min(r["window_start"] for r in out) == 0
 
 
+def test_windows_sliding_width_lt_hop(spark):
+    # width < hop: points in the gap between windows cover NO window.
+    # With width=4, hop=3 over [0, 11): anchors k=0..2 at 0,3,6 covering
+    # [0,4) [3,7) [6,10). t=10 covers nothing (k_min=3 > k_max=2) and must
+    # not be exploded into a descending bogus sequence.
+    rows = [("s", t, float(t), 10) for t in range(11)]
+    pts = spark.createDataFrame(rows, "uuid string, time long, value double, version long")
+    from btrdb_spark.operators.windows import windows_sliding
+
+    out = {r["window_start"]: r for r in
+           windows_sliding(pts, None, 0, 11, width=4, hop=3).collect()}
+    assert sorted(out) == [0, 3, 6]
+    assert out[0]["cnt"] == 4 and out[0]["vmin"] == 0.0 and out[0]["vmax"] == 3.0
+    assert out[3]["cnt"] == 4 and out[3]["vmax"] == 6.0
+    assert out[6]["cnt"] == 4 and out[6]["vmax"] == 9.0
+
+
+def test_windows_sliding_gap_points_dropped(spark):
+    # width=2, hop=5 over [0, 12): anchors 0,5,10 -> windows [0,2) [5,7) [10,12).
+    # Points at t=3,4,8 are in coverage gaps and must contribute to nothing.
+    rows = [("s", t, float(t), 10) for t in range(12)]
+    pts = spark.createDataFrame(rows, "uuid string, time long, value double, version long")
+    from btrdb_spark.operators.windows import windows_sliding
+
+    out = {r["window_start"]: r for r in
+           windows_sliding(pts, None, 0, 12, width=2, hop=5).collect()}
+    assert sorted(out) == [0, 5, 10]
+    assert all(out[a]["cnt"] == 2 for a in (0, 5, 10))
+    assert out[5]["vmin"] == 5.0 and out[5]["vmax"] == 6.0
+
+
+def test_windows_sliding_unaligned_range_tail(spark):
+    # Unaligned range: (end-start-width) % hop != 0. width=6, hop=4 over
+    # [0, 17): last_anchor = (17-6)//4 = 2 -> anchors 0,4,8 covering up to
+    # t<14. Points at t=14..16 have k_min = ceil((t-5)/4) = 3 > last_anchor
+    # and must be dropped, not exploded into descending sequences.
+    rows = [("s", t, 1.0, 10) for t in range(17)]
+    pts = spark.createDataFrame(rows, "uuid string, time long, value double, version long")
+    from btrdb_spark.operators.windows import windows_sliding
+
+    out = {r["window_start"]: r["cnt"] for r in
+           windows_sliding(pts, None, 0, 17, width=6, hop=4).collect()}
+    assert sorted(out) == [0, 4, 8]
+    assert out[0] == 6 and out[4] == 6 and out[8] == 6
+
+
 def test_find_gaps(spark):
     rows = [("s", 0, 1.0, 10), ("s", 5, 1.0, 10), ("s", 100, 1.0, 10), ("s", 103, 1.0, 10)]
     pts = spark.createDataFrame(rows, "uuid string, time long, value double, version long")
