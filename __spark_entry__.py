@@ -772,7 +772,40 @@ def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering note: the driver's correctness gate walks this dict in
+    # insertion order and may not reach the tail in one round, so entries
+    # that have never received a driver CORRECTNESS row come FIRST — in r2
+    # only the first 50 of 78 were certified; those 28 lead here. New
+    # queries should be inserted near the top for the same reason.
     return {
+        "asof_join_forward": q_asof_join_forward,
+        "asof_join_tolerance": q_asof_join_tolerance,
+        "cohort_retention": q_cohort_retention,
+        "range_join_stats": q_range_join_stats,
+        "resample_locf": q_resample_locf,
+        "resample_linear": q_resample_linear,
+        "rolling_zscore": q_rolling_zscore,
+        "global_shuffle": q_global_shuffle,
+        "stream_rate": q_stream_rate,
+        "neardup_clusters": q_neardup_clusters,
+        "neardup_keep_best": q_neardup_keep_best,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "train_val_test_split": q_train_val_test_split,
+        "ngram_contamination": q_ngram_contamination,
+        "topk_docs_per_lang": q_topk_docs_per_lang,
+        "value_quantiles": q_value_quantiles,
+        "corpus_clean": q_corpus_clean,
+        "pack_token_shards": q_pack_token_shards,
+        "mixture_sample": q_mixture_sample,
+        "mixture_upsample": q_mixture_upsample,
+        "value_quantiles_sketch": q_value_quantiles_sketch,
+        "value_histogram": q_value_histogram,
+        "stream_info": q_stream_info,
+        "doc_chunk": q_doc_chunk,
+        "chunk_dedup_stats": q_chunk_dedup_stats,
+        "repetition_scores": q_repetition_scores,
+        "props_extract_stats": q_props_extract_stats,
+        "event_funnel": q_event_funnel,
         "raw_values": q_raw_values,
         "raw_values_at_version": q_raw_values_at_version,
         "raw_values_after_delete": q_raw_values_after_delete,
@@ -823,34 +856,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         "asof_join_backward": q_asof_join_backward,
         "asof_join_chunked": q_asof_join_chunked,
-        "asof_join_forward": q_asof_join_forward,
-        "asof_join_tolerance": q_asof_join_tolerance,
-        "cohort_retention": q_cohort_retention,
-        "range_join_stats": q_range_join_stats,
-        "resample_locf": q_resample_locf,
-        "resample_linear": q_resample_linear,
-        "rolling_zscore": q_rolling_zscore,
-        "global_shuffle": q_global_shuffle,
-        "stream_rate": q_stream_rate,
-        "neardup_clusters": q_neardup_clusters,
-        "neardup_keep_best": q_neardup_keep_best,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "train_val_test_split": q_train_val_test_split,
-        "ngram_contamination": q_ngram_contamination,
-        "topk_docs_per_lang": q_topk_docs_per_lang,
-        "value_quantiles": q_value_quantiles,
-        "corpus_clean": q_corpus_clean,
-        "pack_token_shards": q_pack_token_shards,
-        "mixture_sample": q_mixture_sample,
-        "mixture_upsample": q_mixture_upsample,
-        "value_quantiles_sketch": q_value_quantiles_sketch,
-        "value_histogram": q_value_histogram,
-        "stream_info": q_stream_info,
-        "doc_chunk": q_doc_chunk,
-        "chunk_dedup_stats": q_chunk_dedup_stats,
-        "repetition_scores": q_repetition_scores,
-        "props_extract_stats": q_props_extract_stats,
-        "event_funnel": q_event_funnel,
     }
 
 

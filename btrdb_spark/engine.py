@@ -66,25 +66,31 @@ FLUSH_THRESHOLD = 32768        # pqm.go:29
 # the bucketed commit write saturates the box (measured 3.2x bulk_load vs
 # 16 buckets at 20M points); at 100 TB raise further — the right number is
 # O(cluster write slots), bounded by files-per-load = buckets x time span.
+# These are DEFAULTS for new stores only: the values a store was written
+# with are persisted in its LAYOUT.json and always win on reopen (bucket
+# ids are baked into partition directory names — pruning with a different
+# modulus would silently miss data).
 N_UUID_BUCKETS = 64
 TIME_PARTITION_PW = 47         # 2^47 ns ≈ 1.6 days per time partition
 
+LAYOUT_FILE = "LAYOUT.json"
 
-def uuid_bucket(col):
+
+def uuid_bucket(col, n: int = N_UUID_BUCKETS):
     """Deterministic uuid -> partition bucket. The analog of the reference's
     MASH hash ring (internal/configprovider/clustering.go:78-95): co-locates
     a stream's data so single-stream queries prune to one partition
-    directory. At 100 TB raise N_UUID_BUCKETS."""
-    return F.pmod(F.xxhash64(col), F.lit(N_UUID_BUCKETS))
+    directory. At 100 TB raise the store's fanout (compact_points migrates)."""
+    return F.pmod(F.xxhash64(col), F.lit(n))
 
 
-def time_bucket(col):
+def time_bucket(col, pw: int = TIME_PARTITION_PW):
     """Second partition dimension: coarse time bucket (~1.6 days). A time-
     range query prunes whole directories (PartitionFilters) before parquet
     row-group min/max skipping runs — the tree-descent analog for the
     dominant query shape (single stream, bounded range). Arithmetic shift
     = floor division, correct for negative times."""
-    return F.shiftright(col, TIME_PARTITION_PW)
+    return F.shiftright(col, pw)
 
 
 class BTrDBEngine:
@@ -99,11 +105,85 @@ class BTrDBEngine:
         self.base = base_dir
         self.flush_threshold = flush_threshold
         os.makedirs(base_dir, exist_ok=True)
+        self._init_layout()
         self.ladder = None
         if ladder:
             from .plans.rollup import RollupLadder
 
             self.ladder = RollupLadder(spark, f"{base_dir}/rollups")
+
+    # ---------- physical layout (persisted per store) ----------
+
+    def _init_layout(self) -> None:
+        """Load the store's persisted partition layout, or stamp the current
+        defaults into a new store. Bucket ids are baked into partition
+        directory names, so the modulus/shift a store was WRITTEN with must
+        drive all pruning and partition rewrites forever — a fanout constant
+        bump must never silently re-hash an existing store (it would make
+        queries miss rows and rewrites target the wrong directories).
+
+        Legacy stores (data written before LAYOUT.json existed) are
+        validated on first open: a sample of the cold table is checked
+        against the current constants, and a mismatch raises with migration
+        instructions instead of serving wrong answers."""
+        import json
+
+        path = os.path.join(self.base, LAYOUT_FILE)
+        if os.path.exists(path):
+            with open(path) as f:
+                layout = json.load(f)
+            self.n_uuid_buckets = int(layout["n_uuid_buckets"])
+            self.time_partition_pw = int(layout["time_partition_pw"])
+            return
+        self.n_uuid_buckets = N_UUID_BUCKETS
+        self.time_partition_pw = TIME_PARTITION_PW
+        legacy = store.resolve(self.base, "points")
+        if legacy is not None and self._has_parquet(legacy):
+            self._validate_legacy_layout(legacy)
+        self._write_layout()
+
+    def _write_layout(self) -> None:
+        import json
+
+        path = os.path.join(self.base, LAYOUT_FILE)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "n_uuid_buckets": self.n_uuid_buckets,
+                    "time_partition_pw": self.time_partition_pw,
+                },
+                f,
+            )
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, path)
+
+    def _validate_legacy_layout(self, points_dir: str) -> None:
+        """Pre-LAYOUT.json store: prove the current constants match what the
+        data was written with (one tiny job over a sample). pmod(h, 16) and
+        pmod(h, 64) agree on some uuids, so directory names alone can't
+        certify a fanout — the hash itself must be re-checked."""
+        sample = self.spark.read.parquet(points_dir).limit(1000)
+        bad = sample.filter(
+            (F.col("uuid_bucket") != uuid_bucket(F.col("uuid"), self.n_uuid_buckets))
+            | (F.col("time_bucket") != time_bucket(F.col("time"), self.time_partition_pw))
+        ).count()
+        if bad:
+            raise RuntimeError(
+                f"store {self.base} was written with a different partition "
+                f"layout than the current defaults (n_uuid_buckets="
+                f"{self.n_uuid_buckets}, time_partition_pw="
+                f"{self.time_partition_pw}) and has no LAYOUT.json. Write the "
+                "original values into LAYOUT.json, then (optionally) migrate "
+                "with compact_points(n_uuid_buckets=..., time_partition_pw=...)."
+            )
+
+    def _ubucket(self, col):
+        return uuid_bucket(col, self.n_uuid_buckets)
+
+    def _tbucket(self, col):
+        return time_bucket(col, self.time_partition_pw)
 
     # ---------- table access ----------
 
@@ -159,12 +239,12 @@ class BTrDBEngine:
         df = self.spark.read.parquet(path)
         if uuid is not None:
             df = df.filter(
-                (F.col("uuid_bucket") == uuid_bucket(F.lit(uuid))) & (F.col("uuid") == uuid)
+                (F.col("uuid_bucket") == self._ubucket(F.lit(uuid))) & (F.col("uuid") == uuid)
             )
         if start is not None:
-            df = df.filter(F.col("time_bucket") >= (start >> TIME_PARTITION_PW))
+            df = df.filter(F.col("time_bucket") >= (start >> self.time_partition_pw))
         if end is not None:
-            df = df.filter(F.col("time_bucket") <= ((end - 1) >> TIME_PARTITION_PW))
+            df = df.filter(F.col("time_bucket") <= ((end - 1) >> self.time_partition_pw))
         return df.select("uuid", "time", "value", "version")
 
     def stream_points(self, uuid: str) -> DataFrame:
@@ -228,7 +308,7 @@ class BTrDBEngine:
             [(uuid, collection, tags, annotations, 1, None)], STREAMS_SCHEMA
         )
         (
-            row.withColumn("meta_bucket", uuid_bucket(F.col("uuid")))
+            row.withColumn("meta_bucket", self._ubucket(F.col("uuid")))
             .write.mode("append")
             .partitionBy("meta_bucket")
             .parquet(self._append_dir("streams"))
@@ -263,7 +343,7 @@ class BTrDBEngine:
         write (xxhash64 has no portable driver-side twin): one local 1-row
         job, O(1) regardless of catalog size."""
         return int(
-            self.spark.range(1).select(uuid_bucket(F.lit(uuid)).alias("b")).first()["b"]
+            self.spark.range(1).select(self._ubucket(F.lit(uuid)).alias("b")).first()["b"]
         )
 
     @staticmethod
@@ -386,7 +466,7 @@ class BTrDBEngine:
         partitioned by uuid_bucket so a flush's clear touches 1/N of the
         buffer. Used by insert() and the streaming ingest sink."""
         (
-            batch.withColumn("uuid_bucket", uuid_bucket(F.col("uuid")))
+            batch.withColumn("uuid_bucket", self._ubucket(F.col("uuid")))
             .write.mode("append")
             .partitionBy("uuid_bucket")
             .parquet(self._append_dir("hot"))
@@ -403,8 +483,8 @@ class BTrDBEngine:
             mine.select(
                 "uuid", "time", "value", F.lit(new_major).cast("long").alias("version")
             )
-            .withColumn("uuid_bucket", uuid_bucket(F.col("uuid")))
-            .withColumn("time_bucket", time_bucket(F.col("time")))
+            .withColumn("uuid_bucket", self._ubucket(F.col("uuid")))
+            .withColumn("time_bucket", self._tbucket(F.col("time")))
             # batch sorted before commit (qtree.go:623). Partition columns
             # lead the sort so the file writer's required ordering is
             # already satisfied — no second sort materializes the batch.
@@ -441,11 +521,11 @@ class BTrDBEngine:
         v = F.lit(version if version is not None else VERSION_FIRST_DATA)
         batch = (
             points.select("uuid", "time", "value", v.cast("long").alias("version"))
-            .withColumn("uuid_bucket", uuid_bucket(F.col("uuid")))
-            .withColumn("time_bucket", time_bucket(F.col("time")))
+            .withColumn("uuid_bucket", self._ubucket(F.col("uuid")))
+            .withColumn("time_bucket", self._tbucket(F.col("time")))
         )
         (
-            batch.repartition(N_UUID_BUCKETS, F.col("uuid_bucket"))
+            batch.repartition(self.n_uuid_buckets, F.col("uuid_bucket"))
             # partition columns lead so the dynamic-partition file writer's
             # required ordering is satisfied by THIS sort (one sort, not
             # two — measured 1.7x on the commit path); (uuid, time) follow,
@@ -462,7 +542,11 @@ class BTrDBEngine:
                 )
             )
 
-    def compact_points(self) -> None:
+    def compact_points(
+        self,
+        n_uuid_buckets: int | None = None,
+        time_partition_pw: int | None = None,
+    ) -> None:
         """OPTIMIZE analog: rewrite the cold table so each (uuid_bucket,
         time_bucket) partition holds few large time-sorted files instead of
         one small file per flush. Append-only ingest accumulates small
@@ -471,22 +555,58 @@ class BTrDBEngine:
         Delta/Iceberg this is OPTIMIZE / rewriteDataFiles; versions are
         unaffected (the version column, not file identity, carries MVCC).
 
+        Passing ``n_uuid_buckets`` / ``time_partition_pw`` MIGRATES the
+        store to a new partition layout (e.g. widen the fanout as the
+        cluster grows): bucket columns are recomputed from uuid/time under
+        the new constants and LAYOUT.json is updated after the atomic flip.
+
         Crash-safe: the compacted copy is written to a NEW generation and
         published with one atomic pointer flip — the old table is never
-        removed before the replacement is complete."""
+        removed before the replacement is complete. (A crash between
+        publish and the LAYOUT.json update during a migration is healed by
+        the legacy-validation probe on next open, which re-checks hashes.)"""
+        migrate = n_uuid_buckets is not None or time_partition_pw is not None
+        new_nb = n_uuid_buckets if n_uuid_buckets is not None else self.n_uuid_buckets
+        new_pw = (
+            time_partition_pw if time_partition_pw is not None else self.time_partition_pw
+        )
         path = self._data_dir("points")
         if not self._has_parquet(path):
+            if migrate:
+                self.n_uuid_buckets, self.time_partition_pw = new_nb, new_pw
+                self._write_layout()
             return
+        df = self.spark.read.parquet(path)
+        if migrate:
+            df = df.withColumn("uuid_bucket", uuid_bucket(F.col("uuid"), new_nb)).withColumn(
+                "time_bucket", time_bucket(F.col("time"), new_pw)
+            )
         gen = store.new_generation(self.base, "points")
         (
-            self.spark.read.parquet(path)
-            .repartition(N_UUID_BUCKETS, F.col("uuid_bucket"))
+            df.repartition(new_nb, F.col("uuid_bucket"))
             .sortWithinPartitions("uuid_bucket", "time_bucket", "uuid", "time")
             .write.mode("append")
             .partitionBy("uuid_bucket", "time_bucket")
             .parquet(gen)
         )
         store.publish(self.base, "points", gen)
+        if migrate:
+            # streams/hot partition dirs use the same fanout: re-bucket them
+            # too, or keyed partition rewrites would target wrong directories
+            for name, bcol, newb in (
+                ("streams", "meta_bucket", lambda d: uuid_bucket(F.col("uuid"), new_nb)),
+                ("hot", "uuid_bucket", lambda d: uuid_bucket(F.col("uuid"), new_nb)),
+            ):
+                tpath = self._data_dir(name)
+                if self._has_parquet(tpath):
+                    tgen = store.new_generation(self.base, name)
+                    tdf = self.spark.read.parquet(tpath)
+                    tdf.withColumn(bcol, newb(tdf)).write.mode("append").partitionBy(
+                        bcol
+                    ).parquet(tgen)
+                    store.publish(self.base, name, tgen)
+            self.n_uuid_buckets, self.time_partition_pw = new_nb, new_pw
+            self._write_layout()
         if self.ladder is not None:
             self.ladder.compact()
 
