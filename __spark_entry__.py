@@ -502,6 +502,16 @@ def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     return text.lang_id(load_table(spark, sf, "documents"))
 
 
+def q_lang_id_lexicon_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Broadcast-join lang_id variant over the lexicon as a runtime table
+    (functions/text.py lang_id_lexicon) — the path for lexicons too large
+    to compile into the plan."""
+    from btrdb_spark.functions.lexicon import lexicon_rows
+
+    lex = spark.createDataFrame(lexicon_rows(), "lang string, word string")
+    return text.lang_id_lexicon(load_table(spark, sf, "documents"), lex)
+
+
 def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
@@ -778,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only the first 50 of 78 were certified; those 28 lead here. New
     # queries should be inserted near the top for the same reason.
     return {
+        "lang_id_lexicon_join": q_lang_id_lexicon_join,
         "asof_join_forward": q_asof_join_forward,
         "asof_join_tolerance": q_asof_join_tolerance,
         "cohort_retention": q_cohort_retention,

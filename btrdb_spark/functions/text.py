@@ -13,14 +13,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# deterministic mini stopword lists per language (operator demo — a real
-# deployment would broadcast a proper lexicon table)
-STOPWORDS = {
-    "en": ["the", "a", "and", "of", "to"],
-    "es": ["el", "la", "y", "de", "que"],
-    "de": ["der", "die", "und", "das", "zu"],
-    "zh": ["shi", "de", "le", "bu", "zai"],
-}
+# Real stopword lexicon (10 languages x ~45 words, functions/lexicon.py).
+# Re-exported here because quality_stats' stopword_ratio and several
+# downstream oracles are defined over STOPWORDS["en"].
+from .lexicon import STOPWORDS, lexicon_values_sql
 
 
 def _tokens(text: Column) -> Column:
@@ -59,19 +55,33 @@ def token_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
     ).orderBy("doc_id")
 
 
-def lang_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-overlap language ID: argmax language by distinct-stopword hits.
+def lang_id(
+    documents: DataFrame,
+    text_col: str = "text",
+    lexicon: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Stopword-overlap language ID: argmax language by distinct-stopword
+    hits against the real 10-language lexicon (functions/lexicon.py).
 
-    Deterministic tie-break: lexicographically smallest language code.
+    Scale shape: the lexicon compiles into codegen'd array_intersect
+    expressions — a single scan-project with NO shuffle and no join, the
+    cheapest possible plan for a fixed lexicon. For lexicons loaded at
+    runtime (or too large to compile into the plan) use
+    lang_id_lexicon(), the broadcast-join variant.
+
+    Text is lowercased before matching. Deterministic tie-break:
+    lexicographically smallest language code (zero-hit docs get the
+    smallest code in the lexicon with 0 hits).
     Output: (doc_id, pred_lang, pred_hits).
     """
-    toks = F.array_distinct(_tokens(F.col(text_col)))
+    lexicon = lexicon or STOPWORDS
+    toks = F.array_distinct(_tokens(F.lower(F.col(text_col))))
     scored = F.array(*[
         F.struct(
             (-F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws])))).alias("neg_hits"),
             F.lit(lang).alias("lang"),
         )
-        for lang, ws in sorted(STOPWORDS.items())
+        for lang, ws in sorted(lexicon.items())
     ])
     best = F.array_min(scored)
     return documents.select(
@@ -79,6 +89,44 @@ def lang_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
         best["lang"].alias("pred_lang"),
         (-best["neg_hits"]).cast("long").alias("pred_hits"),
     ).orderBy("doc_id")
+
+
+def lang_id_lexicon(
+    documents: DataFrame, lexicon_df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """lang_id against a runtime (lang, word) lexicon TABLE.
+
+    Scale shape: distinct tokens explode once, equi-join the broadcast
+    lexicon (lexicons are KBs; the corpus side never shuffles on the
+    word key), one groupBy(doc_id, lang) + argmax. Docs with zero
+    lexicon hits fall back to the smallest lang code with 0 hits —
+    identical semantics to lang_id()'s all-zero argmax, so the two
+    variants agree row-for-row on the same lexicon.
+    """
+    toks = documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(_tokens(F.lower(F.col(text_col))))).alias("tok"),
+    )
+    hits = (
+        toks.join(F.broadcast(lexicon_df), toks["tok"] == lexicon_df["word"])
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("hits"))  # tokens pre-deduped per doc
+    )
+    best = hits.groupBy("doc_id").agg(
+        F.min(F.struct((-F.col("hits")).alias("neg_hits"), F.col("lang"))).alias("b")
+    )
+    fallback = F.broadcast(lexicon_df.agg(F.min("lang").alias("fb_lang")))
+    return (
+        documents.select("doc_id")
+        .join(best, "doc_id", "left")
+        .crossJoin(fallback)  # 1-row broadcast: the zero-hit fallback code
+        .select(
+            "doc_id",
+            F.coalesce(F.col("b.lang"), F.col("fb_lang")).alias("pred_lang"),
+            F.coalesce(-F.col("b.neg_hits"), F.lit(0)).cast("long").alias("pred_hits"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
@@ -90,8 +138,58 @@ def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------- DuckDB oracle mirrors ----------------
+# lang_id oracles are GENERATED from the same STOPWORDS dict the Spark
+# plan compiles, so lexicon edits can never desynchronize the two sides.
 
-_STOP_EN = "['the','a','and','of','to']"
+
+def _list_sql(words: list[str]) -> str:
+    return "[" + ",".join(f"'{w}'" for w in words) + "]"
+
+
+_STOP_EN = _list_sql(STOPWORDS["en"])
+
+
+def _lang_id_oracle() -> str:
+    scored = "\n                UNION ALL\n                ".join(
+        f"SELECT doc_id, '{lang}' AS lang, "
+        f"len(list_intersect(toks, {_list_sql(ws)})) AS hits FROM t"
+        for lang, ws in sorted(STOPWORDS.items())
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks FROM documents
+        ), scored AS (
+                {scored}
+        ), ranked AS (
+            SELECT doc_id, lang, hits,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+            FROM scored
+        )
+        SELECT doc_id, lang AS pred_lang, CAST(hits AS BIGINT) AS pred_hits
+        FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """
+
+
+def _lang_id_lexicon_oracle() -> str:
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+            FROM documents
+        ), hits AS (
+            SELECT doc_id, lang, COUNT(*) AS hits
+            FROM tok JOIN {lexicon_values_sql()} ON tok.tok = lex.word
+            GROUP BY doc_id, lang
+        ), ranked AS (
+            SELECT doc_id, lang, hits,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+            FROM hits
+        )
+        SELECT d.doc_id,
+               COALESCE(r.lang, (SELECT MIN(lang) FROM {lexicon_values_sql()})) AS pred_lang,
+               CAST(COALESCE(r.hits, 0) AS BIGINT) AS pred_hits
+        FROM documents d LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (doc_id)
+        ORDER BY d.doc_id
+    """
 
 ORACLES = {
     "text_quality": f"""
@@ -107,27 +205,8 @@ ORACLES = {
                len(list_distinct(toks)) / len(toks) AS distinct_token_ratio
         FROM t ORDER BY doc_id
     """,
-    "lang_id": f"""
-        WITH t AS (
-            SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
-        ), scored AS (
-            SELECT doc_id, lang, hits FROM (
-                SELECT doc_id, 'de' AS lang, len(list_intersect(toks, ['der','die','und','das','zu'])) AS hits FROM t
-                UNION ALL
-                SELECT doc_id, 'en', len(list_intersect(toks, {_STOP_EN})) FROM t
-                UNION ALL
-                SELECT doc_id, 'es', len(list_intersect(toks, ['el','la','y','de','que'])) FROM t
-                UNION ALL
-                SELECT doc_id, 'zh', len(list_intersect(toks, ['shi','de','le','bu','zai'])) FROM t
-            )
-        ), ranked AS (
-            SELECT doc_id, lang, hits,
-                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
-            FROM scored
-        )
-        SELECT doc_id, lang AS pred_lang, CAST(hits AS BIGINT) AS pred_hits
-        FROM ranked WHERE rn = 1 ORDER BY doc_id
-    """,
+    "lang_id": _lang_id_oracle(),
+    "lang_id_lexicon_join": _lang_id_lexicon_oracle(),
 }
 
 
