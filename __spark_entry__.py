@@ -542,6 +542,26 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF with a trained coarse quantizer: spherical-k-means centroids
+    (driver-side numpy over the sorted corpus, the faiss train() analog)
+    plugged into the same ivf_cells/ann_ivf_topk plan. See
+    similarity.ann_ivf_topk docstring for the measured recall/nprobe
+    curve (fixture corpus is isotropic; documented operating point
+    nprobe=8/16 -> recall@5 0.844)."""
+    emb = load_table(spark, sf, "embeddings")
+    cents = similarity.train_kmeans_centroids(
+        similarity.load_sorted_embeddings(f"{sf}/embeddings.parquet"), k=16
+    )
+    return similarity.ann_ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        nprobe=4,
+        centroids=similarity.centroids_df(spark, cents),
+    )
+
+
 def q_embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     return similarity.embedding_neardup_pairs(emb, emb.filter(F.col("vec_id") < 100), threshold=0.28)
@@ -789,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries should be inserted near the top for the same reason.
     return {
         "lang_id_lexicon_join": q_lang_id_lexicon_join,
+        "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
         "asof_join_forward": q_asof_join_forward,
         "asof_join_tolerance": q_asof_join_tolerance,
         "cohort_retention": q_cohort_retention,
@@ -1257,6 +1278,9 @@ def oracle_sql() -> dict[str, str]:
     oracles.update(dedup.ORACLES)
     oracles.update(text.ORACLES)
     oracles.update(similarity.ORACLES)
+    oracles["ann_ivf_kmeans_topk"] = similarity.ann_ivf_kmeans_oracle_sql(
+        "/root/testdata/sf0.01/embeddings.parquet", k=5, n_centroids=16, nprobe=4
+    )
     oracles.update(pipeline.ORACLES)
     oracles["value_quantiles"] = qt_ops.quantile_oracle_sql(PTS)
     oracles["value_quantiles_sketch"] = qt_ops.quantile_sketch_oracle_sql(PTS)

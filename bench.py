@@ -158,9 +158,23 @@ def main() -> None:
         (r["query_id"], r["neighbor_id"])
         for r in sim.ann_ivf_topk(emb, probes, k=5, n_centroids=16, nprobe=4).collect()
     }
+    # trained coarse quantizer at the documented nprobe=8/16 operating
+    # point (the fixture corpus is isotropic, so recall tracks the probed
+    # fraction — see similarity.ann_ivf_topk docstring for the full curve)
+    kcents = sim.centroids_df(
+        spark,
+        sim.train_kmeans_centroids(
+            sim.load_sorted_embeddings(f"{sf_dir}/embeddings.parquet"), k=16
+        ),
+    )
+    kivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.ann_ivf_topk(emb, probes, k=5, nprobe=8, centroids=kcents).collect()
+    }
     lsh_recall = round(len(exact & lsh) / len(exact), 3) if exact else None
     mp_recall = round(len(exact & mp) / len(exact), 3) if exact else None
     ivf_recall = round(len(exact & ivf) / len(exact), 3) if exact else None
+    kivf_recall = round(len(exact & kivf) / len(exact), 3) if exact else None
     emb.unpersist()
 
     n_vecs = int(os.environ.get("BTRDB_BENCH_VECS", 200_000))
@@ -199,6 +213,7 @@ def main() -> None:
             "ann_lsh_recall_at5": lsh_recall,
             "ann_lsh_multiprobe_recall_at5": mp_recall,
             "ann_ivf_recall_at5": ivf_recall,
+            "ann_ivf_kmeans_recall_at5": kivf_recall,
         },
     }
     print(json.dumps(out))

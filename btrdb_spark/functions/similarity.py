@@ -330,6 +330,56 @@ def ivf_cells(
     )
 
 
+def train_kmeans_centroids(
+    emb: "np.ndarray", k: int = 16, n_iter: int = 10, seed: int = 0
+) -> "np.ndarray":
+    """Spherical k-means centroid trainer (driver-side numpy, the faiss
+    `train()` analog: IVF coarse quantizers are always trained on a
+    driver-sized sample — k*dim floats — then assignment runs at scale
+    through ivf_cells unchanged).
+
+    Deterministic for a fixed input order: seeded k-means++ init, argmax
+    assignment with smallest-index tie-break, empty cells reseeded to the
+    point farthest from its centroid. Rows are L2-normalized so the
+    objective is cosine; returned centroids are unit-norm (scale cancels
+    in ivf_cells' cosine anyway). float64 throughout.
+    """
+    x = np.asarray(emb, dtype=np.float64)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    # k-means++ seeding on the unit sphere (distance = 1 - cos)
+    idx = [int(rng.randint(len(xn)))]
+    d2 = 1.0 - xn @ xn[idx[0]]
+    for _ in range(1, k):
+        p = np.maximum(d2, 0)
+        tot = p.sum()
+        if tot <= 0:
+            idx.append(int(rng.randint(len(xn))))
+        else:
+            idx.append(int(rng.choice(len(xn), p=p / tot)))
+        d2 = np.minimum(d2, 1.0 - xn @ xn[idx[-1]])
+    cents = xn[idx].copy()
+    for _ in range(n_iter):
+        sims = xn @ cents.T                      # (n, k)
+        assign = np.argmax(sims, axis=1)         # ties -> smallest index
+        for c in range(k):
+            members = xn[assign == c]
+            if len(members) == 0:
+                worst = int(np.argmin(sims[np.arange(len(xn)), assign]))
+                cents[c] = xn[worst]
+                continue
+            m = members.sum(axis=0)
+            n = np.linalg.norm(m)
+            cents[c] = m / n if n > 0 else cents[c]
+    return cents
+
+
+def centroids_df(spark, cents: "np.ndarray") -> DataFrame:
+    """(vec_id, embedding array<double>) frame for ivf_cells/ann_ivf_topk."""
+    rows = [(i, [float(v) for v in c]) for i, c in enumerate(np.asarray(cents))]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -338,17 +388,31 @@ def ann_ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: corpus vectors live in their single nearest centroid cell;
     each probe searches its nprobe nearest cells exactly.
 
-    Centroids here are the first n_centroids corpus vectors by id —
-    deterministic and oracle-reproducible; a deployment would plug k-means
-    centroids into `ivf_cells` unchanged. At 100 TB the corpus is
-    bucketed-by `cell` on disk, so a probe touches nprobe/n_centroids of
-    the data and the cell join is shuffle-free.
+    `centroids` plugs in an externally-trained coarse quantizer (e.g.
+    train_kmeans_centroids). The default — first n_centroids corpus
+    vectors by id — stays for centroid-free use; both are deterministic
+    and oracle-reproducible. At 100 TB the corpus is bucketed-by `cell`
+    on disk, so a probe touches nprobe/n_centroids of the data and the
+    cell join is shuffle-free.
+
+    Measured recall@5 on the sf0.1 fixture corpus (2000x64f), k-means
+    k=16: nprobe 2/4/8/16 -> 0.356/0.576/0.844/1.000; first-n centroids
+    at nprobe=8 -> 0.844. Recall tracks the probed corpus fraction
+    almost 1:1 because the fixture embeddings are near-isotropic (global
+    pairwise cos 0.000+-0.125, top-5-NN cos 0.373) — random high-dim
+    data has no cell structure for ANY coarse quantizer to exploit. On
+    clusterable data the trainer delivers the expected gap: see
+    tests/test_ivf_kmeans.py (10 true clusters: recall 1.0 at nprobe=2
+    with trained centroids vs ~cells-probed for first-n). Documented
+    operating point on the fixture: nprobe=8/16, recall@5 0.844.
     """
-    centroids = corpus.filter(F.col(id_col) < n_centroids)
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) < n_centroids)
     corpus_cells = ivf_cells(corpus, centroids, id_col, vec_col, nprobe=1)
     probe_cells = ivf_cells(probes, centroids, id_col, vec_col, nprobe=nprobe)
     c = corpus.select(
@@ -520,6 +584,71 @@ LABEL_CENTROIDS_ORACLE = """
            COUNT(*) AS n_vectors
     FROM e GROUP BY label, i ORDER BY label, dim
 """
+
+
+def load_sorted_embeddings(parquet_path: str) -> "np.ndarray":
+    """embeddings.parquet -> (n, dim) float64 matrix ordered by vec_id.
+
+    The ONE shared reader for k-means training on both the Spark query
+    side and the DuckDB oracle side: identical input order + exact
+    float32->float64 widening means the (deterministic) trainer emits
+    bit-identical centroids in both places."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(parquet_path, columns=["vec_id", "embedding"])
+    df = tbl.to_pandas().sort_values("vec_id")
+    return np.stack(df["embedding"].to_numpy()).astype(np.float64)
+
+
+def ann_ivf_kmeans_oracle_sql(
+    parquet_path: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    probe_max_id: int = 10,
+) -> str:
+    """DuckDB oracle for ann_ivf_topk with k-means centroids: trains the
+    SAME centroids from the same file and embeds them as DOUBLE[] literals
+    (shortest-repr floats round-trip exactly)."""
+    cents = train_kmeans_centroids(load_sorted_embeddings(parquet_path), k=n_centroids)
+    vals = ", ".join(
+        f"({i}, [{', '.join(repr(float(v)) for v in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings
+        ), cents AS (
+            SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
+            FROM (VALUES {vals}) AS t(cell, cv)
+        ), assign AS (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY list_dot_product(vecs.v, cents.cv) / (vecs.nrm * cents.cnrm) DESC,
+                                cell ASC) AS cell_rank
+            FROM vecs CROSS JOIN cents
+        ), corpus_cells AS (
+            SELECT vec_id, cell FROM assign WHERE cell_rank = 1
+        ), probe_cells AS (
+            SELECT vec_id, cell FROM assign WHERE cell_rank <= {nprobe} AND vec_id < {probe_max_id}
+        ), scored AS (
+            SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(c.v, p.v) / (c.nrm * p.nrm) AS cosine
+            FROM probe_cells pc
+            JOIN corpus_cells cc ON cc.cell = pc.cell
+            JOIN vecs p ON p.vec_id = pc.vec_id
+            JOIN vecs c ON c.vec_id = cc.vec_id AND c.vec_id <> p.vec_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+        FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+    """
 
 
 ORACLES = {
