@@ -478,6 +478,14 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(load_table(spark, sf, "documents"), n=3, threshold=0.5)
 
 
+def q_ngram_jaccard_pairs_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """Stop-shingle variant: hot shingles (df > 4) dropped from the
+    universe so candidate blowup is bounded under skew."""
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf, "documents"), n=3, threshold=0.5, max_df=4
+    )
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(load_table(spark, sf, "documents"), n=3, num_hashes=32, bands=8)
 
@@ -810,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lang_id_lexicon_join": q_lang_id_lexicon_join,
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
+        "ngram_jaccard_pairs_capped": q_ngram_jaccard_pairs_capped,
         "asof_join_forward": q_asof_join_forward,
         "asof_join_tolerance": q_asof_join_tolerance,
         "cohort_retention": q_cohort_retention,

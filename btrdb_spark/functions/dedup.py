@@ -107,15 +107,28 @@ def _pairs_from_bucket(ds: Column) -> Column:
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = 3, threshold: float = 0.5, text_col: str = "text"
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard >= threshold).
 
     One shuffle keyed by 64-bit shingle hash, pairs generated inside each
     shingle bucket, one groupBy over pairs; doc sizes broadcast. A shingle
-    shared by d docs yields d(d-1)/2 pair rows — the quadratic term; stop-
-    shingle pruning or minhash_lsh_pairs is the scale path when hot
-    shingles appear (documented, not silently applied: results stay exact).
+    shared by d docs yields d(d-1)/2 pair rows — the quadratic term.
+
+    ``max_df`` is the stop-shingle ceiling (standard LSH practice): shingle
+    buckets with more than max_df occurrences are dropped from the shingle
+    UNIVERSE — excluded from both the intersection and the per-doc sizes —
+    so the result is the exact Jaccard over the reduced universe and the
+    candidate count is bounded by max_df^2/2 per surviving bucket even on
+    a corpus where boilerplate repeats across every document. Per-doc hot
+    occurrence counts come from the already-built buckets (explode of the
+    few hot buckets), not a second corpus pass. max_df=None keeps the
+    full-universe exact baseline (minhash_lsh_pairs is the scale path
+    when hot shingles appear).
     """
     edges = shingle_edges(documents, n, text_col)
     # per-doc set sizes straight off the documents (no explode, no second
@@ -132,6 +145,23 @@ def ngram_jaccard_pairs(
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") > 1)
     )
+    if max_df is not None:
+        hot_cnt = (
+            buckets.filter(F.size("ds") > max_df)
+            .select(F.explode("ds").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hot"))
+        )
+        sizes = (
+            sizes.join(hot_cnt, "doc_id", "left")
+            .select(
+                "doc_id",
+                (F.col("n_shingles") - F.coalesce(F.col("n_hot"), F.lit(0))).alias(
+                    "n_shingles"
+                ),
+            )
+        )
+        buckets = buckets.filter(F.size("ds") <= max_df)
     inter = (
         buckets.select(F.explode(_pairs_from_bucket(F.col("ds"))).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
@@ -501,6 +531,27 @@ ORACLES = {
     "dedup_exact": """
         SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
         FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    "ngram_jaccard_pairs_capped": f"""
+        WITH sh AS ({_shingle_sql(3)}),
+        dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+        kept AS (
+            SELECT s.doc_id, s.shingle FROM sh s JOIN dfreq USING (shingle)
+            WHERE dfreq.df <= 4
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM kept GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               inter / (sa.n_shingles + sb.n_shingles - inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE inter / (sa.n_shingles + sb.n_shingles - inter) >= 0.5
+        ORDER BY doc_a, doc_b
     """,
     "ngram_jaccard_pairs": f"""
         WITH sh AS ({_shingle_sql(3)}),

@@ -32,6 +32,48 @@ def test_ngram_jaccard(docs):
     assert (1, 4) not in pairs
 
 
+def test_ngram_jaccard_max_df_bounds_skew(spark):
+    """Stop-shingle cap (VERDICT r2 #7): a boilerplate sentence shared by
+    every doc must not quadratically explode candidates, and the capped
+    jaccard is exact over the reduced universe."""
+    from pyspark.sql import functions as F
+
+    boiler = "this content is provided as is without any warranty of any kind"
+    rows = [(i, f"{boiler} unique{i} filler{i} trail{i} end{i}") for i in range(60)]
+    # docs 0/1 additionally share a real near-dup tail
+    rows[0] = (0, f"{boiler} alpha beta gamma delta common tail here now")
+    rows[1] = (1, f"{boiler} alpha beta gamma delta common tail here soon")
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # uncapped: every doc pairs with every other via boilerplate shingles
+    uncapped = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.0)
+    assert uncapped.count() == 60 * 59 // 2
+
+    # capped: boilerplate shingles (df=60 > 8) leave the universe; only
+    # the genuine near-dup pair survives any positive threshold
+    capped = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_df=8)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped.collect()}
+    assert set(got) == {(0, 1)}
+    # exact over the reduced universe: docs 0/1 keep 10 non-boiler
+    # shingles each (12-word unique halves + 2-word overlap into boiler
+    # yields shingles of df<=2), sharing the 5 fully-'alpha beta gamma
+    # delta common tail here' grams => verify against a hand-computed
+    # jaccard on the surviving shingle sets
+    sh = dedup.shingle_edges(docs.filter(F.col("doc_id") < 2), 3)
+    from collections import Counter
+
+    all_sh = dedup.shingle_edges(docs, 3).collect()
+    freq = Counter(r["shingle"] for r in all_sh)
+    kept = {}
+    for r in sh.collect():
+        if freq[r["shingle"]] <= 8:
+            kept.setdefault(r["doc_id"], []).append(r["shingle"])
+    inter = len(set(kept[0]) & set(kept[1]))
+    # bag semantics degrade to set here (no repeated kept shingles)
+    expect = inter / (len(kept[0]) + len(kept[1]) - inter)
+    assert abs(got[(0, 1)] - expect) < 1e-12
+
+
 def test_minhash_identical_docs_full_signature_match(docs):
     rows = dedup.minhash_lsh_pairs(docs, n=3, num_hashes=16, bands=4).collect()
     pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in rows}
