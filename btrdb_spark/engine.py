@@ -100,17 +100,21 @@ class BTrDBEngine:
         base_dir: str,
         flush_threshold: int = FLUSH_THRESHOLD,
         ladder: bool = False,
+        store_backend: "store.StoreBackend | None" = None,
     ):
         self.spark = spark
         self.base = base_dir
         self.flush_threshold = flush_threshold
+        # the commit-protocol backend (store.StoreBackend): POSIX pointer
+        # files by default; any lakehouse-shaped backend plugs in here
+        self.store = store_backend if store_backend is not None else store.DEFAULT
         os.makedirs(base_dir, exist_ok=True)
         self._init_layout()
         self.ladder = None
         if ladder:
             from .plans.rollup import RollupLadder
 
-            self.ladder = RollupLadder(spark, f"{base_dir}/rollups")
+            self.ladder = RollupLadder(spark, f"{base_dir}/rollups", backend=self.store)
 
     # ---------- physical layout (persisted per store) ----------
 
@@ -137,7 +141,7 @@ class BTrDBEngine:
             return
         self.n_uuid_buckets = N_UUID_BUCKETS
         self.time_partition_pw = TIME_PARTITION_PW
-        legacy = store.resolve(self.base, "points")
+        legacy = self.store.resolve(self.base, "points")
         if legacy is not None and self._has_parquet(legacy):
             self._validate_legacy_layout(legacy)
         self._write_layout()
@@ -189,12 +193,12 @@ class BTrDBEngine:
 
     def _data_dir(self, name: str) -> str | None:
         """Live generation directory for reads (None = never written)."""
-        return store.resolve(self.base, name)
+        return self.store.resolve(self.base, name)
 
     def _append_dir(self, name: str) -> str:
         """Live generation directory for appends (created+published empty
         on first use)."""
-        return store.current_dir(self.base, name, create=True)
+        return self.store.current_dir(self.base, name, create=True)
 
     @staticmethod
     def _has_parquet(path: str | None) -> bool:
@@ -367,14 +371,14 @@ class BTrDBEngine:
         if cur is None:
             return
         sub = f"{bucket_col}={bucket}"
-        gen = store.new_generation(self.base, name)
+        gen = self.store.new_generation(self.base, name)
         legacy_root = any(f.endswith(".parquet") for f in os.listdir(cur))
         if legacy_root:
             # pre-partitioned layout: the transforms are keyed on uuid, so
             # applying them to the whole (small, legacy) table is exact
             rewrite(self.spark.read.parquet(cur)).write.mode("append").parquet(gen)
         else:
-            store.link_unchanged_partitions(cur, gen, exclude_subdir=sub)
+            self.store.link_unchanged_partitions(cur, gen, exclude_subdir=sub)
             part = os.path.join(cur, sub)
             if self._has_parquet(part):
                 out = rewrite(self.spark.read.parquet(part))
@@ -382,7 +386,7 @@ class BTrDBEngine:
                 if child_partition is not None:
                     w = w.partitionBy(child_partition)
                 w.parquet(os.path.join(gen, sub))
-        store.publish(self.base, name, gen)
+        self.store.publish(self.base, name, gen)
 
     def _rewrite_stream_row(self, uuid: str, **updates) -> None:
         """Metadata merge keyed on uuid: rewrites only the stream's
@@ -581,7 +585,7 @@ class BTrDBEngine:
             df = df.withColumn("uuid_bucket", uuid_bucket(F.col("uuid"), new_nb)).withColumn(
                 "time_bucket", time_bucket(F.col("time"), new_pw)
             )
-        gen = store.new_generation(self.base, "points")
+        gen = self.store.new_generation(self.base, "points")
         (
             df.repartition(new_nb, F.col("uuid_bucket"))
             .sortWithinPartitions("uuid_bucket", "time_bucket", "uuid", "time")
@@ -589,7 +593,7 @@ class BTrDBEngine:
             .partitionBy("uuid_bucket", "time_bucket")
             .parquet(gen)
         )
-        store.publish(self.base, "points", gen)
+        self.store.publish(self.base, "points", gen)
         if migrate:
             # streams/hot partition dirs use the same fanout: re-bucket them
             # too, or keyed partition rewrites would target wrong directories
@@ -599,16 +603,37 @@ class BTrDBEngine:
             ):
                 tpath = self._data_dir(name)
                 if self._has_parquet(tpath):
-                    tgen = store.new_generation(self.base, name)
+                    tgen = self.store.new_generation(self.base, name)
                     tdf = self.spark.read.parquet(tpath)
                     tdf.withColumn(bcol, newb(tdf)).write.mode("append").partitionBy(
                         bcol
                     ).parquet(tgen)
-                    store.publish(self.base, name, tgen)
+                    self.store.publish(self.base, name, tgen)
             self.n_uuid_buckets, self.time_partition_pw = new_nb, new_pw
             self._write_layout()
         if self.ladder is not None:
             self.ladder.compact()
+
+    def maintain(self, keep: int = 2, compact: bool = False) -> dict:
+        """Background maintenance entry point — the engine-side body of the
+        reference's 1/min GC loop (quasar.go:119-137, which reaps
+        obliterated data in the background; here obliterate itself is
+        synchronous, so the recurring work is generation GC + optional
+        file compaction). Called on a schedule by the streaming ingest
+        trigger (streaming/ingest.py attach_ingest maintenance_interval_s)
+        or any external scheduler.
+
+        ``keep`` bounds the MVCC window for in-flight readers: a reader
+        holding plans against one of the newest `keep` generations always
+        survives a concurrent maintain(). ``compact=True`` additionally
+        folds small flush files (run it at a coarser cadence than GC —
+        every compact creates one new generation per table)."""
+        out: dict = {}
+        if compact:
+            self.compact_points()
+            out["compacted"] = True
+        out["reaped"] = self.vacuum(keep=keep)
+        return out
 
     def vacuum(self, keep: int = 2) -> dict[str, int]:
         """Reap superseded table generations (Delta VACUUM analog). Old
@@ -621,7 +646,7 @@ class BTrDBEngine:
             names += [self.ladder._name(pw) for pw in self.ladder.levels]
         for name in names:
             base = self.ladder.base if name.startswith("agg_") else self.base
-            victims = store.gc_generations(base, name, keep=keep)
+            victims = self.store.gc_generations(base, name, keep=keep)
             if victims:
                 out[name] = len(victims)
         return out

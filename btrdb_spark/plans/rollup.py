@@ -333,18 +333,21 @@ class RollupLadder:
     compaction/invalidation write a NEW generation and flip the pointer,
     so a crash mid-rewrite never loses a level."""
 
-    def __init__(self, spark, base_dir: str, levels: tuple[int, ...] = LEVELS):
+    def __init__(
+        self, spark, base_dir: str, levels: tuple[int, ...] = LEVELS, backend=None
+    ):
+        from .. import store as store_mod
+
         self.spark = spark
         self.base = base_dir
         self.levels = tuple(sorted(levels))
+        self.store = backend if backend is not None else store_mod.DEFAULT
 
     def _name(self, pw: int) -> str:
         return f"agg_{pw}"
 
     def level(self, pw: int) -> DataFrame:
-        from .. import store
-
-        path = store.resolve(self.base, self._name(pw))
+        path = self.store.resolve(self.base, self._name(pw))
         if path is None or not any(
             f.endswith(".parquet") for _r, _d, fs in os.walk(path) for f in fs
         ):
@@ -371,21 +374,17 @@ class RollupLadder:
         for i, pw in enumerate(self.levels):
             if i > 0:
                 partial = coarsen(partial, self.levels[i - 1], pw)
-            from .. import store
-
             partial.write.mode("append").parquet(
-                store.current_dir(self.base, self._name(pw), create=True)
+                self.store.current_dir(self.base, self._name(pw), create=True)
             )
 
     def rewrite_level(self, pw: int, rewrite) -> None:
         """Replace level pw with ``rewrite(level_df)`` via a new generation
         + atomic pointer flip (the old level stays live until the new one
         is complete)."""
-        from .. import store
-
-        gen = store.new_generation(self.base, self._name(pw))
+        gen = self.store.new_generation(self.base, self._name(pw))
         rewrite(self.level(pw)).write.mode("append").parquet(gen)
-        store.publish(self.base, self._name(pw), gen)
+        self.store.publish(self.base, self._name(pw), gen)
 
     def compact(self) -> None:
         """Fold partials to one row per bucket (Delta OPTIMIZE analog)."""

@@ -6,11 +6,11 @@ between the data write and the pointer flip leaves the previous version
 fully intact. This module is that superblock for parquet directories:
 
 - table ``t`` lives in generation directories ``t.g<N>/``;
-- the file ``t.CURRENT`` names the live generation;
+- a *pointer* names the live generation (how the pointer is stored is the
+  backend's business — see StoreBackend);
 - a rewrite builds ``t.g<N+1>`` next to the live one — hardlinking every
   partition directory it does NOT touch, so rewrite cost is O(changed
-  partition), not O(table) — and then atomically renames a new pointer
-  file into place (write tmp + fsync + os.rename, atomic on POSIX).
+  partition), not O(table) — and then atomically republishes the pointer.
 
 Readers resolve the pointer first; at no instant is the table missing,
 half-swapped, or mixed between generations. Old generations are left on
@@ -22,9 +22,30 @@ Appends (the hot-buffer/journal analog) go straight into the live
 generation directory: parquet file creation is itself write-new-then-
 rename per file, and a torn append is at worst a replayable partial
 batch, which is exactly the reference's journal recovery contract
-(jprovider.go). On a cluster this whole module is a Delta/Iceberg
-table's transaction log; the engine relies only on "atomic publish +
-append", which both provide.
+(jprovider.go).
+
+## The backend seam (VERDICT r2 #6)
+
+``StoreBackend`` is the complete contract the engine needs from a table
+format — six calls, four of them shared logic over two primitives
+(``resolve`` + ``publish``). The concrete mapping to a lakehouse format:
+
+| StoreBackend call          | Delta Lake                          | Iceberg                         |
+|----------------------------|-------------------------------------|---------------------------------|
+| ``resolve``                | read `_delta_log` latest snapshot   | catalog `current-snapshot-id`   |
+| ``publish``                | commit a new log entry (atomic)     | catalog atomic snapshot swap    |
+| ``new_generation``         | implicit: new files staged in txn   | implicit: new manifest          |
+| append into current dir    | `df.write.format("delta").mode("append")` | `append()` snapshot       |
+| ``link_unchanged_partitions`` | implicit: unchanged files carried by reference in the new snapshot (no copy, like our hardlinks) | same (manifest reuse) |
+| ``gc_generations``         | `VACUUM`                            | `expireSnapshots`               |
+
+The engine and rollup ladder take a backend instance; PosixStore (pointer
+= ``t.CURRENT`` file, atomic via write-tmp+fsync+rename) is the
+single-filesystem implementation, and InMemoryPointerStore keeps pointer
+state in a dict — the "transaction log lives in a catalog service, not
+in the data directory" shape — proving the engine depends only on this
+contract (tests/test_store_backend.py runs the full engine lifecycle on
+it with zero pointer files on disk).
 """
 
 from __future__ import annotations
@@ -35,59 +56,142 @@ import re
 _GEN_RE = re.compile(r"\.g(\d+)$")
 
 
-def _pointer(base: str, name: str) -> str:
-    return os.path.join(base, f"{name}.CURRENT")
+class StoreBackend:
+    """Commit-protocol contract between the engine and a table format.
+
+    Subclasses provide the two pointer primitives (``resolve`` /
+    ``publish``); generation numbering, create-on-first-append, GC and
+    the hardlink fast-path are shared logic defined over them.
+    """
+
+    # ---- pointer primitives (backend-specific) ----
+
+    def resolve(self, base: str, name: str) -> str | None:
+        """Path of the live generation directory, or None if the table
+        has never been written."""
+        raise NotImplementedError
+
+    def publish(self, base: str, name: str, gen_path: str) -> None:
+        """Atomically flip the table pointer to ``gen_path``. This is the
+        ONLY state transition; everything before it is invisible to
+        readers and everything after it is complete."""
+        raise NotImplementedError
+
+    # ---- shared generation logic ----
+
+    def current_dir(self, base: str, name: str, create: bool = False) -> str | None:
+        """Live generation dir for in-place appends; with create=True an
+        empty generation 0 is created and published first."""
+        cur = self.resolve(base, name)
+        if cur is None and create:
+            cur = os.path.join(base, f"{name}.g0")
+            os.makedirs(cur, exist_ok=True)
+            self.publish(base, name, cur)
+        return cur
+
+    def new_generation(self, base: str, name: str) -> str:
+        """Fresh, not-yet-live generation directory (monotonic numbering)."""
+        nums = [
+            int(m.group(1))
+            for d in os.listdir(base)
+            if d.startswith(f"{name}.g")
+            for m in [_GEN_RE.search(d)]
+            if m
+        ] if os.path.exists(base) else []
+        gen = os.path.join(base, f"{name}.g{(max(nums) + 1) if nums else 0}")
+        os.makedirs(gen, exist_ok=True)
+        return gen
+
+    def link_unchanged_partitions(self, cur: str, gen: str, exclude_subdir: str) -> None:
+        """Hardlink every top-level partition directory of the live
+        generation except ``exclude_subdir`` (the one the caller will
+        rewrite). O(#files) metadata ops, zero data copied — the POSIX
+        twin of a lakehouse snapshot carrying unchanged files by
+        reference."""
+        for d in os.listdir(cur):
+            full = os.path.join(cur, d)
+            if os.path.isdir(full) and d != exclude_subdir:
+                link_tree(full, os.path.join(gen, d))
+
+    def gc_generations(self, base: str, name: str, keep: int = 2) -> list[str]:
+        """Remove all but the newest ``keep`` non-live generations. Only
+        safe once no reader holds plans resolved against them."""
+        import shutil
+
+        live = self.resolve(base, name)
+        gens = sorted(
+            (
+                os.path.join(base, d)
+                for d in os.listdir(base)
+                if d.startswith(f"{name}.g") and _GEN_RE.search(d)
+            ),
+            key=lambda p: int(_GEN_RE.search(p).group(1)),
+        )
+        pool = gens[:-keep] if keep else gens
+        victims = [g for g in pool if g != live]
+        for g in victims:
+            shutil.rmtree(g, ignore_errors=True)
+        return victims
 
 
-def resolve(base: str, name: str) -> str | None:
-    """Path of the live generation directory, or None if the table has
-    never been written. Falls back to a legacy bare ``{name}`` directory
-    (pre-pointer layout) so existing data stays readable."""
-    ptr = _pointer(base, name)
-    if os.path.exists(ptr):
-        with open(ptr) as f:
-            gen = f.read().strip()
+class PosixStore(StoreBackend):
+    """Pointer = ``{name}.CURRENT`` file next to the generation dirs,
+    flipped with write-tmp + fsync + os.rename (atomic on POSIX) —
+    the superblock flip of blockstore.go:317-360 verbatim."""
+
+    @staticmethod
+    def _pointer(base: str, name: str) -> str:
+        return os.path.join(base, f"{name}.CURRENT")
+
+    def resolve(self, base: str, name: str) -> str | None:
+        ptr = self._pointer(base, name)
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                gen = f.read().strip()
+            path = os.path.join(base, gen)
+            return path if os.path.exists(path) else None
+        # legacy bare ``{name}`` directory (pre-pointer layout)
+        legacy = os.path.join(base, name)
+        return legacy if os.path.exists(legacy) else None
+
+    def publish(self, base: str, name: str, gen_path: str) -> None:
+        tmp = self._pointer(base, name) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(os.path.basename(gen_path))
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self._pointer(base, name))  # atomic on POSIX
+
+    def __repr__(self) -> str:  # aids test failure messages
+        return "PosixStore()"
+
+
+class InMemoryPointerStore(StoreBackend):
+    """Pointer state in a process-local dict; data directories stay on
+    disk (Spark still reads parquet paths). This is the shape of a
+    catalog/transaction-log backend — Delta's `_delta_log` or an Iceberg
+    catalog owns the pointer, the object store only holds immutable data
+    files — and it proves the engine never peeks at pointer files.
+    NOT crash-durable by design (a real catalog backend is)."""
+
+    def __init__(self) -> None:
+        self._ptr: dict[tuple[str, str], str] = {}
+
+    def resolve(self, base: str, name: str) -> str | None:
+        gen = self._ptr.get((os.path.abspath(base), name))
+        if gen is None:
+            return None
         path = os.path.join(base, gen)
         return path if os.path.exists(path) else None
-    legacy = os.path.join(base, name)
-    return legacy if os.path.exists(legacy) else None
+
+    def publish(self, base: str, name: str, gen_path: str) -> None:
+        self._ptr[(os.path.abspath(base), name)] = os.path.basename(gen_path)
+
+    def __repr__(self) -> str:
+        return f"InMemoryPointerStore({len(self._ptr)} tables)"
 
 
-def current_dir(base: str, name: str, create: bool = False) -> str | None:
-    """Live generation dir for in-place appends; with create=True an empty
-    generation 0 is created and published first."""
-    cur = resolve(base, name)
-    if cur is None and create:
-        cur = os.path.join(base, f"{name}.g0")
-        os.makedirs(cur, exist_ok=True)
-        publish(base, name, cur)
-    return cur
-
-
-def new_generation(base: str, name: str) -> str:
-    """Fresh, not-yet-live generation directory (monotonic numbering)."""
-    nums = [
-        int(m.group(1))
-        for d in os.listdir(base)
-        if d.startswith(f"{name}.g")
-        for m in [_GEN_RE.search(d)]
-        if m
-    ] if os.path.exists(base) else []
-    gen = os.path.join(base, f"{name}.g{(max(nums) + 1) if nums else 0}")
-    os.makedirs(gen, exist_ok=True)
-    return gen
-
-
-def publish(base: str, name: str, gen_path: str) -> None:
-    """Atomically flip the table pointer to ``gen_path``. This is the ONLY
-    state transition; everything before it is invisible to readers and
-    everything after it is complete."""
-    tmp = _pointer(base, name) + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(os.path.basename(gen_path))
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, _pointer(base, name))  # atomic on POSIX
+DEFAULT = PosixStore()
 
 
 def link_tree(src: str, dst: str) -> None:
@@ -102,31 +206,27 @@ def link_tree(src: str, dst: str) -> None:
             os.link(os.path.join(root, fn), os.path.join(out, fn))
 
 
+# ---- module-level facade (back-compat; delegates to the POSIX default) ----
+
+def resolve(base: str, name: str) -> str | None:
+    return DEFAULT.resolve(base, name)
+
+
+def current_dir(base: str, name: str, create: bool = False) -> str | None:
+    return DEFAULT.current_dir(base, name, create)
+
+
+def new_generation(base: str, name: str) -> str:
+    return DEFAULT.new_generation(base, name)
+
+
+def publish(base: str, name: str, gen_path: str) -> None:
+    DEFAULT.publish(base, name, gen_path)
+
+
 def link_unchanged_partitions(cur: str, gen: str, exclude_subdir: str) -> None:
-    """Hardlink every top-level partition directory of the live generation
-    except ``exclude_subdir`` (the one the caller will rewrite)."""
-    for d in os.listdir(cur):
-        full = os.path.join(cur, d)
-        if os.path.isdir(full) and d != exclude_subdir:
-            link_tree(full, os.path.join(gen, d))
+    DEFAULT.link_unchanged_partitions(cur, gen, exclude_subdir)
 
 
 def gc_generations(base: str, name: str, keep: int = 2) -> list[str]:
-    """Remove all but the newest ``keep`` non-live generations. Only safe
-    once no reader holds plans resolved against them."""
-    import shutil
-
-    live = resolve(base, name)
-    gens = sorted(
-        (
-            os.path.join(base, d)
-            for d in os.listdir(base)
-            if d.startswith(f"{name}.g") and _GEN_RE.search(d)
-        ),
-        key=lambda p: int(_GEN_RE.search(p).group(1)),
-    )
-    pool = gens[:-keep] if keep else gens
-    victims = [g for g in pool if g != live]
-    for g in victims:
-        shutil.rmtree(g, ignore_errors=True)
-    return victims
+    return DEFAULT.gc_generations(base, name, keep)

@@ -46,8 +46,19 @@ def attach_ingest(
     checkpoint_dir: str,
     ladder: RollupLadder | None = None,
     trigger_seconds: int = 1,
+    maintenance_interval_s: float | None = None,
+    vacuum_keep: int = 2,
 ):
     """Wire a streaming (uuid, time, value) DataFrame into the engine.
+
+    ``maintenance_interval_s`` arms the background GC loop (the
+    quasar.go:119-137 analog, which the reference runs on a 1-minute
+    ticker): at most once per interval, after the batch's commits, the
+    trigger calls engine.maintain(keep=vacuum_keep) to reap superseded
+    table generations. Readers within the newest ``vacuum_keep``
+    generations survive a concurrent reap (the MVCC window). Compaction
+    is intentionally NOT run per-trigger — call engine.maintain(
+    compact=True) at a coarser cadence.
 
     Returns the StreamingQuery. Caller owns awaitTermination/stop.
     """
@@ -58,6 +69,7 @@ def attach_ingest(
         )
     marker_dir = os.path.join(checkpoint_dir, "committed_epochs")
     os.makedirs(marker_dir, exist_ok=True)
+    last_maintain = [float("-inf")]  # monotonic seconds of the last GC run
 
     def process_batch(batch: DataFrame, epoch_id: int) -> None:
         marker = os.path.join(marker_dir, f"{epoch_id}.done")
@@ -97,6 +109,15 @@ def attach_ingest(
         )
         for row in counts:
             engine.flush(row["uuid"])
+        # interval-throttled background GC (quasar.go:119-137 ticker
+        # analog): reap generations older than the vacuum_keep MVCC window
+        if maintenance_interval_s is not None:
+            import time as _time
+
+            now = _time.monotonic()
+            if now - last_maintain[0] >= maintenance_interval_s:
+                last_maintain[0] = now
+                engine.maintain(keep=vacuum_keep)
 
     return (
         stream_df.writeStream.foreachBatch(process_batch)

@@ -1,0 +1,89 @@
+"""The lakehouse adapter seam (VERDICT r2 #6): the full engine lifecycle
+must run against a second StoreBackend — pointer state held in a dict,
+the catalog/transaction-log shape — with zero pointer files on disk,
+producing results identical to the POSIX backend."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from btrdb_spark import store
+from btrdb_spark.engine import BTrDBEngine
+
+
+def _lifecycle(engine) -> dict:
+    """Create/insert/flush/delete/window/obliterate — one of everything
+    the store contract has to carry. Returns comparable results."""
+    u1 = engine.create_stream("b/one", tags={"unit": "v"})
+    u2 = engine.create_stream("b/two")
+    engine.insert(u1, [(i * 1000, float(i)) for i in range(100)], sync=True)
+    engine.insert(u1, [(100_000 + i * 1000, float(i) * 2) for i in range(50)], sync=True)
+    engine.insert(u2, [(i * 500, 1.0) for i in range(40)], sync=True)
+    v_before_delete, _ = engine.stream_version(u1)
+    engine.delete_range(u1, 10_000, 20_000)
+
+    def rows(df):  # uuids are random per engine; compare the data plane
+        return [tuple(r) for r in df.drop("uuid").collect()]
+
+    out = {
+        "raw": rows(engine.raw_values(u1, 0, 10**9)),
+        "raw_at_v": rows(engine.raw_values(u1, 0, 10**9, version=v_before_delete)),
+        "win": rows(engine.aligned_windows(u1, 0, 200_000, 14)),
+        "ver": engine.stream_version(u1),
+        "info_streams": engine.info()["n_streams"],
+    }
+    engine.obliterate(u2)
+    out["after_oblit"] = engine.info()["n_streams"]
+    engine.compact_points()
+    out["raw_after_compact"] = rows(engine.raw_values(u1, 0, 10**9))
+    engine.vacuum(keep=1)
+    out["raw_after_vacuum"] = rows(engine.raw_values(u1, 0, 10**9))
+    return out
+
+
+@pytest.fixture(scope="module")
+def posix_result(spark, tmp_path_factory):
+    eng = BTrDBEngine(
+        spark, str(tmp_path_factory.mktemp("posix") / "db"),
+        flush_threshold=10_000, ladder=True,
+    )
+    return _lifecycle(eng)
+
+
+def test_in_memory_backend_runs_full_lifecycle(spark, tmp_path, posix_result):
+    base = str(tmp_path / "db")
+    eng = BTrDBEngine(
+        spark, base, flush_threshold=10_000, ladder=True,
+        store_backend=store.InMemoryPointerStore(),
+    )
+    got = _lifecycle(eng)
+    assert got == posix_result
+    # proof the engine never touched the POSIX pointer protocol: no
+    # .CURRENT files anywhere under the store
+    pointer_files = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(base)
+        for f in fs
+        if f.endswith(".CURRENT") or f.endswith(".CURRENT.tmp")
+    ]
+    assert pointer_files == []
+
+
+def test_in_memory_backend_atomic_swap_semantics(tmp_path):
+    """publish is the only state transition: a generation written but not
+    published is invisible; republish flips wholesale."""
+    b = store.InMemoryPointerStore()
+    base = str(tmp_path)
+    assert b.resolve(base, "t") is None
+    g0 = b.new_generation(base, "t")
+    assert b.resolve(base, "t") is None  # staged, not live
+    b.publish(base, "t", g0)
+    assert b.resolve(base, "t") == g0
+    g1 = b.new_generation(base, "t")
+    assert b.resolve(base, "t") == g0  # still old until the flip
+    b.publish(base, "t", g1)
+    assert b.resolve(base, "t") == g1
+    victims = b.gc_generations(base, "t", keep=1)
+    assert victims == [g0] and b.resolve(base, "t") == g1

@@ -30,7 +30,11 @@ def engine(spark, tmp_path):
 def _crash_publish(monkeypatch):
     """Make every pointer flip die AFTER the new generation is written but
     BEFORE it becomes live — the worst instant of the old rmtree+rename."""
-    monkeypatch.setattr(store, "publish", lambda *a, **k: (_ for _ in ()).throw(Boom()))
+    # patch the backend class so every engine (whatever backend instance
+    # it holds, incl. store.DEFAULT) dies at the flip
+    monkeypatch.setattr(
+        store.PosixStore, "publish", lambda *a, **k: (_ for _ in ()).throw(Boom())
+    )
 
 
 def test_compact_crash_preserves_table(engine, monkeypatch):
