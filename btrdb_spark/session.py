@@ -31,10 +31,12 @@ def get_spark(app_name: str = "btrdb_spark", cpus: int | None = None) -> SparkSe
         .config("spark.sql.session.timeZone", "UTC")
         # local[N] runs executors inside the driver JVM: size the heap for
         # N concurrent tasks (32 threads on the bench box), not a lone
-        # driver. 24g keeps sf0.1 shuffles and the 20M-point probes fully
-        # in memory (no spill); harmless where less RAM exists because the
-        # heap is lazily committed.
-        .config("spark.driver.memory", os.environ.get("BTRDB_SPARK_DRIVER_MEM", "24g"))
+        # driver. 48g keeps sf0.1 shuffles, the 20M-point probes AND a
+        # long 80-query session's accumulated broadcasts in memory with GC
+        # headroom (a near-full heap measured 10-20x on allocation-heavy
+        # aggregates); harmless where less RAM exists because the heap is
+        # lazily committed.
+        .config("spark.driver.memory", os.environ.get("BTRDB_SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         # lz4 over the default snappy for engine-table writes: ~1.35x

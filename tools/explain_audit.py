@@ -42,6 +42,14 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "cosine_topk": (["BroadcastNestedLoopJoin"], ["BatchEvalPython"]),  # intended exact scan
     "dedup_exact": (["partial_min", "partial_count"], ["BatchEvalPython"]),
     "ann_ivf_topk": (["BroadcastHashJoin"], ["BatchEvalPython"]),
+    # trained-quantizer IVF: same join shape as ann_ivf_topk (centroids
+    # broadcast into the scoring cross, cells equi-joined)
+    "ann_ivf_kmeans_topk": (["BroadcastHashJoin"], ["BatchEvalPython"]),
+    # lexicon is KBs: the word match and the 1-row fallback must both be
+    # broadcast — a shuffled join on the token key would shuffle the corpus
+    "lang_id_lexicon_join": (["BroadcastHashJoin"], ["BatchEvalPython", "SortMergeJoin"]),
+    # stop-shingle cap adds one small aggregate + join, still no cartesian
+    "ngram_jaccard_pairs_capped": ([], ["CartesianProduct", "BatchEvalPython"]),
     "corpus_clean": (["BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython"]),
     "aligned_windows_at_version_via_rollup": (["partial_count"], ["BatchEvalPython"]),
     # split is a pure projection: the only exchange is the output sort
