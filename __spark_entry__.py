@@ -587,6 +587,33 @@ def q_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.label_centroids(load_table(spark, sf, "embeddings"))
 
 
+def q_centroid_classify(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-centroid confusion matrix over the labeled embeddings."""
+    return similarity.centroid_classify(load_table(spark, sf, "embeddings"))
+
+
+def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 retrieval (rational idf, fixed-order term sum)."""
+    return text.bm25_topk(
+        load_table(spark, sf, "documents"), terms=["spark", "join", "window"], k=10
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language deterministic sampling (rare langs kept, en cut)."""
+    return pipeline.stratified_sample(
+        load_table(spark, sf, "documents"),
+        strata_col="lang",
+        fractions={"en": 0.35, "zh": 1.0, "de": 0.8},
+        default_fraction=0.25,
+    )
+
+
+def q_value_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stream median/MAD robust outlier summary (exact rank math)."""
+    return qt_ops.value_mad_outliers(events_as_points(spark, sf), k=3.0)
+
+
 def q_ngram_contamination(spark: SparkSession, sf: str) -> DataFrame:
     """Decontamination scan: corpus docs sharing an 8-gram with the
     'eval set' (stand-in: doc_id < 5); eval grams broadcast."""
@@ -819,6 +846,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_lexicon_join": q_lang_id_lexicon_join,
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
         "ngram_jaccard_pairs_capped": q_ngram_jaccard_pairs_capped,
+        "centroid_classify": q_centroid_classify,
+        "bm25_topk": q_bm25_topk,
+        "stratified_sample": q_stratified_sample,
+        "value_mad_outliers": q_value_mad_outliers,
         "asof_join_forward": q_asof_join_forward,
         "asof_join_tolerance": q_asof_join_tolerance,
         "cohort_retention": q_cohort_retention,
@@ -1292,6 +1323,12 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles.update(pipeline.ORACLES)
     oracles["value_quantiles"] = qt_ops.quantile_oracle_sql(PTS)
+    oracles["value_mad_outliers"] = qt_ops.mad_outliers_oracle_sql(PTS, k=3.0)
+    oracles["centroid_classify"] = similarity.CENTROID_CLASSIFY_ORACLE
+    oracles["bm25_topk"] = text.bm25_oracle_sql(["spark", "join", "window"], k=10)
+    oracles["stratified_sample"] = pipeline.stratified_sample_oracle_sql(
+        "lang", {"en": 0.35, "zh": 1.0, "de": 0.8}, default_fraction=0.25
+    )
     oracles["value_quantiles_sketch"] = qt_ops.quantile_sketch_oracle_sql(PTS)
     oracles["value_histogram"] = qt_ops.histogram_oracle_sql(PTS, 0.0, 500.0, 20)
     oracles["asof_join_backward"] = asof_ops.asof_oracle_sql(PTS, PROBES_SQL)

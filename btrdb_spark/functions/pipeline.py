@@ -304,6 +304,68 @@ def global_shuffle_oracle_sql(n_shards: int, salt: str) -> str:
     """
 
 
+def stratified_sample(
+    documents: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "strat-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the mixture-rebalancing
+    primitive (e.g. keep 100% of rare languages, 5% of English crawl).
+
+    Same stability contract as train_val_test_split: inclusion is a pure
+    function of (salt, id), so the sample is stable under corpus growth,
+    repartitioning and engine version, and DIFFERENT strata draw from the
+    same hash stream (a doc that survives at 5% also survives at 10% —
+    nested samples for ablations). Fractions are quantized to millionths.
+    One narrow projection + filter, no shuffle. Strata not listed in
+    ``fractions`` fall back to ``default_fraction``.
+
+    Output: the sampled rows (doc_id, <strata_col>).
+    """
+    hv = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    thr = F.lit(int(round(default_fraction * 1000000)))
+    for k, v in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == k, F.lit(int(round(v * 1000000)))).otherwise(thr)
+    return (
+        documents.select(id_col, strata_col)
+        .filter(hv < thr)
+        .orderBy(id_col)
+    )
+
+
+def stratified_sample_oracle_sql(
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "strat-v1",
+) -> str:
+    cases = " ".join(
+        f"WHEN {strata_col} = '{k}' THEN {int(round(v * 1000000))}"
+        for k, v in sorted(fractions.items())
+    )
+    return f"""
+        SELECT doc_id, {strata_col}
+        FROM (
+            SELECT doc_id, {strata_col},
+                   ('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS hv
+            FROM documents
+        )
+        WHERE hv < (CASE {cases} ELSE {int(round(default_fraction * 1000000))} END)
+        ORDER BY doc_id
+    """
+
+
+
 ORACLES = {
     # mirrors pack_token_shards(budget_tokens=2048, group_col='source')
     "pack_token_shards": """

@@ -799,3 +799,77 @@ ORACLES = {
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
     """,
 }
+
+
+def centroid_classify(
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid classification confusion matrix — the standard
+    embedding-space sanity check (are class prototypes separable?) and
+    the cheapest possible labeler for semi-supervised curation.
+
+    Builds per-label prototypes with label_centroids (decimal-exact
+    means), assembles them into broadcast vectors, scores every vector
+    against every centroid by cosine (the bit-exact left-fold dot), and
+    takes argmax with smallest-label tie-break.
+
+    Scale shape: centroids are labels x dims — KBs — so the scoring join
+    is a broadcast nested loop over a handful of rows per vector; one
+    groupBy for the confusion counts. Output: (true_label, pred_label,
+    n), ordered.
+    """
+    cents = label_centroids(vectors, label_col, vec_col)
+    carr = cents.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
+            lambda s: s["centroid"],
+        ).alias("cvec")
+    ).select(
+        F.col("label").alias("cand"),
+        "cvec",
+        _norm(F.col("cvec")).alias("cnorm"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).cast("long").alias("true_label"),
+        F.col(vec_col).alias("vvec"),
+        _norm(F.col(vec_col)).alias("vnorm"),
+    )
+    scored = v.crossJoin(F.broadcast(carr)).select(
+        "vec_id",
+        "true_label",
+        "cand",
+        (_dot(F.col("vvec"), F.col("cvec")) / (F.col("vnorm") * F.col("cnorm"))).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cand"))
+    pred = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        pred.groupBy("true_label", F.col("cand").alias("pred_label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("true_label", "pred_label")
+    )
+
+
+CENTROID_CLASSIFY_ORACLE = f"""
+    WITH cents0 AS ({LABEL_CENTROIDS_ORACLE.replace("ORDER BY label, dim", "")}),
+    carr AS (
+        SELECT label AS cand, list(centroid ORDER BY dim) AS cvec
+        FROM cents0 GROUP BY label
+    ), scored AS (
+        SELECT v.vec_id, CAST(v.label AS BIGINT) AS true_label, c.cand,
+               list_dot_product(CAST(v.embedding AS DOUBLE[]), c.cvec)
+               / (sqrt(list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(c.cvec, c.cvec))) AS sim
+        FROM embeddings v CROSS JOIN carr c
+    ), ranked AS (
+        SELECT vec_id, true_label, cand,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cand ASC) AS rn
+        FROM scored
+    )
+    SELECT true_label, cand AS pred_label, COUNT(*) AS n
+    FROM ranked WHERE rn = 1
+    GROUP BY true_label, cand ORDER BY true_label, pred_label
+"""

@@ -493,3 +493,121 @@ def tfidf_oracle_sql(k: int) -> str:
         SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score
         FROM r WHERE rank <= {k} ORDER BY doc_id, rank
     """
+
+
+def bm25_topk(
+    documents: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 ranking of documents for a bag of query terms — the
+    lexical retrieval step of a training-data curation pipeline (e.g.
+    mining domain-relevant documents out of a crawl).
+
+    score(d) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    with the RATIONAL idf form (N - df + 0.5)/(df + 0.5): a monotone
+    transform of the classic log idf, so rankings are preserved while the
+    whole score stays inside IEEE +-*/ (ln is correctly rounded in
+    neither engine — same convention as tfidf_top_terms). Cross-term
+    accumulation is float addition, whose result depends on order (Spark
+    reserves the right to reassociate); per-term scores are therefore
+    quantized to 2^-40 (floor of the 2^40-scaled value — ~1e-12, far
+    below any ranking-relevant difference) and summed as EXACT longs,
+    then divided back by the power of two (exact) — order-independent
+    and bit-identical across engines.
+
+    Scale shape: the term filter prunes the exploded tokens to query
+    terms only (a handful), so tf is a tiny partial-aggregated groupBy;
+    doc lengths come straight off the scan; N and avgdl are scalar
+    aggregates. Top-k is a global TakeOrdered (never a full sort).
+
+    Output: (rank, doc_id, score), rank 1..k by score DESC, doc_id ASC.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import _spread
+
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    stats = documents.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_tokens(F.col(text_col)))).alias("sum_dl"),
+    ).collect()[0]
+    n_docs, sum_dl = stats["n_docs"], stats["sum_dl"]
+    avgdl = sum_dl / n_docs  # exact ints -> one IEEE division
+    toks = _spread(documents).select(
+        "doc_id", F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(list(terms)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = documents.select(
+        "doc_id", F.size(_tokens(F.col(text_col))).alias("dl")
+    )
+    idf = (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    den = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl") / F.lit(avgdl))
+    )
+    q = float(1 << 40)
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            F.floor(
+                (idf * (F.col("tf") * F.lit(k1 + 1.0) / den)) * F.lit(q)
+            ).cast("long").alias("sq"),
+        )
+    )
+    ranked = (
+        scored.groupBy("doc_id")
+        .agg((F.sum("sq") / F.lit(q)).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))  # k rows only
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "doc_id", "score"
+    )
+
+
+def bm25_oracle_sql(
+    terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """DuckDB mirror of bm25_topk — identical arithmetic structure."""
+    term_list = "[" + ",".join(f"'{t}'" for t in terms) + "]"
+    q = float(1 << 40)
+    return f"""
+        WITH stats AS (
+            SELECT COUNT(*) AS n_docs,
+                   SUM(len(string_split(text, ' '))) AS sum_dl
+            FROM documents
+        ), toks AS (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM toks
+            WHERE list_contains({term_list}, term) GROUP BY 1, 2
+        ), dfreq AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        ), dl AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+        ), scored AS (
+            SELECT tf.doc_id,
+                   CAST(FLOOR((((CAST(stats.n_docs AS DOUBLE) - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * (tf.tf * {k1 + 1.0!r} /
+                      (tf.tf + {k1!r} * (1.0 - {b!r} + {b!r} * (dl.dl / (stats.sum_dl / CAST(stats.n_docs AS DOUBLE))))))) * {q!r}) AS BIGINT) AS sq
+            FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
+        ), ranked AS (
+            SELECT doc_id, SUM(sq) / {q!r} AS score FROM scored
+            GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT {k}
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+               doc_id, score
+        FROM ranked
+    """

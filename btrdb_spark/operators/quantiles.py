@@ -155,3 +155,96 @@ def histogram_oracle_sql(points_sql: str, lo: float, hi: float, n_bins: int = 20
                COUNT(*) AS cnt
         FROM b GROUP BY uuid, bin ORDER BY uuid, bin
     """
+
+
+def _exact_median(df: DataFrame, col: str) -> DataFrame:
+    """Per-uuid exact lower median of ``col`` — rank floor((n-1)/2)+1,
+    the p50 convention of value_quantiles (value at a fixed rank is
+    deterministic regardless of tie order)."""
+    w = Window.partitionBy("uuid").orderBy(col)
+    wn = Window.partitionBy("uuid")
+    ranked = (
+        df.select("uuid", col)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+    )
+    return ranked.groupBy("uuid").agg(
+        F.min(
+            F.when(
+                F.col("rn") == F.floor((F.col("n") - 1) / 2) + 1, F.col(col)
+            )
+        ).alias(f"med_{col}")
+    )
+
+
+def value_mad_outliers(points: DataFrame, k: float = 3.0) -> DataFrame:
+    """Per-stream robust outlier summary via median/MAD — the standard
+    telemetry anomaly screen (mean/stddev break down exactly when
+    outliers exist; median absolute deviation does not).
+
+    med = exact lower median of value; mad = exact lower median of
+    |value - med|; a point is an outlier when |value - med| > k * mad.
+    All arithmetic is IEEE +-*/ and exact rank selection, so the DuckDB
+    oracle matches bit-for-bit (same convention as value_quantiles).
+
+    Scale shape: two ranked window passes over (uuid) plus one final
+    groupBy; the per-stream (med, mad) frames are stream-count-sized and
+    broadcast back onto the points. Output: (uuid, med, mad, n,
+    n_outliers, outlier_frac), ordered by uuid.
+    """
+    med = _exact_median(points, "value").withColumnRenamed("med_value", "med")
+    dev = points.join(F.broadcast(med), "uuid").select(
+        "uuid", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = _exact_median(dev, "adev").withColumnRenamed("med_adev", "mad")
+    out = (
+        dev.join(F.broadcast(mad), "uuid")
+        .groupBy("uuid", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("adev") > F.lit(float(k)) * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+    return out.select(
+        "uuid",
+        "med",
+        "mad",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_outliers").cast("long").alias("n_outliers"),
+        (F.col("n_outliers") / F.col("n")).alias("outlier_frac"),
+    ).orderBy("uuid")
+
+
+def mad_outliers_oracle_sql(points_sql: str, k: float = 3.0) -> str:
+    """DuckDB mirror of value_mad_outliers (identical rank + IEEE ops)."""
+    return f"""
+        WITH r AS (
+            SELECT uuid, value,
+                   ROW_NUMBER() OVER (PARTITION BY uuid ORDER BY value) AS rn,
+                   COUNT(*) OVER (PARTITION BY uuid) AS n
+            FROM {points_sql} p
+        ), med AS (
+            SELECT uuid, MIN(CASE WHEN rn = FLOOR((n - 1) / 2) + 1 THEN value END) AS med
+            FROM r GROUP BY uuid
+        ), d AS (
+            SELECT p.uuid, p.value, med.med, ABS(p.value - med.med) AS adev
+            FROM {points_sql} p JOIN med ON p.uuid = med.uuid
+        ), r2 AS (
+            SELECT uuid, med, adev,
+                   ROW_NUMBER() OVER (PARTITION BY uuid ORDER BY adev) AS rn,
+                   COUNT(*) OVER (PARTITION BY uuid) AS n
+            FROM d
+        ), mad AS (
+            SELECT uuid, MIN(CASE WHEN rn = FLOOR((n - 1) / 2) + 1 THEN adev END) AS mad
+            FROM r2 GROUP BY uuid
+        )
+        SELECT d.uuid, d.med, mad.mad,
+               COUNT(*) AS n,
+               SUM(CASE WHEN d.adev > {float(k)!r} * mad.mad THEN 1 ELSE 0 END) AS n_outliers,
+               SUM(CASE WHEN d.adev > {float(k)!r} * mad.mad THEN 1 ELSE 0 END) / COUNT(*) AS outlier_frac
+        FROM d JOIN mad ON d.uuid = mad.uuid
+        GROUP BY d.uuid, d.med, mad.mad
+        ORDER BY d.uuid
+    """

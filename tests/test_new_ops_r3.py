@@ -1,0 +1,86 @@
+"""Semantic tests for the round-3 pipeline operators: BM25 retrieval,
+stratified sampling, nearest-centroid classification, MAD outliers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from btrdb_spark.functions import pipeline, similarity, text
+from btrdb_spark.operators import quantiles as qt
+
+
+def test_bm25_rarer_term_scores_higher(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "common common common rare"),
+            (1, "common common common common"),
+            (2, "common filler filler filler"),
+            (3, "filler filler filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.bm25_topk(docs, ["common", "rare"], k=4).collect()
+    assert out[0]["doc_id"] == 0  # only doc with the rare term wins
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    # doc 3 has no query terms at all -> not retrieved
+    assert 3 not in {r["doc_id"] for r in out}
+    assert len(out) == 3
+
+
+def test_bm25_length_normalization(spark):
+    # same tf: the shorter document scores higher (b > 0)
+    docs = spark.createDataFrame(
+        [(0, "t a"), (1, "t " + "a " * 50)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["score"] for r in text.bm25_topk(docs, ["t"], k=2).collect()}
+    assert out[0] > out[1]
+
+
+def test_stratified_sample_stable_and_nested(spark):
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(3000)],
+        "doc_id long, lang string",
+    )
+    small = pipeline.stratified_sample(docs, "lang", {"en": 0.1, "de": 0.5})
+    big = pipeline.stratified_sample(docs, "lang", {"en": 0.3, "de": 1.0})
+    small_ids = {r["doc_id"] for r in small.collect()}
+    big_ids = {r["doc_id"] for r in big.collect()}
+    assert small_ids <= big_ids  # nested: same hash stream, higher cut
+    # stability under growth: sampling a prefix then the full corpus
+    # keeps the prefix's picks
+    prefix = docs.filter(F.col("doc_id") < 1000)
+    pre_ids = {
+        r["doc_id"]
+        for r in pipeline.stratified_sample(prefix, "lang", {"en": 0.1, "de": 0.5}).collect()
+    }
+    assert pre_ids == {i for i in small_ids if i < 1000}
+    # fractions are roughly honored per stratum
+    n_en = sum(1 for i in small_ids if i % 3)
+    n_de = sum(1 for i in small_ids if not i % 3)
+    assert 0.06 < n_en / 2000 < 0.14
+    assert 0.4 < n_de / 1000 < 0.6
+
+
+def test_centroid_classify_separable(spark):
+    rows = []
+    for lab, base in ((0, [10.0, 0.0, 0.0]), (1, [0.0, 10.0, 0.0]), (2, [0.0, 0.0, 10.0])):
+        for j in range(20):
+            rows.append((lab * 100 + j, [v + (j % 5) * 0.1 for v in base], lab))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label long")
+    out = similarity.centroid_classify(vecs).collect()
+    assert all(r["true_label"] == r["pred_label"] for r in out)
+    assert sum(r["n"] for r in out) == 60
+
+
+def test_value_mad_outliers_hand_computed(spark):
+    # values 1..9 plus one wild point: med=5 (lower median of 10), the
+    # sorted |v-5| deviations are [0,1,1,2,2,3,3,4,4,95] -> mad
+    # (lower median, rank 5) = 2; outliers: |v-5| > 6 -> the wild 100
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 100.0]
+    pts = spark.createDataFrame(
+        [("s", i, v) for i, v in enumerate(vals)], "uuid string, time long, value double"
+    )
+    r = qt.value_mad_outliers(pts, k=3.0).collect()[0]
+    assert (r["med"], r["mad"], r["n"], r["n_outliers"]) == (5.0, 2.0, 10, 1)
+    assert r["outlier_frac"] == pytest.approx(0.1)
