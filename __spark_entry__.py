@@ -614,6 +614,16 @@ def q_value_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     return qt_ops.value_mad_outliers(events_as_points(spark, sf), k=3.0)
 
 
+def q_stream_correlations(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise Pearson correlation of per-bucket stream means — the
+    fleet analytics the reference's users compute client-side."""
+    from btrdb_spark.operators import correlate
+
+    return correlate.stream_correlations(
+        events_as_points(spark, sf), pw=42, min_overlap=8
+    )
+
+
 def q_ngram_contamination(spark: SparkSession, sf: str) -> DataFrame:
     """Decontamination scan: corpus docs sharing an 8-gram with the
     'eval set' (stand-in: doc_id < 5); eval grams broadcast."""
@@ -850,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "stratified_sample": q_stratified_sample,
         "value_mad_outliers": q_value_mad_outliers,
+        "stream_correlations": q_stream_correlations,
         "asof_join_forward": q_asof_join_forward,
         "asof_join_tolerance": q_asof_join_tolerance,
         "cohort_retention": q_cohort_retention,
@@ -1324,6 +1335,11 @@ def oracle_sql() -> dict[str, str]:
     oracles.update(pipeline.ORACLES)
     oracles["value_quantiles"] = qt_ops.quantile_oracle_sql(PTS)
     oracles["value_mad_outliers"] = qt_ops.mad_outliers_oracle_sql(PTS, k=3.0)
+    from btrdb_spark.operators import correlate as corr_ops
+
+    oracles["stream_correlations"] = corr_ops.correlations_oracle_sql(
+        PTS, pw=42, min_overlap=8
+    )
     oracles["centroid_classify"] = similarity.CENTROID_CLASSIFY_ORACLE
     oracles["bm25_topk"] = text.bm25_oracle_sql(["spark", "join", "window"], k=10)
     oracles["stratified_sample"] = pipeline.stratified_sample_oracle_sql(

@@ -1,0 +1,133 @@
+"""Cross-stream correlation over aligned time buckets.
+
+The reference has no cross-stream analytics at all — its users pull
+AlignedWindows per stream and correlate client-side (the distribution
+grid use case: find electrically-coupled feeders from voltage phasor
+correlation). Here it is ONE distributed plan:
+
+1. bucket means per (uuid, 2^pw bucket) — the AlignedWindows shape, so
+   at 100 TB this stage can read the rollup ladder instead of raw points
+   (cost ~ output buckets, not points);
+2. self-join on bucket (uuid_a < uuid_b) — pairs exist only where both
+   streams have data in the same bucket;
+3. one groupBy (uuid_a, uuid_b) accumulating the Pearson sufficient
+   statistics; correlation assembled from them.
+
+Determinism contract (the repo-wide convention): bucket means are
+quantized to 2^-20 and the sufficient statistics are summed EXACTLY —
+longs where the bound allows (sx, sy), decimal(38,0)-of-long for the
+product sums (sxy, sxx, syy) — so the aggregation is order-independent
+and the DuckDB oracle matches bit-for-bit. The final correlation is the
+same fixed IEEE double expression in both engines. Quantization costs
+~1e-6 relative error on the correlation — far below any analytical
+significance, and deterministic.
+
+Scale notes: the bucket self-join fans out S^2/2 rows per bucket for S
+streams sharing it; that IS the problem size (every pair must be
+measured). Skewed buckets split fine under AQE. min_overlap drops pairs
+with too few common buckets to be meaningful.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.timeops import bucket_start
+
+_Q = float(1 << 20)
+
+
+def stream_correlations(
+    points: DataFrame,
+    pw: int = 42,
+    min_overlap: int = 8,
+) -> DataFrame:
+    """Pairwise Pearson correlation of per-bucket mean values.
+
+    Output: (uuid_a, uuid_b, n_buckets, corr), uuid_a < uuid_b, only
+    pairs with n_buckets >= min_overlap and nonzero variance on both
+    sides, ordered by (uuid_a, uuid_b).
+    """
+    width = 1 << pw
+    from ..functions import decsum
+
+    m = (
+        points.withColumn("bucket", bucket_start(F.col("time"), width))
+        .groupBy("uuid", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"), *decsum.sum_aggs(F.col("value")))
+        .select(
+            "uuid",
+            "bucket",
+            F.floor(
+                (decsum.vsum().cast("double") / F.col("cnt")) * F.lit(_Q)
+            ).cast("long").alias("mq"),
+        )
+    )
+    a = m.select(
+        F.col("uuid").alias("uuid_a"), "bucket", F.col("mq").alias("xa")
+    )
+    b = m.select(
+        F.col("uuid").alias("uuid_b"), F.col("bucket").alias("bucket_b"), F.col("mq").alias("xb")
+    )
+    paired = a.join(
+        b,
+        (F.col("bucket") == F.col("bucket_b")) & (F.col("uuid_a") < F.col("uuid_b")),
+    )
+    stats = paired.groupBy("uuid_a", "uuid_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xa").alias("sx"),
+        F.sum("xb").alias("sy"),
+        F.sum((F.col("xa") * F.col("xb")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("xa") * F.col("xa")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("xb") * F.col("xb")).cast("decimal(38,0)")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    corr = (n * sxy - sx * sy) / (F.sqrt(varx) * F.sqrt(vary))
+    return (
+        stats.filter(F.col("n") >= min_overlap)
+        .filter((varx > 0) & (vary > 0))
+        .select(
+            "uuid_a", "uuid_b", F.col("n").cast("long").alias("n_buckets"),
+            corr.alias("corr"),
+        )
+        .orderBy("uuid_a", "uuid_b")
+    )
+
+
+def correlations_oracle_sql(points_sql: str, pw: int = 42, min_overlap: int = 8) -> str:
+    """DuckDB mirror — identical quantization, exact integer sums, and
+    double expression structure."""
+    width = 1 << pw
+    return f"""
+        WITH m AS (
+            SELECT uuid,
+                   (time // {width}) * {width} AS bucket,
+                   CAST(FLOOR((CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)) * {_Q!r}) AS BIGINT) AS mq
+            FROM {points_sql} p GROUP BY 1, 2
+        ), paired AS (
+            SELECT a.uuid AS uuid_a, b.uuid AS uuid_b, a.mq AS xa, b.mq AS xb
+            FROM m a JOIN m b ON a.bucket = b.bucket AND a.uuid < b.uuid
+        ), stats AS (
+            SELECT uuid_a, uuid_b, COUNT(*) AS n,
+                   SUM(xa) AS sx, SUM(xb) AS sy,
+                   SUM(xa * xb) AS sxy, SUM(xa * xa) AS sxx, SUM(xb * xb) AS syy
+            FROM paired GROUP BY 1, 2
+        )
+        SELECT uuid_a, uuid_b, CAST(n AS BIGINT) AS n_buckets,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+        FROM stats
+        WHERE n >= {min_overlap}
+          AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+          AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+        ORDER BY uuid_a, uuid_b
+    """

@@ -84,3 +84,31 @@ def test_value_mad_outliers_hand_computed(spark):
     r = qt.value_mad_outliers(pts, k=3.0).collect()[0]
     assert (r["med"], r["mad"], r["n"], r["n_outliers"]) == (5.0, 2.0, 10, 1)
     assert r["outlier_frac"] == pytest.approx(0.1)
+
+
+def test_stream_correlations_signs(spark):
+    from btrdb_spark.operators.correlate import stream_correlations
+
+    # b = 2a (corr +1), c = -a (corr -1), d = noise-free alternation
+    # uncorrelated-ish with a
+    rows = []
+    for i in range(64):
+        t = i * (1 << 20)  # one point per 2^20 bucket
+        rows += [("a", t, float(i)), ("b", t, 2.0 * i), ("c", t, -float(i))]
+    pts = spark.createDataFrame(rows, "uuid string, time long, value double")
+    out = {
+        (r["uuid_a"], r["uuid_b"]): r["corr"]
+        for r in stream_correlations(pts, pw=20, min_overlap=8).collect()
+    }
+    assert out[("a", "b")] == pytest.approx(1.0, abs=1e-6)
+    assert out[("a", "c")] == pytest.approx(-1.0, abs=1e-6)
+    assert out[("b", "c")] == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_stream_correlations_requires_overlap(spark):
+    from btrdb_spark.operators.correlate import stream_correlations
+
+    rows = [("a", i * (1 << 20), float(i)) for i in range(20)]
+    rows += [("b", (100 + i) * (1 << 20), float(i)) for i in range(20)]  # disjoint
+    pts = spark.createDataFrame(rows, "uuid string, time long, value double")
+    assert stream_correlations(pts, pw=20, min_overlap=4).count() == 0

@@ -50,6 +50,16 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "lang_id_lexicon_join": (["BroadcastHashJoin"], ["BatchEvalPython", "SortMergeJoin"]),
     # stop-shingle cap adds one small aggregate + join, still no cartesian
     "ngram_jaccard_pairs_capped": ([], ["CartesianProduct", "BatchEvalPython"]),
+    # centroids are KBs: scoring side must broadcast
+    "centroid_classify": (["BroadcastNestedLoopJoin"], ["BatchEvalPython"]),
+    # tf/df/dl joins: df is term-count-sized (broadcast); partial aggs
+    "bm25_topk": (["BroadcastHashJoin", "partial_count"], ["CartesianProduct", "BatchEvalPython"]),
+    # pure scan-project-filter: no shuffle at all before the output sort
+    "stratified_sample": ([], ["Exchange hashpartitioning", "BatchEvalPython"]),
+    # two window passes + joins of stream-sized frames (broadcast)
+    "value_mad_outliers": (["BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython"]),
+    # bucket self-join is an equi-join on bucket, never a nested loop
+    "stream_correlations": (["partial_count"], ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]),
     "corpus_clean": (["BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython"]),
     "aligned_windows_at_version_via_rollup": (["partial_count"], ["BatchEvalPython"]),
     # split is a pure projection: the only exchange is the output sort
