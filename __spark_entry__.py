@@ -725,6 +725,13 @@ def q_stream_rate(spark: SparkSession, sf: str) -> DataFrame:
     return rs_ops.stream_rate(events_as_points(spark, sf))
 
 
+def q_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stream EWMA — the linear recurrence windows can't express;
+    applyInPandas fold vs a DuckDB recursive-CTE oracle (alpha=0.25 is
+    binary-exact so the two folds agree bit-for-bit)."""
+    return rs_ops.ewma(events_as_points(spark, sf), alpha=0.25)
+
+
 def q_resample_linear(spark: SparkSession, sf: str) -> DataFrame:
     """Linear interpolation onto a daily grid (backward + forward as-of
     sharing one exchange)."""
@@ -861,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "value_mad_outliers": q_value_mad_outliers,
         "stream_correlations": q_stream_correlations,
+        "ewma": q_ewma,
         "asof_join_forward": q_asof_join_forward,
         "asof_join_tolerance": q_asof_join_tolerance,
         "cohort_retention": q_cohort_retention,
@@ -1340,6 +1348,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["stream_correlations"] = corr_ops.correlations_oracle_sql(
         PTS, pw=42, min_overlap=8
     )
+    oracles["ewma"] = rs_ops.ewma_oracle_sql(PTS, alpha=0.25)
     oracles["centroid_classify"] = similarity.CENTROID_CLASSIFY_ORACLE
     oracles["bm25_topk"] = text.bm25_oracle_sql(["spark", "join", "window"], k=10)
     oracles["stratified_sample"] = pipeline.stratified_sample_oracle_sql(

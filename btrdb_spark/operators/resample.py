@@ -270,3 +270,60 @@ def stream_rate_oracle_sql(points_sql: str) -> str:
         FROM l WHERE pt IS NOT NULL AND time > pt
         ORDER BY uuid, time, rate_per_sec
     """
+
+
+def ewma(points: DataFrame, alpha: float = 0.25) -> DataFrame:
+    """Per-stream exponentially-weighted moving average — the recurrence
+    e_i = (1-alpha)*e_{i-1} + alpha*x_i, e_0 = x_0, over time order.
+
+    A linear recurrence is the one shape Catalyst window functions cannot
+    express (each output depends on the previous OUTPUT, not input), so
+    this is the documented applyInPandas case: the whole group arrives as
+    one pandas frame, rows sorted (time, value) inside the kernel (shuffle
+    does not deliver time order), the fold evaluated in the EXACT
+    expression shape `(1-alpha)*prev + alpha*x` so the DuckDB
+    recursive-CTE oracle is bit-identical. Pick an alpha representable in
+    binary (0.25, 0.5, 0.125...) when cross-engine bit-equality matters;
+    any alpha is fine within Spark.
+
+    Scale: one shuffle keyed by uuid; state is one running double per
+    stream. A stream whose history exceeds one task's memory needs a
+    chunked carry pass (the asof_join_chunked pattern: fold each (uuid,
+    time-chunk), then a tiny sequential pass threads the carry through
+    chunk boundaries); at the fixture scale the direct fold is exact and
+    the plumbing identical. Output: (uuid, time, value, ewma).
+    """
+    a = float(alpha)
+
+    def fold(pdf):
+        rows = pdf.sort_values(["time", "value"], kind="mergesort")
+        # pandas ewm(adjust=False) evaluates the same expression shape
+        # ((1-a)*prev + a*x) in C — verified bit-identical to the python
+        # fold and to the DuckDB recursive CTE
+        e = rows["value"].ewm(alpha=a, adjust=False).mean()
+        return rows.assign(ewma=e)[["uuid", "time", "value", "ewma"]]
+
+    return (
+        points.select("uuid", "time", "value")
+        .groupBy("uuid")
+        .applyInPandas(fold, "uuid string, time long, value double, ewma double")
+        .orderBy("uuid", "time", "value")
+    )
+
+
+def ewma_oracle_sql(points_sql: str, alpha: float = 0.25) -> str:
+    """DuckDB recursive-CTE mirror of ewma (same expression shape)."""
+    return f"""
+        WITH RECURSIVE r AS (
+            SELECT uuid, time, value,
+                   ROW_NUMBER() OVER (PARTITION BY uuid ORDER BY time, value) AS rn
+            FROM {points_sql} p
+        ), rec AS (
+            SELECT uuid, time, value, rn, value AS ewma FROM r WHERE rn = 1
+            UNION ALL
+            SELECT r.uuid, r.time, r.value, r.rn,
+                   (1.0 - {alpha!r}) * rec.ewma + {alpha!r} * r.value
+            FROM rec JOIN r ON r.uuid = rec.uuid AND r.rn = rec.rn + 1
+        )
+        SELECT uuid, time, value, ewma FROM rec ORDER BY uuid, time, value
+    """

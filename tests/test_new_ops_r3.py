@@ -112,3 +112,27 @@ def test_stream_correlations_requires_overlap(spark):
     rows += [("b", (100 + i) * (1 << 20), float(i)) for i in range(20)]  # disjoint
     pts = spark.createDataFrame(rows, "uuid string, time long, value double")
     assert stream_correlations(pts, pw=20, min_overlap=4).count() == 0
+
+
+def test_ewma_hand_computed(spark):
+    from btrdb_spark.operators.resample import ewma
+
+    pts = spark.createDataFrame(
+        [("s", 0, 8.0), ("s", 1, 4.0), ("s", 2, 2.0)],
+        "uuid string, time long, value double",
+    )
+    out = [r["ewma"] for r in ewma(pts, alpha=0.25).collect()]
+    # e0=8, e1=0.75*8+0.25*4=7, e2=0.75*7+0.25*2=5.75 (all binary-exact)
+    assert out == [8.0, 7.0, 5.75]
+
+
+def test_ewma_unsorted_input_and_dup_timestamps(spark):
+    from btrdb_spark.operators.resample import ewma
+
+    # shuffled input order must not change the fold (kernel sorts); dup
+    # (time, value) rows produce the same multiset of ewma values
+    rows = [("s", 2, 2.0), ("s", 0, 8.0), ("s", 1, 4.0), ("s", 1, 4.0)]
+    pts = spark.createDataFrame(rows, "uuid string, time long, value double")
+    out = ewma(pts, alpha=0.25).collect()
+    assert [r["time"] for r in out] == [0, 1, 1, 2]
+    assert out[0]["ewma"] == 8.0 and out[1]["ewma"] == 7.0
