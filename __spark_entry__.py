@@ -725,6 +725,14 @@ def q_stream_rate(spark: SparkSession, sf: str) -> DataFrame:
     return rs_ops.stream_rate(events_as_points(spark, sf))
 
 
+def q_sdt_compress(spark: SparkSession, sf: str) -> DataFrame:
+    """Swinging-door trendline compression (tolerance 25 on the [0,500)
+    value range) — sequential state machine vs recursive-CTE oracle."""
+    from btrdb_spark.operators import compress
+
+    return compress.sdt_compress(events_as_points(spark, sf), tolerance=25.0)
+
+
 def q_ewma(spark: SparkSession, sf: str) -> DataFrame:
     """Per-stream EWMA — the linear recurrence windows can't express;
     applyInPandas fold vs a DuckDB recursive-CTE oracle (alpha=0.25 is
@@ -869,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_mad_outliers": q_value_mad_outliers,
         "stream_correlations": q_stream_correlations,
         "ewma": q_ewma,
+        "sdt_compress": q_sdt_compress,
         "asof_join_forward": q_asof_join_forward,
         "asof_join_tolerance": q_asof_join_tolerance,
         "cohort_retention": q_cohort_retention,
@@ -1349,6 +1358,9 @@ def oracle_sql() -> dict[str, str]:
         PTS, pw=42, min_overlap=8
     )
     oracles["ewma"] = rs_ops.ewma_oracle_sql(PTS, alpha=0.25)
+    from btrdb_spark.operators import compress as cp_ops
+
+    oracles["sdt_compress"] = cp_ops.sdt_oracle_sql(PTS, tolerance=25.0)
     oracles["centroid_classify"] = similarity.CENTROID_CLASSIFY_ORACLE
     oracles["bm25_topk"] = text.bm25_oracle_sql(["spark", "join", "window"], k=10)
     oracles["stratified_sample"] = pipeline.stratified_sample_oracle_sql(

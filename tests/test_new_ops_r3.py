@@ -136,3 +136,53 @@ def test_ewma_unsorted_input_and_dup_timestamps(spark):
     out = ewma(pts, alpha=0.25).collect()
     assert [r["time"] for r in out] == [0, 1, 1, 2]
     assert out[0]["ewma"] == 8.0 and out[1]["ewma"] == 7.0
+
+
+def test_sdt_straight_line_collapses_to_endpoints(spark):
+    from btrdb_spark.operators.compress import sdt_compress
+
+    pts = spark.createDataFrame(
+        [("s", t, 2.0 * t + 5.0) for t in range(100)],
+        "uuid string, time long, value double",
+    )
+    out = sdt_compress(pts, tolerance=0.5).collect()
+    assert [(r["time"], r["value"]) for r in out] == [(0, 5.0), (99, 203.0)]
+
+
+def test_sdt_error_bound_on_random_walk(spark):
+    import numpy as np
+    from btrdb_spark.operators.compress import sdt_compress
+
+    rng = np.random.RandomState(3)
+    vals = np.cumsum(rng.randn(500)).tolist()
+    pts = spark.createDataFrame(
+        [("w", t, float(v)) for t, v in enumerate(vals)],
+        "uuid string, time long, value double",
+    )
+    E = 1.5
+    kept = [(r["time"], r["value"]) for r in sdt_compress(pts, tolerance=E).collect()]
+    assert 2 < len(kept) < 500  # actually compresses
+    # every dropped point within 2E of the linear reconstruction (the
+    # conservative SDT bound: door feasibility gives E vs the feasible
+    # line; the emitted prev-anchor segment can deviate up to one more E)
+    import bisect
+    kt = [t for t, _ in kept]
+    for t, v in enumerate(vals):
+        j = bisect.bisect_right(kt, t) - 1
+        if kt[j] == t:
+            continue
+        (t0, v0), (t1, v1) = kept[j], kept[j + 1]
+        interp = v0 + (v1 - v0) * (t - t0) / (t1 - t0)
+        assert abs(interp - v) <= 2 * E + 1e-9, (t, v, interp)
+
+
+def test_sdt_single_and_dup_timestamps(spark):
+    from btrdb_spark.operators.compress import sdt_compress
+
+    pts = spark.createDataFrame(
+        [("a", 7, 1.0), ("b", 0, 1.0), ("b", 0, 3.0), ("b", 5, 2.0)],
+        "uuid string, time long, value double",
+    )
+    out = {(r["uuid"], r["time"]): r["value"] for r in sdt_compress(pts, 1.0).collect()}
+    assert out[("a", 7)] == 1.0                       # singleton kept
+    assert out[("b", 0)] == 3.0 and out[("b", 5)] == 2.0  # max-per-ts dedup
