@@ -295,3 +295,59 @@ def test_live_sessions_gap_close(spark, tmp_path):
         if r["closed_by"] == "gap":
             assert r["n_events"] == 5
             assert r["session_end"] - r["session_start"] == 40
+
+
+def _run_live_ewma(spark, tmp_path, tag):
+    from btrdb_spark.streaming.ewma import live_ewma
+
+    src = (
+        spark.readStream.schema("uuid string, time long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "ewmadata"))
+    )
+    name = f"live_ewma_{tag}"
+    q = (
+        live_ewma(src, alpha=0.25)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ewma_ckpt_{tag}"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return {
+        (r["uuid"], r["time"], r["value"], r["ewma"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+
+def test_live_ewma_matches_batch_and_replays(spark, tmp_path):
+    """Stateful streaming EWMA: with per-stream in-order arrival the live
+    rows equal the batch recurrence bit-for-bit (state carried across
+    micro-batches), and a fresh-checkpoint replay is identical."""
+    import time as _t
+
+    from btrdb_spark.operators.resample import ewma as batch_ewma
+
+    d = tmp_path / "ewmadata"
+    d.mkdir()
+    rows1 = [("u1", t, float(t % 7)) for t in range(0, 50)] + [("u2", t, 3.0 + t) for t in range(0, 20)]
+    rows2 = [("u1", t, float(t % 5)) for t in range(50, 90)] + [("u2", t, 1.0) for t in range(20, 40)]
+    spark.createDataFrame(rows1, "uuid string, time long, value double").coalesce(1).write.mode("append").parquet(str(d))
+    _t.sleep(1.1)  # distinct mtimes: file order == time order
+    spark.createDataFrame(rows2, "uuid string, time long, value double").coalesce(1).write.mode("append").parquet(str(d))
+
+    want = {
+        (r["uuid"], r["time"], r["value"], r["ewma"])
+        for r in batch_ewma(
+            spark.createDataFrame(rows1 + rows2, "uuid string, time long, value double"),
+            alpha=0.25,
+        ).collect()
+    }
+    got1 = _run_live_ewma(spark, tmp_path, "a")
+    assert got1 == want
+    got2 = _run_live_ewma(spark, tmp_path, "b")
+    assert got2 == got1
