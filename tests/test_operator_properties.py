@@ -81,3 +81,72 @@ def test_chunk_reconstruction(spark):
     chunks = doc_chunk(docs, chunk_tokens=5, stride=5).orderBy("chunk_ix").collect()
     assert " ".join(c["chunk_text"] for c in chunks) == docs.collect()[0]["text"]
     assert sum(c["n_chunk_tokens"] for c in chunks) == 23
+
+
+def test_mad_consistent_with_quantiles_p50(rand_points):
+    """value_mad_outliers' med must equal value_quantiles' p50 — both are
+    the exact lower median by the same rank convention."""
+    from btrdb_spark.operators.quantiles import value_mad_outliers, value_quantiles
+
+    med = {r["uuid"]: r["med"] for r in value_mad_outliers(rand_points).collect()}
+    p50 = {r["uuid"]: r["p50"] for r in value_quantiles(rand_points, pcts=(50,)).collect()}
+    assert med == p50
+
+
+def test_ewma_degenerates_at_alpha_one(rand_points):
+    """alpha=1 makes the EWMA the identity: ewma == value everywhere."""
+    from btrdb_spark.operators.resample import ewma
+
+    out = ewma(rand_points, alpha=1.0).collect()
+    assert all(r["ewma"] == r["value"] for r in out)
+
+
+def test_sdt_huge_tolerance_keeps_only_endpoints(rand_points):
+    """E larger than the value range: one door never closes, so only the
+    first and last point of each stream survive."""
+    from btrdb_spark.operators.compress import sdt_compress
+
+    out = sdt_compress(rand_points, tolerance=1e9).collect()
+    per_uuid = {}
+    for r in out:
+        per_uuid.setdefault(r["uuid"], []).append(r["time"])
+    for u, ts in per_uuid.items():
+        assert len(ts) <= 2, (u, ts)
+
+
+def test_sdt_tiny_tolerance_keeps_everything(spark):
+    """E below the smallest deviation from collinearity keeps every
+    (deduped) point."""
+    from btrdb_spark.operators.compress import sdt_compress
+
+    rng = random.Random(5)
+    rows = [("z", t, float(rng.randrange(100))) for t in range(50)]
+    pts = spark.createDataFrame(rows, "uuid string, time long, value double")
+    kept = sdt_compress(pts, tolerance=1e-9).count()
+    assert kept == 50
+
+
+def test_correlation_self_via_duplicate_stream(spark):
+    """A stream duplicated under two uuids must correlate at exactly 1."""
+    from btrdb_spark.operators.correlate import stream_correlations
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(40):
+        v = rng.uniform(-100, 100)
+        t = i * (1 << 20)
+        rows += [("p", t, v), ("q", t, v)]
+    pts = spark.createDataFrame(rows, "uuid string, time long, value double")
+    out = stream_correlations(pts, pw=20, min_overlap=8).collect()
+    assert len(out) == 1 and out[0]["corr"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_stratified_sample_fraction_one_keeps_stratum(spark):
+    from btrdb_spark.functions.pipeline import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(500)], "doc_id long, lang string"
+    )
+    out = stratified_sample(docs, "lang", {"a": 1.0, "b": 0.0})
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {i for i in range(500) if i % 2}
