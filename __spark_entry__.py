@@ -510,6 +510,11 @@ def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     return text.lang_id(load_table(spark, sf, "documents"))
 
 
+def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """Email/IPv4/phone redaction pass (codegen regex, no shuffle)."""
+    return text.pii_scrub(load_table(spark, sf, "documents"))
+
+
 def q_lang_id_lexicon_join(spark: SparkSession, sf: str) -> DataFrame:
     """Broadcast-join lang_id variant over the lexicon as a runtime table
     (functions/text.py lang_id_lexicon) — the path for lexicons too large
@@ -878,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_correlations": q_stream_correlations,
         "ewma": q_ewma,
         "sdt_compress": q_sdt_compress,
+        "pii_scrub": q_pii_scrub,
         "asof_join_forward": q_asof_join_forward,
         "asof_join_tolerance": q_asof_join_tolerance,
         "cohort_retention": q_cohort_retention,
@@ -1361,6 +1367,7 @@ def oracle_sql() -> dict[str, str]:
     from btrdb_spark.operators import compress as cp_ops
 
     oracles["sdt_compress"] = cp_ops.sdt_oracle_sql(PTS, tolerance=25.0)
+    oracles["pii_scrub"] = text.pii_scrub_oracle_sql()
     oracles["centroid_classify"] = similarity.CENTROID_CLASSIFY_ORACLE
     oracles["bm25_topk"] = text.bm25_oracle_sql(["spark", "join", "window"], k=10)
     oracles["stratified_sample"] = pipeline.stratified_sample_oracle_sql(

@@ -611,3 +611,57 @@ def bm25_oracle_sql(
                doc_id, score
         FROM ranked
     """
+
+
+# PII patterns: deliberately in the regex subset where Java (Spark) and
+# RE2 (DuckDB) agree — character classes, bounded quantifiers, \b, no
+# backreferences, no lookaround. Cross-engine agreement on synthesized
+# PII is asserted in tests/test_new_ops_r3.py, not just on the fixture.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d[\d\-]{7,14}\d",
+}
+
+
+def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / international-format phone numbers — the
+    standard pre-training privacy pass. Pure codegen regexp expressions
+    (scan-project, no shuffle, no Python); each category is counted and
+    replaced with a typed placeholder in a fixed order (email -> ipv4 ->
+    phone) so the scrubbed text is deterministic.
+
+    Output: (doc_id, n_email, n_ipv4, n_phone, clean_len, clean_fp) —
+    the fingerprint stands in for the scrubbed text so the oracle
+    comparison stays compact.
+    """
+    t = F.col(text_col)
+    counts = {
+        k: F.regexp_count(t, F.lit(p)).cast("long").alias(f"n_{k}")
+        for k, p in PII_PATTERNS.items()
+    }
+    clean = t
+    for k, p in PII_PATTERNS.items():
+        clean = F.regexp_replace(clean, p, f"<{k}>")
+    return documents.select(
+        "doc_id",
+        counts["email"],
+        counts["ipv4"],
+        counts["phone"],
+        F.length(clean).cast("long").alias("clean_len"),
+        F.conv(F.substring(F.md5(clean), 1, 15), 16, 10).cast("long").alias("clean_fp"),
+    ).orderBy("doc_id")
+
+
+def pii_scrub_oracle_sql() -> str:
+    e, i, p = (PII_PATTERNS[k].replace("'", "''") for k in ("email", "ipv4", "phone"))
+    clean = f"regexp_replace(regexp_replace(regexp_replace(text, '{e}', '<email>', 'g'), '{i}', '<ipv4>', 'g'), '{p}', '<phone>', 'g')"
+    return f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{e}')) AS n_email,
+               len(regexp_extract_all(text, '{i}')) AS n_ipv4,
+               len(regexp_extract_all(text, '{p}')) AS n_phone,
+               LENGTH({clean}) AS clean_len,
+               ('0x' || substr(md5({clean}), 1, 15))::BIGINT AS clean_fp
+        FROM documents ORDER BY doc_id
+    """

@@ -186,3 +186,34 @@ def test_sdt_single_and_dup_timestamps(spark):
     out = {(r["uuid"], r["time"]): r["value"] for r in sdt_compress(pts, 1.0).collect()}
     assert out[("a", 7)] == 1.0                       # singleton kept
     assert out[("b", 0)] == 3.0 and out[("b", 5)] == 2.0  # max-per-ts dedup
+
+
+def test_pii_scrub_cross_engine_on_synthesized_pii(spark):
+    """The fixture corpus has no PII, so the driver gate only proves
+    pass-through; this test runs the Spark op AND the DuckDB oracle over
+    docs WITH emails/IPs/phones and asserts identical rows — the real
+    cross-engine evidence for the regex subset."""
+    import duckdb
+
+    rows = [
+        (0, "contact alice.smith+dev@example.co.uk or bob@x.io today"),
+        (1, "server at 10.0.255.3 replied, backup 192.168.1.77 down"),
+        (2, "call +1-555-0100-234 or +442079460123 for help"),
+        (3, "no pii here at all just words"),
+        (4, "mixed: a@b.cc from 8.8.8.8 dial +15550199222 now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [tuple(r) for r in __import__("btrdb_spark.functions.text", fromlist=["x"]).pii_scrub(docs).collect()]
+
+    from btrdb_spark.functions.text import pii_scrub_oracle_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = [tuple(r) for r in con.execute(pii_scrub_oracle_sql()).fetchall()]
+    assert got == want
+    # and the counts are what a human expects
+    by_id = {r[0]: r for r in got}
+    assert by_id[0][1] == 2 and by_id[1][2] == 2 and by_id[2][3] == 2
+    assert by_id[3][1:4] == (0, 0, 0)
+    assert by_id[4][1:4] == (1, 1, 1)

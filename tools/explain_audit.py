@@ -60,6 +60,12 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "value_mad_outliers": (["BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython"]),
     # bucket self-join is an equi-join on bucket, never a nested loop
     "stream_correlations": (["partial_count"], ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]),
+    # sequential recurrences: the sanctioned Arrow group kernel, one uuid
+    # shuffle, never a row-at-a-time Python UDF
+    "ewma": (["FlatMapGroupsInPandas"], ["BatchEvalPython", "CartesianProduct"]),
+    "sdt_compress": (["FlatMapGroupsInPandas"], ["BatchEvalPython", "CartesianProduct"]),
+    # pure scan-project: codegen regex, no shuffle before the output sort
+    "pii_scrub": ([], ["Exchange hashpartitioning", "BatchEvalPython"]),
     "corpus_clean": (["BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython"]),
     "aligned_windows_at_version_via_rollup": (["partial_count"], ["BatchEvalPython"]),
     # split is a pure projection: the only exchange is the output sort
