@@ -74,20 +74,43 @@ def stream_correlations(
         b,
         (F.col("bucket") == F.col("bucket_b")) & (F.col("uuid_a") < F.col("uuid_b")),
     )
+    # product sums on primitive longs (the decsum convention): each int64
+    # product splits into hi = floor(p / 2^30), lo in [0, 2^30), summed as
+    # longs and reassembled exactly in decimal AFTER the aggregation —
+    # decimal(38,0) sum buffers here cost BigDecimal churn on millions of
+    # pair rows (measured >2x on the whole query). Capacity: |p| < 2.8e17
+    # at the 2^20 mean quantization, so hi sums overflow only past ~3e10
+    # shared buckets per pair — far beyond any real overlap.
+    from ..functions.timeops import floor_div
+
+    _B = 1 << 30
+
+    def _split_sum(prod, name):
+        hi = floor_div(prod, F.lit(_B))
+        lo = prod - hi * F.lit(_B)
+        return [F.sum(hi).alias(f"{name}_hi"), F.sum(lo).alias(f"{name}_lo")]
+
     stats = paired.groupBy("uuid_a", "uuid_b").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("xa").alias("sx"),
         F.sum("xb").alias("sy"),
-        F.sum((F.col("xa") * F.col("xb")).cast("decimal(38,0)")).alias("sxy"),
-        F.sum((F.col("xa") * F.col("xa")).cast("decimal(38,0)")).alias("sxx"),
-        F.sum((F.col("xb") * F.col("xb")).cast("decimal(38,0)")).alias("syy"),
+        *_split_sum(F.col("xa") * F.col("xb"), "sxy"),
+        *_split_sum(F.col("xa") * F.col("xa"), "sxx"),
+        *_split_sum(F.col("xb") * F.col("xb"), "syy"),
     )
+
+    def _assemble(name):
+        return (
+            F.col(f"{name}_hi").cast("decimal(38,0)") * F.lit(_B)
+            + F.col(f"{name}_lo").cast("decimal(38,0)")
+        ).cast("double")
+
     n = F.col("n").cast("double")
     sx = F.col("sx").cast("double")
     sy = F.col("sy").cast("double")
-    sxy = F.col("sxy").cast("double")
-    sxx = F.col("sxx").cast("double")
-    syy = F.col("syy").cast("double")
+    sxy = _assemble("sxy")
+    sxx = _assemble("sxx")
+    syy = _assemble("syy")
     varx = n * sxx - sx * sx
     vary = n * syy - sy * sy
     corr = (n * sxy - sx * sy) / (F.sqrt(varx) * F.sqrt(vary))
