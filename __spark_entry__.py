@@ -491,7 +491,9 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.simhash_pairs(load_table(spark, sf, "documents"), bits=16, max_hamming=3)
+    # bits=32: 8-bit pigeonhole bands stay sparse (the r2 4-bit bands were
+    # dense enough to dominate the bench; 64 is the documented 100 TB pick)
+    return dedup.simhash_pairs(load_table(spark, sf, "documents"), bits=32, max_hamming=3)
 
 
 def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:

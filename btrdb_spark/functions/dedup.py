@@ -502,7 +502,7 @@ def _shingle_sql(n: int) -> str:
     return _SHINGLES_SQL.format(nm1=n - 1)
 
 
-_SIMHASH_BITS = 16
+_SIMHASH_BITS = 32  # gate config: 8-bit bands at max_hamming=3 (sparse buckets)
 _simhash_sums = ", ".join(
     f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
     for b in range(_SIMHASH_BITS)
