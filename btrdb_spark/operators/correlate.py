@@ -64,6 +64,42 @@ def stream_correlations(
             ).cast("long").alias("mq"),
         )
     )
+    return correlations_from_bucket_means(m, min_overlap)
+
+
+def stream_correlations_via_rollup(
+    rollup: DataFrame,
+    level_pw: int,
+    pw: int = 42,
+    min_overlap: int = 8,
+) -> DataFrame:
+    """stream_correlations answered from a rollup-ladder level instead of
+    raw points — the 100 TB path: the ladder's decimal vsum/cnt partials
+    fold to the SAME exact per-bucket means as a raw scan (the OpReduce
+    combine is exact and associative), so this is bit-identical to
+    stream_correlations(points, pw) while reading ~64^k fewer rows.
+    ``rollup`` is RollupLadder.level(level_pw) with level_pw <= pw.
+    """
+    from ..plans.rollup import coarsen, combine
+
+    assert level_pw <= pw
+    width = 1 << pw
+    df = rollup
+    if "version" in df.columns:
+        df = df.drop("version")
+    folded = coarsen(combine(df), level_pw, pw)
+    m = folded.select(
+        "uuid",
+        F.col("bucket_start").alias("bucket"),
+        F.floor(
+            (F.col("vsum").cast("double") / F.col("cnt")) * F.lit(_Q)
+        ).cast("long").alias("mq"),
+    )
+    return correlations_from_bucket_means(m, min_overlap)
+
+
+def correlations_from_bucket_means(m: DataFrame, min_overlap: int = 8) -> DataFrame:
+    """Pearson over a (uuid, bucket, mq) quantized-bucket-means frame."""
     a = m.select(
         F.col("uuid").alias("uuid_a"), "bucket", F.col("mq").alias("xa")
     )

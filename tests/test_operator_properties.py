@@ -150,3 +150,24 @@ def test_stratified_sample_fraction_one_keeps_stratum(spark):
     out = stratified_sample(docs, "lang", {"a": 1.0, "b": 0.0})
     ids = {r["doc_id"] for r in out.collect()}
     assert ids == {i for i in range(500) if i % 2}
+
+
+def test_correlations_via_rollup_bit_identical(rand_points):
+    """The ladder-fed correlation path must equal the raw-points path
+    row-for-row: decimal partials fold to the same exact bucket means."""
+    from btrdb_spark.operators.correlate import (
+        stream_correlations,
+        stream_correlations_via_rollup,
+    )
+    from btrdb_spark.plans.rollup import rollup_points
+
+    raw = stream_correlations(rand_points, pw=6, min_overlap=4).collect()
+    # versioned partials across two "commits", as the ladder stores them
+    half1 = rand_points.filter(F.col("time") < 500)
+    half2 = rand_points.filter(F.col("time") >= 500)
+    level = rollup_points(half1, 4, versioned=True).unionByName(
+        rollup_points(half2, 4, versioned=True)
+    )
+    via = stream_correlations_via_rollup(level, 4, pw=6, min_overlap=4).collect()
+    assert [tuple(r) for r in raw] == [tuple(r) for r in via]
+    assert len(raw) > 0
