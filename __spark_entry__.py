@@ -621,6 +621,12 @@ def q_value_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     return qt_ops.value_mad_outliers(events_as_points(spark, sf), k=3.0)
 
 
+def q_diurnal_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stream hour-of-day stats (integer hour math, decimal-exact
+    means) — the telemetry load-profile / seasonal-baseline query."""
+    return qt_ops.diurnal_profile(events_as_points(spark, sf))
+
+
 def q_stream_correlations(spark: SparkSession, sf: str) -> DataFrame:
     """Pairwise Pearson correlation of per-bucket stream means — the
     fleet analytics the reference's users compute client-side."""
@@ -886,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma": q_ewma,
         "sdt_compress": q_sdt_compress,
         "pii_scrub": q_pii_scrub,
+        "diurnal_profile": q_diurnal_profile,
         "asof_join_forward": q_asof_join_forward,
         "asof_join_tolerance": q_asof_join_tolerance,
         "cohort_retention": q_cohort_retention,
@@ -1370,6 +1377,7 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["sdt_compress"] = cp_ops.sdt_oracle_sql(PTS, tolerance=25.0)
     oracles["pii_scrub"] = text.pii_scrub_oracle_sql()
+    oracles["diurnal_profile"] = qt_ops.diurnal_oracle_sql(PTS)
     oracles["centroid_classify"] = similarity.CENTROID_CLASSIFY_ORACLE
     oracles["bm25_topk"] = text.bm25_oracle_sql(["spark", "join", "window"], k=10)
     oracles["stratified_sample"] = pipeline.stratified_sample_oracle_sql(

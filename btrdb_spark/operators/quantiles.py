@@ -248,3 +248,60 @@ def mad_outliers_oracle_sql(points_sql: str, k: float = 3.0) -> str:
         GROUP BY d.uuid, d.med, mad.mad
         ORDER BY d.uuid
     """
+
+
+def diurnal_profile(points: DataFrame, tz_offset_hours: int = 0) -> DataFrame:
+    """Per-stream hour-of-day load profile — the seasonal-baseline query
+    behind every telemetry dashboard (and the input to time-of-day
+    anomaly baselines). Pure integer hour extraction from ns timestamps
+    (never through float or timestamp types: ns exceed 2^53 and tz
+    libraries differ across engines) + one partial-aggregated groupBy
+    whose key count is streams x 24 — balanced under any time skew.
+
+    Output: (uuid, hour, cnt, vmin, vmean, vmax), vmean decimal-exact
+    (decsum convention), ordered.
+    """
+    from ..functions import decsum
+    from ..functions.timeops import floor_div
+
+    ns_per_hour = 3_600_000_000_000
+    hour = F.pmod(
+        floor_div(F.col("time"), F.lit(ns_per_hour)) + F.lit(int(tz_offset_hours)),
+        F.lit(24),
+    )
+    agg = (
+        points.select("uuid", hour.cast("long").alias("hour"), "value")
+        .groupBy("uuid", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            *decsum.sum_aggs(F.col("value")),
+        )
+    )
+    return agg.select(
+        "uuid",
+        "hour",
+        "cnt",
+        "vmin",
+        (decsum.vsum().cast("double") / F.col("cnt")).alias("vmean"),
+        "vmax",
+    ).orderBy("uuid", "hour")
+
+
+def diurnal_oracle_sql(points_sql: str, tz_offset_hours: int = 0) -> str:
+    """DuckDB mirror: integer hour math (// floors; %% wrapped to the
+    nonnegative residue to match Spark's pmod on pre-1970 times)."""
+    return f"""
+        WITH h AS (
+            SELECT uuid,
+                   ((((time // 3600000000000) + {int(tz_offset_hours)}) % 24) + 24) % 24 AS hour,
+                   value
+            FROM {points_sql} p
+        )
+        SELECT uuid, CAST(hour AS BIGINT) AS hour, COUNT(*) AS cnt,
+               MIN(value) AS vmin,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS vmean,
+               MAX(value) AS vmax
+        FROM h GROUP BY uuid, hour ORDER BY uuid, hour
+    """

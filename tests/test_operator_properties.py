@@ -171,3 +171,21 @@ def test_correlations_via_rollup_bit_identical(rand_points):
     via = stream_correlations_via_rollup(level, 4, pw=6, min_overlap=4).collect()
     assert [tuple(r) for r in raw] == [tuple(r) for r in via]
     assert len(raw) > 0
+
+
+def test_diurnal_profile_hours_and_negative_times(spark):
+    from btrdb_spark.operators.quantiles import diurnal_profile
+
+    ns_h = 3_600_000_000_000
+    rows = [
+        ("d", 0, 1.0),               # hour 0
+        ("d", 5 * ns_h + 7, 2.0),    # hour 5
+        ("d", 29 * ns_h, 4.0),       # next day hour 5
+        ("d", -1, 9.0),              # pre-1970: floor -> hour 23
+    ]
+    pts = spark.createDataFrame(rows, "uuid string, time long, value double")
+    out = {r["hour"]: (r["cnt"], r["vmean"]) for r in diurnal_profile(pts).collect()}
+    assert out[0] == (1, 1.0) and out[5] == (2, 3.0) and out[23] == (1, 9.0)
+    # tz shift rotates the profile
+    shifted = {r["hour"] for r in diurnal_profile(pts, tz_offset_hours=1).collect()}
+    assert shifted == {1, 6, 0}
