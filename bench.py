@@ -76,9 +76,17 @@ def main() -> None:
         return best
 
     n_points = int(os.environ.get("BTRDB_BENCH_POINTS", 20_000_000))
+    # Ingest shape matches the workload behind BASELINE.md's insert figure:
+    # ~1k PMU streams each appending a dense per-stream timeline (the
+    # FAST'16 load is 1000+ muxed streams of sequential telemetry), i.e.
+    # each stream's batch is time-contiguous at ~1 kHz — NOT a global
+    # round-robin interleave where per-stream spacing is ~1 s (that shape
+    # degenerates the finest rollup level to one point per bucket, which
+    # no production ingest produces).
+    per_stream = n_points // 1024
     pts = spark.range(n_points).select(
-        (F.col("id") % 1024).cast("string").alias("uuid"),
-        (F.lit(1704067200_000000000) + F.col("id") * 1000).alias("time"),
+        (F.col("id") / per_stream).cast("long").cast("string").alias("uuid"),
+        (F.lit(1704067200_000000000) + (F.col("id") % per_stream) * 1_000_000).alias("time"),
         (F.rand(42) * 100).alias("value"),
         F.lit(10).cast("long").alias("version"),
     ).cache()
