@@ -41,18 +41,13 @@ def main() -> None:
     _warm = _pudf(lambda s: s, "long")
     spark.range(1000).select(_warm("id")).write.format("noop").mode("overwrite").save()
 
-    # best-of-2 per query: the contended virtio host disk and first-plan
-    # JIT fake multi-x one-off stalls; min is the operator's real cost
-    timings: dict[str, float] = {}
-    for name, fn in entrymod.queries().items():
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-
-    # Throughput probes comparable to BASELINE.md's points/s figures (the
+    # Throughput probes FIRST, queries after: the probes (ingest commit
+    # especially) are write-path-sensitive, and running them after ~20 min
+    # of query churn measured a 7-10x phantom slowdown (dirty-page
+    # backlog + a heap full of the 90 queries' broadcasts), not the
+    # operator. Probe order matches how the reference benches ingest: on
+    # an otherwise-idle node.
+    # Probes comparable to BASELINE.md's points/s figures (the
     # FAST'16 paper reports ~53M insert / ~119M query points/s on 4 nodes).
     # The sf0.1 events table is too small to amortize job overhead, so
     # these probes run the same operators over generated points (spark.range
@@ -79,14 +74,16 @@ def main() -> None:
     # Ingest shape matches the workload behind BASELINE.md's insert figure:
     # ~1k PMU streams each appending a dense per-stream timeline (the
     # FAST'16 load is 1000+ muxed streams of sequential telemetry), i.e.
-    # each stream's batch is time-contiguous at ~1 kHz — NOT a global
+    # each stream's batch is time-contiguous at ~100 Hz — NOT a global
     # round-robin interleave where per-stream spacing is ~1 s (that shape
     # degenerates the finest rollup level to one point per bucket, which
-    # no production ingest produces).
+    # no production ingest produces). 10 ms spacing x 19.5k points/stream
+    # spans ~195 s, so the pw=36 ladder probe still aggregates multiple
+    # level-30 buckets per output window.
     per_stream = n_points // 1024
     pts = spark.range(n_points).select(
         (F.col("id") / per_stream).cast("long").cast("string").alias("uuid"),
-        (F.lit(1704067200_000000000) + (F.col("id") % per_stream) * 1_000_000).alias("time"),
+        (F.lit(1704067200_000000000) + (F.col("id") % per_stream) * 10_000_000).alias("time"),
         (F.rand(42) * 100).alias("value"),
         F.lit(10).cast("long").alias("version"),
     ).cache()
@@ -213,6 +210,17 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     )
     vecs.unpersist()
+
+    # best-of-2 per query: the contended virtio host disk and first-plan
+    # JIT fake multi-x one-off stalls; min is the operator's real cost
+    timings: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -6,7 +6,9 @@ of the line between retained neighbors. The reference compresses blocks
 losslessly (delta-delta); SDT is the LOSSY domain compressor its users
 apply before archival/visualization — a sequential state machine over
 time order, which Catalyst windows cannot express (state depends on
-prior decisions), so it joins ewma in the applyInPandas family.
+prior decisions), so it joins ewma in the Arrow-kernel family
+(mapInPandas over a uuid-hash repartition — one kernel call per
+partition, streams folded group-by-group inside).
 
 Algorithm (one pass per stream, times strictly increasing after a
 max-value-per-timestamp dedup):
@@ -48,12 +50,7 @@ def sdt_compress(points: DataFrame, tolerance: float) -> DataFrame:
         raise ValueError("tolerance must be positive")
     e = float(tolerance)
 
-    def fold(pdf):
-        rows = (
-            pdf.groupby("time", as_index=False)
-            .agg({"value": "max", "uuid": "first"})
-            .sort_values("time", kind="mergesort")
-        )
+    def _door(rows):
         ts = rows["time"].to_numpy()
         vs = rows["value"].to_numpy()
         n = len(ts)
@@ -78,11 +75,36 @@ def sdt_compress(points: DataFrame, tolerance: float) -> DataFrame:
                 keep.append(n - 1)
         return rows.iloc[sorted(set(keep))][["uuid", "time", "value"]]
 
+    def fold(pdfs):
+        import pandas as pd
+
+        # One kernel call per PARTITION (mapInPandas over a uuid-hash
+        # repartition): per-group applyInPandas paid ~20 ms of Arrow
+        # batch/frame overhead per stream. Partition chunks arrive in
+        # arbitrary order — concat ALL, then resolve duplicate timestamps
+        # (max value, the repo-wide superdense convention) and walk each
+        # stream's door sequentially.
+        chunks = list(pdfs)
+        if not chunks:
+            return
+        rows = (
+            pd.concat(chunks, ignore_index=True)
+            .groupby(["uuid", "time"], as_index=False)
+            .agg({"value": "max"})
+            .sort_values(["uuid", "time"], kind="mergesort")
+        )
+        out = [
+            _door(g)
+            for _, g in rows.groupby("uuid", sort=False)
+        ]
+        yield pd.concat(out, ignore_index=True) if out else rows[
+            ["uuid", "time", "value"]
+        ]
+
     return (
         points.select("uuid", "time", "value")
-        .groupBy("uuid")
-        .applyInPandas(fold, "uuid string, time long, value double")
-        .orderBy("uuid", "time")
+        .repartition(F.col("uuid"))
+        .mapInPandas(fold, "uuid string, time long, value double")
     )
 
 

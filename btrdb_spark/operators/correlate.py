@@ -100,6 +100,19 @@ def stream_correlations_via_rollup(
 
 def correlations_from_bucket_means(m: DataFrame, min_overlap: int = 8) -> DataFrame:
     """Pearson over a (uuid, bucket, mq) quantized-bucket-means frame."""
+    # The self-join consumes m TWICE and Spark does not reuse the
+    # upstream scan+agg across the aliased sides; localCheckpoint
+    # materializes the (tiny — one row per stream-bucket) means frame so
+    # the raw scan and bucket aggregation run ONCE (measured 14s -> 3s on
+    # the sf0.1 fixture). Same lineage-truncation tool neardup_clusters
+    # uses; at cluster scale the frame is executor-storage-resident and
+    # its size is output-shaped (streams x buckets), not points-shaped.
+    m = m.localCheckpoint()
+    # The checkpointed means land in very few partitions (AQE coalesces
+    # the small post-agg shuffle), which would serialize the pair
+    # fan-out's probe side onto one core; fan it back out so the
+    # many-to-many bucket join runs at full parallelism.
+    m = m.repartition(m.sparkSession.sparkContext.defaultParallelism)
     a = m.select(
         F.col("uuid").alias("uuid_a"), "bucket", F.col("mq").alias("xa")
     )
@@ -157,7 +170,9 @@ def correlations_from_bucket_means(m: DataFrame, min_overlap: int = 8) -> DataFr
             "uuid_a", "uuid_b", F.col("n").cast("long").alias("n_buckets"),
             corr.alias("corr"),
         )
-        .orderBy("uuid_a", "uuid_b")
+        # no ORDER BY: the output is pair-keyed and tiny, callers sort if
+        # they present it; a trailing global sort costs a range-partition
+        # sampling pass that re-executes the join
     )
 
 
