@@ -627,6 +627,22 @@ def q_diurnal_profile(spark: SparkSession, sf: str) -> DataFrame:
     return qt_ops.diurnal_profile(events_as_points(spark, sf))
 
 
+def q_distillate_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """The DISTIL adder kernel (plans/distill.py — derived streams kept
+    fresh via changed-ranges): sum of two streams' per-bucket decimal-
+    exact means on the 2^42 grid, only where both have data. The
+    incremental maintenance loop around this kernel is exercised by
+    tests/test_distill.py; this entry oracle-gates the kernel itself."""
+    from btrdb_spark.plans import distill
+
+    pts = events_as_points(spark, sf)
+    ins = {
+        u: pts.filter(F.col("uuid") == u).select("time", "value")
+        for u in ("1", "2")
+    }
+    return distill.bucket_mean_sum_kernel(42)(ins, None, None)
+
+
 def q_stream_correlations(spark: SparkSession, sf: str) -> DataFrame:
     """Pairwise Pearson correlation of per-bucket stream means — the
     fleet analytics the reference's users compute client-side."""
@@ -888,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "stratified_sample": q_stratified_sample,
         "value_mad_outliers": q_value_mad_outliers,
+        "distillate_sum": q_distillate_sum,
         "stream_correlations": q_stream_correlations,
         "ewma": q_ewma,
         "sdt_compress": q_sdt_compress,
@@ -1369,6 +1386,18 @@ def oracle_sql() -> dict[str, str]:
     oracles["value_mad_outliers"] = qt_ops.mad_outliers_oracle_sql(PTS, k=3.0)
     from btrdb_spark.operators import correlate as corr_ops
 
+    w42 = 1 << 42
+    oracles["distillate_sum"] = f"""
+        WITH ka AS (
+            SELECT time - ((time % {w42} + {w42}) % {w42}) AS b, {MEAN_SQL} AS m
+            FROM {PTS} p WHERE uuid = '1' GROUP BY 1
+        ), kb AS (
+            SELECT time - ((time % {w42} + {w42}) % {w42}) AS b, {MEAN_SQL} AS m
+            FROM {PTS} p WHERE uuid = '2' GROUP BY 1
+        )
+        SELECT ka.b AS time, ka.m + kb.m AS value
+        FROM ka JOIN kb ON ka.b = kb.b
+    """
     oracles["stream_correlations"] = corr_ops.correlations_oracle_sql(
         PTS, pw=42, min_overlap=8
     )

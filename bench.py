@@ -210,6 +210,9 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     )
     vecs.unpersist()
+    # drop any probe-side cached blocks before the query section so the
+    # two halves don't compete for executor memory
+    spark.catalog.clearCache()
 
     # best-of-2 per query: the contended virtio host disk and first-plan
     # JIT fake multi-x one-off stalls; min is the operator's real cost

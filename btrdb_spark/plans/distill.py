@@ -1,0 +1,225 @@
+"""DISTIL-style derived-stream maintenance on top of changed-ranges.
+
+The reference's flagship ecosystem use of versioning is DISTIL (the
+synchrophasor distillate framework described in the BTrDB authors'
+public work): a *distillate* is a stream computed from one or more
+upstream streams, kept eventually-consistent by (1) remembering the
+upstream version it was computed at, (2) asking QueryChangedRanges
+(V2, quasar.go:398-479) what time ranges changed since, and
+(3) recomputing ONLY those ranges — delete-range + reinsert on the
+output stream, then advancing the recorded versions. Cost per update is
+proportional to what changed, never to stream length.
+
+This module reproduces that loop on the Spark engine:
+
+- ``Distillate``: name + input uuids + a kernel. The kernel is a pure
+  function ``fn(inputs: dict[uuid, DataFrame], start, end) ->
+  DataFrame(time, value)`` over (time, value) frames restricted to
+  [start, end); ``context_ns`` declares how much upstream context the
+  kernel needs beyond a changed range (DISTIL's lead time) — ranges are
+  padded by it before recompute so windowed kernels stay exact.
+- ``update(engine, dist)``: the incremental pass. Changed ranges come
+  from ``engine.changed_ranges`` per input (dashboard-sized output —
+  safe to collect), are padded + merged driver-side, and each merged
+  range is recomputed through the engine's own versioned write path
+  (delete_range + hot-append + flush), so distillate outputs are
+  themselves versioned streams: a distillate OF a distillate works, and
+  historical reads of the output behave like any stream.
+- State (input uuid -> processed version) is append-only rows in a
+  ``distil_state`` parquet table read merge-on-read MAX — idempotent
+  under replay: recomputing an already-processed range rewrites the
+  same data at a new version (the same crash-recovery contract as the
+  reference's journal replay, pqm.go:152-188).
+
+The first materialization is the same code path: with no recorded
+state, changed_ranges(from=VERSION_CREATED) returns every populated
+range, so "initial build" is just "everything changed".
+
+Scale: per-update Spark work is O(changed data); the driver loop is
+O(coalesced ranges) — ranges arrive already coalesced at ``resolution``
+granularity, so a firehose of small edits folds into few ranges.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+STATE_SCHEMA = "distillate string, input_uuid string, processed_version long"
+
+
+@dataclass
+class Distillate:
+    name: str
+    output_uuid: str
+    inputs: list[str]
+    fn: Callable[[dict[str, DataFrame], int, int], DataFrame]
+    context_ns: int = 0
+    # kernels that aggregate onto a 2^align_pw grid (bucket_mean_sum_kernel)
+    # must recompute whole buckets: changed ranges are snapped OUTWARD to
+    # this grid so a partially-dirty bucket is deleted and rebuilt in full
+    align_pw: int | None = None
+    resolution: int = 30  # changed-range granularity (2^res ns)
+    collection: str = "distillates"
+    tags: dict = field(default_factory=dict)
+
+
+def aligned_sum_kernel(inputs: dict[str, DataFrame], start: int, end: int) -> DataFrame:
+    """Sum of input streams at timestamps where EVERY input has a point
+    (duplicate timestamps within a stream collapse to their max value —
+    the repo-wide superdense convention). The classic DISTIL adder."""
+    frames = list(inputs.values())
+    acc = None
+    for i, df in enumerate(frames):
+        g = df.groupBy("time").agg(F.max("value").alias(f"v{i}"))
+        acc = g if acc is None else acc.join(g, "time")
+    vsum = None
+    for i in range(len(frames)):
+        c = F.col(f"v{i}")
+        vsum = c if vsum is None else vsum + c
+    return acc.select("time", vsum.alias("value"))
+
+
+def bucket_mean_sum_kernel(pw: int):
+    """Sum of per-input bucket means on the 2^pw-aligned grid, emitted
+    only for buckets where EVERY input has data — the realistic DISTIL
+    adder for streams that don't share raw timestamps (frequency /
+    power-flow aggregation across PMUs). Means are decimal-exact
+    (the repo-wide MEAN convention) so the kernel is bit-identical
+    across engines; the output point's time is the bucket start."""
+    from ..functions.timeops import bucket_start
+
+    width = 1 << pw
+
+    def fn(inputs: dict[str, DataFrame], start: int, end: int) -> DataFrame:
+        acc = None
+        for i, df in enumerate(inputs.values()):
+            g = (
+                df.withColumn("b", bucket_start(F.col("time"), width))
+                .groupBy("b")
+                .agg(
+                    (
+                        F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+                        / F.count(F.lit(1))
+                    ).alias(f"m{i}")
+                )
+            )
+            acc = g if acc is None else acc.join(g, "b")
+        vsum = None
+        for i in range(len(inputs)):
+            c = F.col(f"m{i}")
+            vsum = c if vsum is None else vsum + c
+        return acc.select(F.col("b").alias("time"), vsum.alias("value"))
+
+    return fn
+
+
+def scale_offset_kernel(k: float, b: float):
+    """value -> k*value + b on a single input (unit conversion)."""
+
+    def fn(inputs: dict[str, DataFrame], start: int, end: int) -> DataFrame:
+        (df,) = inputs.values()
+        g = df.groupBy("time").agg(F.max("value").alias("v"))
+        return g.select("time", (F.col("v") * F.lit(float(k)) + F.lit(float(b))).alias("value"))
+
+    return fn
+
+
+def _state_dir(engine) -> str:
+    return os.path.join(engine.base, "distil_state")
+
+
+def _read_state(engine, name: str) -> dict[str, int]:
+    path = _state_dir(engine)
+    if not os.path.isdir(path) or not any(
+        f.endswith(".parquet") for _r, _d, fs in os.walk(path) for f in fs
+    ):
+        return {}
+    df = engine.spark.read.schema(STATE_SCHEMA).parquet(path)
+    rows = (
+        df.filter(F.col("distillate") == name)
+        .groupBy("input_uuid")
+        .agg(F.max("processed_version").alias("v"))
+        .collect()
+    )
+    return {r.input_uuid: r.v for r in rows}
+
+
+def _write_state(engine, name: str, versions: dict[str, int]) -> None:
+    engine.spark.createDataFrame(
+        [(name, u, int(v)) for u, v in versions.items()], STATE_SCHEMA
+    ).write.mode("append").parquet(_state_dir(engine))
+
+
+def _merge_ranges(ranges: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    out: list[tuple[int, int]] = []
+    for s, e in sorted(ranges):
+        if out and s <= out[-1][1]:
+            out[-1] = (out[-1][0], max(out[-1][1], e))
+        else:
+            out.append((s, e))
+    return out
+
+
+def register(engine, dist: Distillate) -> None:
+    """Create the output stream (idempotent if it already exists)."""
+    try:
+        engine.create_stream(
+            dist.collection,
+            tags=dict(dist.tags) or {"name": dist.name},
+            uuid=dist.output_uuid,
+        )
+    except ValueError:
+        pass  # already registered
+
+
+def update(engine, dist: Distillate) -> list[tuple[int, int]]:
+    """One incremental maintenance pass. Returns the recomputed ranges
+    (empty when every input is already at its processed version)."""
+    from ..engine import MIN_TIME, MAX_INSERT_TIME, VERSION_CREATED
+
+    state = _read_state(engine, dist.name)
+    targets: dict[str, int] = {}
+    dirty: list[tuple[int, int]] = []
+    for u in dist.inputs:
+        cur, _minor = engine.stream_version(u)
+        last = state.get(u, VERSION_CREATED)
+        targets[u] = cur
+        if cur <= last:
+            continue
+        rows = engine.changed_ranges(u, last, cur, dist.resolution).collect()
+        dirty += [(r.range_start, r.range_end) for r in rows]
+    if not dirty:
+        return []
+    pad = int(dist.context_ns)
+    lo, hi = MIN_TIME, MAX_INSERT_TIME
+    padded = [(s - pad, e + pad) for s, e in dirty]
+    if dist.align_pw is not None:
+        w = 1 << dist.align_pw
+        padded = [(s - ((s % w) + w) % w, e + (-e % w)) for s, e in padded]
+    ranges = _merge_ranges([(max(lo, s), min(hi, e)) for s, e in padded])
+    for s, e in ranges:
+        # delete-then-reinsert through the engine's versioned write path:
+        # the output stream's history shows the maintenance as normal
+        # versions (a distillate is a stream like any other)
+        engine.delete_range(dist.output_uuid, s, e)
+        ins = {u: engine.raw_values(u, s, e).select("time", "value") for u in dist.inputs}
+        out = dist.fn(ins, s, e).filter(
+            (F.col("time") >= s) & (F.col("time") < e)
+        )
+        seq = F.row_number().over(Window.orderBy("time", "value")) - 1
+        batch = out.select(
+            F.lit(dist.output_uuid).alias("uuid"),
+            F.col("time").cast("long").alias("time"),
+            F.col("value").cast("double").alias("value"),
+            seq.cast("long").alias("seq"),
+        )
+        engine.append_hot(batch)
+        engine.flush(dist.output_uuid)
+    _write_state(engine, dist.name, targets)
+    return ranges
