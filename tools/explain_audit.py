@@ -62,8 +62,9 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "stream_correlations": (["partial_count"], ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]),
     # sequential recurrences: the sanctioned Arrow group kernel, one uuid
     # shuffle, never a row-at-a-time Python UDF
-    "ewma": (["FlatMapGroupsInPandas"], ["BatchEvalPython", "CartesianProduct"]),
-    "sdt_compress": (["FlatMapGroupsInPandas"], ["BatchEvalPython", "CartesianProduct"]),
+    # per-partition Arrow kernels (mapInPandas over a uuid-hash repartition)
+    "ewma": (["MapInPandas"], ["BatchEvalPython", "CartesianProduct"]),
+    "sdt_compress": (["MapInPandas"], ["BatchEvalPython", "CartesianProduct"]),
     # pure scan-project: codegen regex, no shuffle before the output sort
     "pii_scrub": ([], ["Exchange hashpartitioning", "BatchEvalPython"]),
     "corpus_clean": (["BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython"]),
