@@ -627,6 +627,18 @@ def q_diurnal_profile(spark: SparkSession, sf: str) -> DataFrame:
     return qt_ops.diurnal_profile(events_as_points(spark, sf))
 
 
+def q_stream_correlations_via_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """stream_correlations answered from a level-20 rollup instead of raw
+    points — same oracle as the raw path: the ladder's decimal partials
+    fold to identical exact bucket means, so the two plans are
+    bit-identical while the ladder reads ~64^k fewer rows at scale."""
+    from btrdb_spark.operators import correlate
+
+    pts = events_as_points(spark, sf)
+    r20 = ru.rollup_points(pts, 20)
+    return correlate.stream_correlations_via_rollup(r20, 20, pw=42, min_overlap=8)
+
+
 def q_distillate_sum(spark: SparkSession, sf: str) -> DataFrame:
     """The DISTIL adder kernel (plans/distill.py — derived streams kept
     fresh via changed-ranges): sum of two streams' per-bucket decimal-
@@ -905,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "value_mad_outliers": q_value_mad_outliers,
         "distillate_sum": q_distillate_sum,
+        "stream_correlations_via_rollup": q_stream_correlations_via_rollup,
         "stream_correlations": q_stream_correlations,
         "ewma": q_ewma,
         "sdt_compress": q_sdt_compress,
@@ -1401,6 +1414,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["stream_correlations"] = corr_ops.correlations_oracle_sql(
         PTS, pw=42, min_overlap=8
     )
+    # ladder path proves bit-identity against the SAME raw-path oracle
+    oracles["stream_correlations_via_rollup"] = oracles["stream_correlations"]
     oracles["ewma"] = rs_ops.ewma_oracle_sql(PTS, alpha=0.25)
     from btrdb_spark.operators import compress as cp_ops
 
