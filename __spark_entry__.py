@@ -902,6 +902,26 @@ def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
     return events_fn.event_funnel(events_with_time_ns(spark, sf))
 
 
+def q_decimate_minmax(spark: SparkSession, sf: str) -> DataFrame:
+    """Min/max plot decimation on the 2^42 grid — the Mr. Plotter-style
+    envelope read: the actual raw points attaining each bucket's min and
+    max, <=2 rows per on-screen bucket (operators/decimate.py)."""
+    from btrdb_spark.operators import decimate
+
+    return decimate.decimate_minmax(events_as_points(spark, sf), T0, T1, pw=42)
+
+
+def q_stream_autocorr(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stream autocorrelation of 2^45-bucket means at lags 1-3 —
+    the seasonality probe, exact-sum deterministic like
+    stream_correlations (operators/correlate.py)."""
+    from btrdb_spark.operators import correlate
+
+    return correlate.stream_autocorr(
+        events_as_points(spark, sf), pw=45, lags=(1, 2, 3), min_overlap=8
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness gate walks this dict in
     # insertion order and may not reach the tail in one round, so entries
@@ -909,6 +929,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only the first 50 of 78 were certified; those 28 lead here. New
     # queries should be inserted near the top for the same reason.
     return {
+        "decimate_minmax": q_decimate_minmax,
+        "stream_autocorr": q_stream_autocorr,
         "lang_id_lexicon_join": q_lang_id_lexicon_join,
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
         "ngram_jaccard_pairs_capped": q_ngram_jaccard_pairs_capped,
@@ -1411,6 +1433,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT ka.b AS time, ka.m + kb.m AS value
         FROM ka JOIN kb ON ka.b = kb.b
     """
+    from btrdb_spark.operators import decimate as dec_ops
+
+    oracles["decimate_minmax"] = dec_ops.decimate_minmax_oracle_sql(
+        PTS, T0, T1, pw=42
+    )
+    oracles["stream_autocorr"] = corr_ops.autocorr_oracle_sql(
+        PTS, pw=45, lags=(1, 2, 3), min_overlap=8
+    )
     oracles["stream_correlations"] = corr_ops.correlations_oracle_sql(
         PTS, pw=42, min_overlap=8
     )

@@ -205,3 +205,140 @@ def correlations_oracle_sql(points_sql: str, pw: int = 42, min_overlap: int = 8)
           AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
         ORDER BY uuid_a, uuid_b
     """
+
+
+def stream_autocorr(
+    points: DataFrame,
+    pw: int = 42,
+    lags: tuple[int, ...] = (1, 2, 3),
+    min_overlap: int = 8,
+) -> DataFrame:
+    """Per-stream autocorrelation of bucket means at the given lags —
+    the periodicity probe (daily/weekly seasonality of a sensor) that
+    reference users run client-side over AlignedWindows pulls, as one
+    distributed plan.
+
+    For each stream and each lag L, Pearson correlation between the
+    bucket-mean series x[b] and x[b + L] over all buckets where both
+    exist. Output: (uuid, lag, n_buckets, corr), only rows with
+    n_buckets >= min_overlap and nonzero variance on both sides.
+
+    Same determinism contract as stream_correlations: 2^-20-quantized
+    bucket means, exact long/decimal sufficient-statistic sums, one
+    fixed IEEE double expression at the end.
+
+    Plan shape: bucket means once (map-side-combinable groupBy, can read
+    the rollup ladder at scale), localCheckpoint so the self-join reads
+    the tiny means frame twice without re-scanning points, equi-join on
+    (uuid, bucket+L*width == bucket) fanned out by a broadcast lag
+    frame, then one groupBy (uuid, lag). Join fan-out is n_buckets x
+    n_lags per stream — output-shaped, not points-shaped.
+    """
+    width = 1 << pw
+    from ..functions import decsum
+    from ..functions.timeops import bucket_start as _bs
+
+    m = (
+        points.withColumn("bucket", _bs(F.col("time"), width))
+        .groupBy("uuid", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"), *decsum.sum_aggs(F.col("value")))
+        .select(
+            "uuid",
+            "bucket",
+            F.floor(
+                (decsum.vsum().cast("double") / F.col("cnt")) * F.lit(_Q)
+            ).cast("long").alias("mq"),
+        )
+    ).localCheckpoint()
+    m = m.repartition(m.sparkSession.sparkContext.defaultParallelism)
+
+    spark = m.sparkSession
+    lag_df = spark.createDataFrame([(int(l),) for l in lags], "lag long")
+    a = m.crossJoin(F.broadcast(lag_df)).select(
+        "uuid", "lag",
+        (F.col("bucket") + F.col("lag") * F.lit(width)).alias("bucket_b"),
+        F.col("mq").alias("xa"),
+    )
+    b = m.select(
+        F.col("uuid").alias("uuid_b"), F.col("bucket").alias("bucket_b"),
+        F.col("mq").alias("xb"),
+    )
+    paired = a.join(
+        b, (F.col("uuid") == F.col("uuid_b")) & (a["bucket_b"] == b["bucket_b"])
+    )
+
+    from ..functions.timeops import floor_div
+
+    _B = 1 << 30
+
+    def _split_sum(prod, name):
+        hi = floor_div(prod, F.lit(_B))
+        lo = prod - hi * F.lit(_B)
+        return [F.sum(hi).alias(f"{name}_hi"), F.sum(lo).alias(f"{name}_lo")]
+
+    stats = paired.groupBy("uuid", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xa").alias("sx"),
+        F.sum("xb").alias("sy"),
+        *_split_sum(F.col("xa") * F.col("xb"), "sxy"),
+        *_split_sum(F.col("xa") * F.col("xa"), "sxx"),
+        *_split_sum(F.col("xb") * F.col("xb"), "syy"),
+    )
+
+    def _assemble(name):
+        return (
+            F.col(f"{name}_hi").cast("decimal(38,0)") * F.lit(_B)
+            + F.col(f"{name}_lo").cast("decimal(38,0)")
+        ).cast("double")
+
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = _assemble("sxy")
+    sxx = _assemble("sxx")
+    syy = _assemble("syy")
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    corr = (n * sxy - sx * sy) / (F.sqrt(varx) * F.sqrt(vary))
+    return (
+        stats.filter(F.col("n") >= min_overlap)
+        .filter((varx > 0) & (vary > 0))
+        .select("uuid", "lag", F.col("n").cast("long").alias("n_buckets"), corr.alias("corr"))
+    )
+
+
+def autocorr_oracle_sql(
+    points_sql: str,
+    pw: int = 42,
+    lags: tuple[int, ...] = (1, 2, 3),
+    min_overlap: int = 8,
+) -> str:
+    """DuckDB mirror of stream_autocorr (same quantization/sums)."""
+    width = 1 << pw
+    lag_list = ", ".join(f"({int(l)})" for l in lags)
+    return f"""
+        WITH m AS (
+            SELECT uuid,
+                   (time // {width}) * {width} AS bucket,
+                   CAST(FLOOR((CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)) * {_Q!r}) AS BIGINT) AS mq
+            FROM {points_sql} p GROUP BY 1, 2
+        ), lagf(lag) AS (VALUES {lag_list}),
+        paired AS (
+            SELECT a.uuid, CAST(l.lag AS BIGINT) AS lag, a.mq AS xa, b.mq AS xb
+            FROM m a CROSS JOIN lagf l
+            JOIN m b ON b.uuid = a.uuid AND b.bucket = a.bucket + l.lag * {width}
+        ), stats AS (
+            SELECT uuid, lag, COUNT(*) AS n,
+                   SUM(xa) AS sx, SUM(xb) AS sy,
+                   SUM(xa * xb) AS sxy, SUM(xa * xa) AS sxx, SUM(xb * xb) AS syy
+            FROM paired GROUP BY 1, 2
+        )
+        SELECT uuid, lag, CAST(n AS BIGINT) AS n_buckets,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+        FROM stats
+        WHERE n >= {min_overlap}
+          AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+          AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+    """

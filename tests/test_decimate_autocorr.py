@@ -1,0 +1,66 @@
+"""Semantic tests for min/max plot decimation and stream autocorrelation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from btrdb_spark.operators import correlate, decimate
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(
+        [(u, int(t), float(v), 10) for (u, t, v) in rows],
+        "uuid string, time long, value double, version long",
+    )
+
+
+def test_decimate_keeps_bucket_extremes(spark):
+    # one stream, one 2^4=16ns bucket with 4 points
+    pts = _pts(spark, [("a", 0, 5.0), ("a", 3, -1.0), ("a", 7, 9.0), ("a", 9, 2.0)])
+    out = {(r["time"], r["value"]) for r in decimate.decimate_minmax(pts, pw=4).collect()}
+    assert out == {(3, -1.0), (7, 9.0)}
+
+
+def test_decimate_single_point_bucket_emits_once(spark):
+    pts = _pts(spark, [("a", 5, 1.5)])
+    out = decimate.decimate_minmax(pts, pw=4).collect()
+    assert len(out) == 1 and out[0]["value"] == 1.5
+
+
+def test_decimate_ties_break_to_earliest_time(spark):
+    # two points share the max value -> earliest wins; same for min
+    pts = _pts(spark, [("a", 1, 7.0), ("a", 4, 7.0), ("a", 2, 0.0), ("a", 8, 0.0)])
+    out = {(r["time"], r["value"]) for r in decimate.decimate_minmax(pts, pw=4).collect()}
+    assert out == {(1, 7.0), (2, 0.0)}
+
+
+def test_decimate_respects_range_and_buckets(spark):
+    pts = _pts(spark, [("a", 0, 1.0), ("a", 16, 2.0), ("a", 40, 3.0)])
+    out = decimate.decimate_minmax(pts, start=0, end=32, pw=4)
+    assert {r["time"] for r in out.collect()} == {0, 16}
+
+
+def test_decimate_output_bounded_by_two_per_bucket(spark):
+    rows = [("a", t, float((t * 37) % 101)) for t in range(0, 256)]
+    pts = _pts(spark, rows)
+    out = decimate.decimate_minmax(pts, pw=5)  # 8 buckets of 32 points
+    assert out.count() <= 16
+
+
+def test_autocorr_periodic_signal(spark):
+    # period-2 alternating bucket means: lag2 corr ~ +1, lag1 corr ~ -1
+    rows = [("a", b * 16 + 1, 1.0 if b % 2 == 0 else -1.0) for b in range(64)]
+    pts = _pts(spark, rows)
+    out = {
+        r["lag"]: r["corr"]
+        for r in correlate.stream_autocorr(pts, pw=4, lags=(1, 2), min_overlap=4).collect()
+    }
+    assert out[2] > 0.99
+    assert out[1] < -0.99
+
+
+def test_autocorr_min_overlap_filters(spark):
+    rows = [("a", b * 16, float(b % 3)) for b in range(5)]
+    pts = _pts(spark, rows)
+    out = correlate.stream_autocorr(pts, pw=4, lags=(1,), min_overlap=10).collect()
+    assert out == []
