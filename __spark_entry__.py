@@ -902,6 +902,13 @@ def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
     return events_fn.event_funnel(events_with_time_ns(spark, sf))
 
 
+def q_exact_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact duplicated-substring coverage per doc (Lee et al. 2022
+    exact-substring dedup measurement; functions/dedup.py) — grams
+    travel the shuffle as xxhash64 longs, oracle joins the strings."""
+    return dedup.exact_substring_spans(load_table(spark, sf, "documents"), k=8)
+
+
 def q_decimate_minmax(spark: SparkSession, sf: str) -> DataFrame:
     """Min/max plot decimation on the 2^42 grid — the Mr. Plotter-style
     envelope read: the actual raw points attaining each bucket's min and
@@ -929,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only the first 50 of 78 were certified; those 28 lead here. New
     # queries should be inserted near the top for the same reason.
     return {
+        "exact_substring_spans": q_exact_substring_spans,
         "decimate_minmax": q_decimate_minmax,
         "stream_autocorr": q_stream_autocorr,
         "lang_id_lexicon_join": q_lang_id_lexicon_join,
@@ -1435,6 +1443,7 @@ def oracle_sql() -> dict[str, str]:
     """
     from btrdb_spark.operators import decimate as dec_ops
 
+    oracles["exact_substring_spans"] = dedup.exact_substring_oracle_sql(k=8)
     oracles["decimate_minmax"] = dec_ops.decimate_minmax_oracle_sql(
         PTS, T0, T1, pw=42
     )

@@ -646,3 +646,109 @@ ORACLES["neardup_keep_best"] = f"""
     SELECT doc_id, cluster_id, CAST(cs AS BIGINT) AS cluster_size
     FROM ranked WHERE rn = 1 ORDER BY doc_id
 """
+
+
+def exact_substring_spans(
+    documents: DataFrame, k: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicated-substring coverage (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" exact-
+    substring pass, re-shaped for Spark): a token position is DUPLICATED
+    if it is covered by any k-token gram that occurs more than once in
+    the corpus (cross- or within-document). Output per document:
+
+        (doc_id, n_tokens, dup_tokens, dup_frac)
+
+    where dup_frac = dup_tokens / n_tokens. Downstream cleaning drops or
+    trims docs above a coverage threshold — this is the measurement
+    kernel; the suffix-array machinery of the paper is replaced by a
+    gram-hash shuffle, which Spark executes as ordinary groupBy/join.
+
+    Plan shape / 100 TB notes:
+    1. tokenize once per doc (single split, bound in one select);
+    2. explode k-grams WITH positions (guarded sequence — empty when
+       n < k, not descending);
+    3. grams travel the shuffle as xxhash64 LONGS, not strings: the
+       duplicate-gram set is found by one map-side-combinable groupBy on
+       the 8-byte hash and joined back by hash. Collision risk over G
+       grams is ~G^2/2^65 — at 10^12 grams that is ~0.03 expected false
+       marks corpus-wide, harmless for a coverage statistic (the DuckDB
+       oracle joins on the gram string itself and hash-matches, so the
+       fixture proves collision-free equality).
+    4. coverage = explode of the <=k covered positions per duplicated
+       occurrence, distinct, one count per doc — work is proportional to
+       duplicated text, not corpus size.
+    The only corpus-sized shuffles are the gram-hash groupBy and the
+    hash join, both on longs; AQE handles hot-gram skew (a gram
+    occurring M times contributes M rows, not M^2 pairs — this operator
+    never builds pairs, unlike ngram_jaccard).
+    """
+    n = F.size(F.col("toks"))
+    toks = documents.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("toks")
+    ).select("doc_id", F.col("toks"), n.alias("n"))
+
+    pos_seq = F.when(
+        F.col("n") >= k, F.sequence(F.lit(1), F.col("n") - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    occ = toks.select(
+        "doc_id",
+        F.explode(pos_seq).alias("pos"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), k))).alias("gh"),
+    )
+
+    dup = occ.groupBy("gh").agg(F.count(F.lit(1)).alias("cnt")).filter(F.col("cnt") > 1)
+    dup_occ = occ.join(dup.select("gh"), "gh")
+    cov = (
+        dup_occ.select("doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("p"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dup_tokens"))
+    )
+    return (
+        toks.select("doc_id", "n")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+            (
+                F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+                / F.col("n").cast("double")
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def exact_substring_oracle_sql(k: int = 8) -> str:
+    """DuckDB mirror of exact_substring_spans — joins on the literal gram
+    string (no hashing), proving the Spark hash path collision-free on
+    the fixture."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t,
+                   len(string_split(text, ' ')) AS n
+            FROM documents
+        ), occ AS (
+            SELECT doc_id, gs.i AS pos,
+                   array_to_string(t[gs.i : gs.i + {k - 1}], ' ') AS gram
+            FROM toks, unnest(range(1, n - {k} + 2)) gs(i)
+        ), dup AS (
+            SELECT gram FROM occ GROUP BY gram HAVING COUNT(*) > 1
+        ), cov AS (
+            SELECT DISTINCT o.doc_id, ps.p
+            FROM occ o JOIN dup d USING (gram),
+                 unnest(range(o.pos, o.pos + {k})) ps(p)
+        ), cnt AS (
+            SELECT doc_id, COUNT(*) AS dup_tokens FROM cov GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(t.n AS BIGINT) AS n_tokens,
+               CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / CAST(t.n AS DOUBLE) AS dup_frac
+        FROM toks t LEFT JOIN cnt c USING (doc_id)
+    """
