@@ -902,6 +902,18 @@ def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
     return events_fn.event_funnel(events_with_time_ns(spark, sf))
 
 
+def q_ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN (faiss IndexPQ analog): per-subspace
+    k-means codebooks trained driver-side (m=8, nbits=4 -> 4 bytes per
+    vector, 32x compression), corpus encoded once, probes score against
+    reconstructions (similarity.ann_pq_topk)."""
+    emb = load_table(spark, sf, "embeddings")
+    books = similarity.train_pq_codebooks(
+        similarity.load_sorted_embeddings(f"{sf}/embeddings.parquet"), m=8, nbits=4
+    )
+    return similarity.ann_pq_topk(emb, emb.filter(F.col("vec_id") < 10), books, k=5)
+
+
 def q_exact_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Exact duplicated-substring coverage per doc (Lee et al. 2022
     exact-substring dedup measurement; functions/dedup.py) — grams
@@ -936,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only the first 50 of 78 were certified; those 28 lead here. New
     # queries should be inserted near the top for the same reason.
     return {
+        "ann_pq_topk": q_ann_pq_topk,
         "exact_substring_spans": q_exact_substring_spans,
         "decimate_minmax": q_decimate_minmax,
         "stream_autocorr": q_stream_autocorr,
@@ -1423,6 +1436,9 @@ def oracle_sql() -> dict[str, str]:
     oracles.update(similarity.ORACLES)
     oracles["ann_ivf_kmeans_topk"] = similarity.ann_ivf_kmeans_oracle_sql(
         "/root/testdata/sf0.01/embeddings.parquet", k=5, n_centroids=16, nprobe=4
+    )
+    oracles["ann_pq_topk"] = similarity.ann_pq_oracle_sql(
+        "/root/testdata/sf0.01/embeddings.parquet", m=8, nbits=4, k=5
     )
     oracles.update(pipeline.ORACLES)
     oracles["value_quantiles"] = qt_ops.quantile_oracle_sql(PTS)

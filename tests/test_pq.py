@@ -1,0 +1,74 @@
+"""Semantic tests for product quantization (similarity.py PQ block)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from btrdb_spark.functions import similarity
+
+
+def _emb_df(spark, x):
+    rows = [(i, [float(v) for v in r]) for i, r in enumerate(x)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_codebook_shapes_and_determinism():
+    rng = np.random.RandomState(7)
+    x = rng.randn(200, 32)
+    b1 = similarity.train_pq_codebooks(x, m=4, nbits=3, seed=0)
+    b2 = similarity.train_pq_codebooks(x, m=4, nbits=3, seed=0)
+    assert b1.shape == (4, 8, 8)
+    assert np.array_equal(b1, b2)
+
+
+def test_encode_assigns_nearest_code(spark):
+    # corpus of exactly the codebook entries: every vector encodes to itself
+    rng = np.random.RandomState(1)
+    x = rng.randn(64, 16)
+    books = similarity.train_pq_codebooks(x, m=2, nbits=2, seed=0)
+    # vectors built FROM codebook entries: (books[0,c] ++ books[1,c])
+    probes = np.concatenate([books[0], books[1]], axis=1)  # (4, 16)
+    df = _emb_df(spark, probes)
+    cb = similarity.pq_codebooks_df(spark, books)
+    enc = similarity.pq_encode(df, cb, m=2, dsub=8).collect()
+    for r in enc:
+        assert r["code"] == r["vec_id"], r
+
+
+def test_pq_topk_recovers_clustered_neighbors(spark):
+    # 8 tight clusters: PQ reconstruction keeps cluster identity, so the
+    # top-k of any probe stays inside its own cluster
+    rng = np.random.RandomState(3)
+    centers = rng.randn(8, 32) * 10
+    x = np.vstack([c + rng.randn(25, 32) * 0.1 for c in centers])
+    books = similarity.train_pq_codebooks(x, m=4, nbits=4, seed=0)
+    df = _emb_df(spark, x)
+    out = similarity.ann_pq_topk(df, df.filter(F.col("vec_id") < 8), books, k=5).collect()
+    assert len(out) == 40
+    for r in out:
+        assert r["neighbor_id"] // 25 == r["query_id"] // 25, r
+
+
+def test_pq_recall_vs_exact_on_fixture(spark):
+    emb = similarity.load_sorted_embeddings("/root/testdata/sf0.01/embeddings.parquet")
+    df = _emb_df(spark, emb)
+    probes = df.filter(F.col("vec_id") < 20)
+    books = similarity.train_pq_codebooks(emb, m=8, nbits=4)
+    approx = similarity.ann_pq_topk(df, probes, books, k=5).collect()
+    exact = similarity.cosine_topk(df, probes, k=5).collect()
+    # inner-product PQ vs cosine exact: fixture vectors have ~equal norms,
+    # so top-k sets overlap well; assert a sane floor and print the point
+    ex = {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hit = sum(r["neighbor_id"] in ex[r["query_id"]] for r in approx)
+    recall = hit / len(approx)
+    print(f"pq recall@5 = {recall:.3f}")
+    # the fixture corpus is ISOTROPIC (no cluster structure — see
+    # ann_ivf_topk docstring), the worst case for quantization: measured
+    # recall@5 by code budget, m=8: nbits 4/6/8 -> 0.22/0.36/0.68;
+    # m=16, nbits=8 -> 0.80. The gated query keeps m=8/nbits=4 (32x
+    # compression) as the documented operating point; real clustered
+    # corpora behave like test_pq_topk_recovers_clustered_neighbors.
+    assert recall >= 0.15
