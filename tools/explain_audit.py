@@ -40,6 +40,16 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
     ),
     "cosine_topk": (["BroadcastNestedLoopJoin"], ["BatchEvalPython"]),  # intended exact scan
+    # decimation is ONE map-side-combinable groupBy (struct min/max), no window
+    "decimate_minmax": (["partial_min", "partial_max"], ["Window", "CartesianProduct", "BatchEvalPython"]),
+    # autocorr: the 3-row lag frame fans out via broadcast crossJoin (a
+    # BNLJ by construction, like the resample grids); the bucket match
+    # itself must stay an equi-join (BroadcastHashJoin on uuid+bucket)
+    "stream_autocorr": (["partial_count", "BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython"]),
+    # gram-hash dedup: longs over the shuffle, plain hash aggregation + join
+    "exact_substring_spans": (["partial_count", "xxhash64"], ["CartesianProduct", "BatchEvalPython", "Window"]),
+    # PQ: codebook broadcast into encode, probe broadcast into scoring
+    "ann_pq_topk": (["BroadcastHashJoin", "partial_min"], ["CartesianProduct", "BatchEvalPython"]),
     "dedup_exact": (["partial_min", "partial_count"], ["BatchEvalPython"]),
     "ann_ivf_topk": (["BroadcastHashJoin"], ["BatchEvalPython"]),
     # trained-quantizer IVF: same join shape as ann_ivf_topk (centroids
