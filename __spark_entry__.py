@@ -902,6 +902,13 @@ def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
     return events_fn.event_funnel(events_with_time_ns(spark, sf))
 
 
+def q_pipeline_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stage attrition of the clean_corpus ladder (docs + tokens
+    surviving lang -> quality -> exact-dedup -> near-dedup), one pass
+    (functions/pipeline.py pipeline_funnel)."""
+    return pipeline.pipeline_funnel(load_table(spark, sf, "documents"))
+
+
 def q_ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Product-quantization ANN (faiss IndexPQ analog): per-subspace
     k-means codebooks trained driver-side (m=8, nbits=4 -> 4 bytes per
@@ -948,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only the first 50 of 78 were certified; those 28 lead here. New
     # queries should be inserted near the top for the same reason.
     return {
+        "pipeline_funnel": q_pipeline_funnel,
         "ann_pq_topk": q_ann_pq_topk,
         "exact_substring_spans": q_exact_substring_spans,
         "decimate_minmax": q_decimate_minmax,
@@ -1559,6 +1567,46 @@ def oracle_sql() -> dict[str, str]:
         JOIN keepers k ON k.doc_id = d.doc_id
         WHERE d.doc_id NOT IN (SELECT doc_b FROM near_b)
         ORDER BY d.doc_id
+    """
+
+    # pipeline_funnel: same stage sub-oracles, cumulative conditional sums
+    oracles["pipeline_funnel"] = f"""
+        WITH lang_ok AS (
+            SELECT doc_id FROM ({text.ORACLES["lang_id"]}) WHERE pred_lang = 'en'
+        ), qual AS (
+            SELECT doc_id FROM ({text.ORACLES["text_quality"]})
+            WHERE n_tokens >= 20 AND stopword_ratio >= 0.05
+        ), keepers AS (
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ), near_b AS (
+            SELECT DISTINCT doc_b FROM ({dedup.ORACLES["minhash_lsh_pairs"]})
+            WHERE est_jaccard >= 0.8
+        ), base AS (
+            SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nt,
+                   (l.doc_id IS NOT NULL) AS c1,
+                   (l.doc_id IS NOT NULL AND q.doc_id IS NOT NULL) AS c2,
+                   (l.doc_id IS NOT NULL AND q.doc_id IS NOT NULL
+                    AND k.doc_id IS NOT NULL) AS c3,
+                   (l.doc_id IS NOT NULL AND q.doc_id IS NOT NULL
+                    AND k.doc_id IS NOT NULL AND n.doc_b IS NULL) AS c4
+            FROM documents d
+            LEFT JOIN lang_ok l ON l.doc_id = d.doc_id
+            LEFT JOIN qual q ON q.doc_id = d.doc_id
+            LEFT JOIN keepers k ON k.doc_id = d.doc_id
+            LEFT JOIN near_b n ON n.doc_b = d.doc_id
+        )
+        SELECT CAST(0 AS BIGINT) AS stage_ord, 'input' AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+        FROM base
+        UNION ALL SELECT 1, 'lang', CAST(SUM(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN c1 THEN nt ELSE 0 END) AS BIGINT) FROM base
+        UNION ALL SELECT 2, 'quality', CAST(SUM(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN c2 THEN nt ELSE 0 END) AS BIGINT) FROM base
+        UNION ALL SELECT 3, 'exact_dedup', CAST(SUM(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN c3 THEN nt ELSE 0 END) AS BIGINT) FROM base
+        UNION ALL SELECT 4, 'neardup', CAST(SUM(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN c4 THEN nt ELSE 0 END) AS BIGINT) FROM base
+        ORDER BY stage_ord
     """
 
     oracles["semantic_dedup"] = similarity.semantic_dedup_oracle_sql(16, 0.28)

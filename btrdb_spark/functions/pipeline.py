@@ -415,3 +415,104 @@ ORACLES = {
         ORDER BY doc_id
     """,
 }
+
+
+def pipeline_funnel(
+    documents: DataFrame,
+    lang: str = "en",
+    min_tokens: int = 20,
+    min_stopword_ratio: float = 0.05,
+    neardup_threshold: float = 0.8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stage attrition report for the clean_corpus ladder — the
+    observability every production data pipeline publishes next to its
+    output (how many docs/tokens survived language ID, quality, exact
+    dedup, near-dedup).
+
+    Output: (stage_ord, stage, n_docs, n_tokens), 5 rows:
+    input -> lang -> quality -> exact_dedup -> neardup, each cumulative.
+
+    Plan shape: stage predicates become per-doc BOOLEAN columns (left
+    joins against the same frames clean_corpus semi/anti-joins — Catalyst
+    shares the subplans), then ONE global aggregation computes all five
+    (count, token-sum) pairs as conditional sums, and a 5-element
+    explode shapes the report. No per-stage re-scan of the corpus: the
+    funnel costs one pass + the LSH candidate join, the same as
+    clean_corpus itself. All outputs are integers — no float drift.
+    """
+    nt = F.size(F.split(F.col(text_col), " ")).cast("long")
+    lang_ok = text.lang_id(documents, text_col).filter(
+        F.col("pred_lang") == lang
+    ).select("doc_id", F.lit(1).alias("_l"))
+    qual = text.quality_stats(documents, text_col).filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+    ).select("doc_id", F.lit(1).alias("_q"))
+    keepers = (
+        documents.groupBy(F.md5(F.col(text_col)).alias("_th"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(1).alias("_k"))
+    )
+    near_b = (
+        dedup.minhash_lsh_pairs(documents, text_col=text_col)
+        .filter(F.col("est_jaccard") >= neardup_threshold)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_n", F.lit(1))
+    )
+    flagged = (
+        documents.select("doc_id", nt.alias("nt"))
+        .join(lang_ok, "doc_id", "left")
+        .join(qual, "doc_id", "left")
+        .join(keepers, "doc_id", "left")
+        .join(near_b, "doc_id", "left")
+        .select(
+            "nt",
+            F.col("_l").isNotNull().alias("c1"),
+            (F.col("_l").isNotNull() & F.col("_q").isNotNull()).alias("c2"),
+            (
+                F.col("_l").isNotNull()
+                & F.col("_q").isNotNull()
+                & F.col("_k").isNotNull()
+            ).alias("c3"),
+            (
+                F.col("_l").isNotNull()
+                & F.col("_q").isNotNull()
+                & F.col("_k").isNotNull()
+                & F.col("_n").isNull()
+            ).alias("c4"),
+        )
+    )
+
+    def _pair(cond):
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long"),
+            F.sum(F.when(cond, F.col("nt")).otherwise(0)).cast("long"),
+        ]
+
+    agg = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("d0"),
+        F.sum("nt").cast("long").alias("t0"),
+        *[c.alias(n) for c, n in zip(_pair(F.col("c1")), ["d1", "t1"])],
+        *[c.alias(n) for c, n in zip(_pair(F.col("c2")), ["d2", "t2"])],
+        *[c.alias(n) for c, n in zip(_pair(F.col("c3")), ["d3", "t3"])],
+        *[c.alias(n) for c, n in zip(_pair(F.col("c4")), ["d4", "t4"])],
+    )
+    stages = ["input", "lang", "quality", "exact_dedup", "neardup"]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("stage_ord"),
+                F.lit(s).alias("stage"),
+                F.col(f"d{i}").alias("n_docs"),
+                F.col(f"t{i}").alias("n_tokens"),
+            )
+            for i, s in enumerate(stages)
+        ]
+    )
+    return (
+        agg.select(F.explode(rows).alias("r"))
+        .select("r.stage_ord", "r.stage", "r.n_docs", "r.n_tokens")
+        .orderBy("stage_ord")
+    )

@@ -384,3 +384,25 @@ def test_mixture_upsample_epochs(spark):
     b_survivors = sum(1 for i in range(50, 100) if i in by_doc)
     assert 10 < b_survivors < 40
     assert all(by_doc[i] == [0] for i in range(50, 100) if i in by_doc)
+
+
+def test_pipeline_funnel_monotone_and_consistent(spark):
+    from btrdb_spark.functions import pipeline
+
+    documents = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = pipeline.pipeline_funnel(documents).collect()
+    assert [r["stage"] for r in out] == [
+        "input", "lang", "quality", "exact_dedup", "neardup"
+    ]
+    docs = [r["n_docs"] for r in out]
+    toks = [r["n_tokens"] for r in out]
+    # cumulative stages can only shrink
+    assert docs == sorted(docs, reverse=True)
+    assert toks == sorted(toks, reverse=True)
+    assert docs[0] == documents.count()
+    # final stage equals the clean_corpus survivor set
+    from pyspark.sql import functions as SF
+
+    survivors = pipeline.clean_corpus(documents)
+    assert docs[-1] == survivors.count()
+    assert toks[-1] == survivors.agg(SF.sum("n_tokens")).first()[0]
