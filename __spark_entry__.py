@@ -902,6 +902,13 @@ def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
     return events_fn.event_funnel(events_with_time_ns(spark, sf))
 
 
+def q_cusum_alarms(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sided CUSUM drift alarms per stream (Page 1954) against the
+    stream's own decimal-exact mean; Arrow sequential kernel with a
+    recursive-CTE oracle (operators/resample.py cusum_alarms)."""
+    return rs_ops.cusum_alarms(events_as_points(spark, sf), k=8.0, h=64.0)
+
+
 def q_pipeline_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """Per-stage attrition of the clean_corpus ladder (docs + tokens
     surviving lang -> quality -> exact-dedup -> near-dedup), one pass
@@ -955,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only the first 50 of 78 were certified; those 28 lead here. New
     # queries should be inserted near the top for the same reason.
     return {
+        "cusum_alarms": q_cusum_alarms,
         "pipeline_funnel": q_pipeline_funnel,
         "ann_pq_topk": q_ann_pq_topk,
         "exact_substring_spans": q_exact_substring_spans,
@@ -1480,6 +1488,7 @@ def oracle_sql() -> dict[str, str]:
     # ladder path proves bit-identity against the SAME raw-path oracle
     oracles["stream_correlations_via_rollup"] = oracles["stream_correlations"]
     oracles["ewma"] = rs_ops.ewma_oracle_sql(PTS, alpha=0.25)
+    oracles["cusum_alarms"] = rs_ops.cusum_oracle_sql(PTS, k=8.0, h=64.0)
     from btrdb_spark.operators import compress as cp_ops
 
     oracles["sdt_compress"] = cp_ops.sdt_oracle_sql(PTS, tolerance=25.0)

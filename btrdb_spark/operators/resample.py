@@ -344,3 +344,126 @@ def ewma_oracle_sql(points_sql: str, alpha: float = 0.25) -> str:
         )
         SELECT uuid, time, value, ewma FROM rec ORDER BY uuid, time, value
     """
+
+
+def cusum_alarms(
+    points: DataFrame, k: float = 8.0, h: float = 64.0
+) -> DataFrame:
+    """Per-stream two-sided CUSUM changepoint alarms (Page 1954) — the
+    classic sequential drift detector telemetry fleets run against each
+    sensor. Tracking statistics against the stream's own mean mu:
+
+        pos_i = max(0, pos_{i-1} + (x_i - mu - k))
+        neg_i = max(0, neg_{i-1} + (mu - x_i - k))
+
+    An alarm fires when a statistic exceeds h; the fired statistic
+    resets to 0 (restart detection). Output: one row per fired alarm,
+    (uuid, time, value, direction 'up'|'down', stat = the pre-reset
+    exceedance value), time-ordered per stream.
+
+    This is a linear recurrence with reset — not expressible as a
+    Catalyst window function — so it takes the documented Arrow-kernel
+    shape (the ewma/sdt_compress pattern): mapInPandas over a uuid-hash
+    repartition, rows sorted (uuid, time, value) inside the kernel,
+    folded per stream with the EXACT expression shape the DuckDB
+    recursive-CTE oracle evaluates (`s + (x - mu - k)`, `GREATEST(0,.)`)
+    so alarms match bit-for-bit. mu is the decimal-exact per-stream mean
+    (one map-side-combinable groupBy, broadcast back onto the points);
+    pick binary-representable k/h when cross-engine equality matters.
+
+    Scale: one uuid shuffle + one tiny mean frame; state is two running
+    doubles per stream. Giant streams chunk with a carry pass like
+    asof_join_chunked.
+    """
+    from ..functions import decsum
+
+    kk, hh = float(k), float(h)
+    mu_df = (
+        points.groupBy("uuid")
+        .agg(F.count(F.lit(1)).alias("cnt"), *decsum.sum_aggs(F.col("value")))
+        .select(
+            "uuid", (decsum.vsum().cast("double") / F.col("cnt")).alias("mu")
+        )
+    )
+
+    def fold(pdfs):
+        import pandas as pd
+
+        chunks = list(pdfs)
+        if not chunks:
+            return
+        rows = pd.concat(chunks, ignore_index=True).sort_values(
+            ["uuid", "time", "value"], kind="mergesort"
+        )
+        out_u, out_t, out_v, out_d, out_s = [], [], [], [], []
+        for uuid, g in rows.groupby("uuid", sort=False):
+            mu = float(g["mu"].iloc[0])
+            pos = 0.0
+            neg = 0.0
+            for t, x in zip(g["time"].to_numpy(), g["value"].to_numpy()):
+                x = float(x)
+                pos = max(0.0, pos + (x - mu - kk))
+                neg = max(0.0, neg + (mu - x - kk))
+                if pos > hh:
+                    out_u.append(uuid); out_t.append(int(t)); out_v.append(x)
+                    out_d.append("up"); out_s.append(pos)
+                    pos = 0.0
+                if neg > hh:
+                    out_u.append(uuid); out_t.append(int(t)); out_v.append(x)
+                    out_d.append("down"); out_s.append(neg)
+                    neg = 0.0
+        yield pd.DataFrame(
+            {"uuid": out_u, "time": out_t, "value": out_v,
+             "direction": out_d, "stat": out_s}
+        )
+
+    return (
+        points.select("uuid", "time", "value")
+        .join(F.broadcast(mu_df), "uuid")
+        .repartition(F.col("uuid"))
+        .mapInPandas(
+            fold,
+            "uuid string, time long, value double, direction string, stat double",
+        )
+    )
+
+
+def cusum_oracle_sql(points_sql: str, k: float = 8.0, h: float = 64.0) -> str:
+    """DuckDB recursive-CTE mirror of cusum_alarms (same expression
+    shapes, same decimal-exact mu)."""
+    kk, hh = float(k), float(h)
+    return f"""
+        WITH RECURSIVE mu AS (
+            SELECT uuid,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mu
+            FROM {points_sql} p GROUP BY uuid
+        ), r AS (
+            SELECT p.uuid, p.time, p.value, mu.mu,
+                   ROW_NUMBER() OVER (PARTITION BY p.uuid ORDER BY p.time, p.value) AS rn
+            FROM {points_sql} p JOIN mu ON mu.uuid = p.uuid
+        ), rec AS (
+            SELECT uuid, time, value, mu, rn,
+                   GREATEST(0.0, 0.0 + (value - mu - {kk!r})) AS pos_pre,
+                   GREATEST(0.0, 0.0 + (mu - value - {kk!r})) AS neg_pre,
+                   CASE WHEN GREATEST(0.0, 0.0 + (value - mu - {kk!r})) > {hh!r}
+                        THEN 0.0 ELSE GREATEST(0.0, 0.0 + (value - mu - {kk!r})) END AS pos,
+                   CASE WHEN GREATEST(0.0, 0.0 + (mu - value - {kk!r})) > {hh!r}
+                        THEN 0.0 ELSE GREATEST(0.0, 0.0 + (mu - value - {kk!r})) END AS neg
+            FROM r WHERE rn = 1
+            UNION ALL
+            SELECT r.uuid, r.time, r.value, r.mu, r.rn,
+                   GREATEST(0.0, rec.pos + (r.value - r.mu - {kk!r})),
+                   GREATEST(0.0, rec.neg + (r.mu - r.value - {kk!r})),
+                   CASE WHEN GREATEST(0.0, rec.pos + (r.value - r.mu - {kk!r})) > {hh!r}
+                        THEN 0.0 ELSE GREATEST(0.0, rec.pos + (r.value - r.mu - {kk!r})) END,
+                   CASE WHEN GREATEST(0.0, rec.neg + (r.mu - r.value - {kk!r})) > {hh!r}
+                        THEN 0.0 ELSE GREATEST(0.0, rec.neg + (r.mu - r.value - {kk!r})) END
+            FROM rec JOIN r ON r.uuid = rec.uuid AND r.rn = rec.rn + 1
+        )
+        SELECT uuid, time, value, 'up' AS direction, pos_pre AS stat
+        FROM rec WHERE pos_pre > {hh!r}
+        UNION ALL
+        SELECT uuid, time, value, 'down' AS direction, neg_pre AS stat
+        FROM rec WHERE neg_pre > {hh!r}
+        ORDER BY uuid, time, direction
+    """

@@ -50,6 +50,10 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "exact_substring_spans": (["partial_count", "xxhash64"], ["CartesianProduct", "BatchEvalPython", "Window"]),
     # PQ: codebook broadcast into encode, probe broadcast into scoring
     "ann_pq_topk": (["BroadcastHashJoin", "partial_min"], ["CartesianProduct", "BatchEvalPython"]),
+    # CUSUM: sequential kernel is the documented Arrow case; mean frame broadcast
+    "cusum_alarms": (["MapInPandas", "BroadcastHashJoin"], ["BatchEvalPython", "CartesianProduct"]),
+    # funnel: one global conditional-sum aggregation, no per-stage re-scan loops
+    "pipeline_funnel": (["partial_count"], ["CartesianProduct", "BatchEvalPython"]),
     "dedup_exact": (["partial_min", "partial_count"], ["BatchEvalPython"]),
     "ann_ivf_topk": (["BroadcastHashJoin"], ["BatchEvalPython"]),
     # trained-quantizer IVF: same join shape as ann_ivf_topk (centroids
