@@ -902,6 +902,13 @@ def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
     return events_fn.event_funnel(events_with_time_ns(spark, sf))
 
 
+def q_find_peaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stream local maxima over a +-5-row neighborhood with
+    prominence — the excursion-event locator (operators/resample.py
+    find_peaks); one window pass, zero float accumulation."""
+    return rs_ops.find_peaks(events_as_points(spark, sf), w=5)
+
+
 def q_cusum_alarms(spark: SparkSession, sf: str) -> DataFrame:
     """Two-sided CUSUM drift alarms per stream (Page 1954) against the
     stream's own decimal-exact mean; Arrow sequential kernel with a
@@ -962,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only the first 50 of 78 were certified; those 28 lead here. New
     # queries should be inserted near the top for the same reason.
     return {
+        "find_peaks": q_find_peaks,
         "cusum_alarms": q_cusum_alarms,
         "pipeline_funnel": q_pipeline_funnel,
         "ann_pq_topk": q_ann_pq_topk,
@@ -1489,6 +1497,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["stream_correlations_via_rollup"] = oracles["stream_correlations"]
     oracles["ewma"] = rs_ops.ewma_oracle_sql(PTS, alpha=0.25)
     oracles["cusum_alarms"] = rs_ops.cusum_oracle_sql(PTS, k=8.0, h=64.0)
+    oracles["find_peaks"] = rs_ops.find_peaks_oracle_sql(PTS, w=5)
     from btrdb_spark.operators import compress as cp_ops
 
     oracles["sdt_compress"] = cp_ops.sdt_oracle_sql(PTS, tolerance=25.0)

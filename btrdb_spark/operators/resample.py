@@ -467,3 +467,69 @@ def cusum_oracle_sql(points_sql: str, k: float = 8.0, h: float = 64.0) -> str:
         FROM rec WHERE neg_pre > {hh!r}
         ORDER BY uuid, time, direction
     """
+
+
+def find_peaks(
+    points: DataFrame,
+    w: int = 3,
+    min_value: float | None = None,
+) -> DataFrame:
+    """Per-stream local-maximum (peak) detection: a point is a peak when
+    its value is strictly greater than every OTHER point within the
+    surrounding 2w+1-row neighborhood (w rows each side in time order),
+    optionally above an absolute floor. The grid-sensor use case: locate
+    voltage-sag/frequency-excursion events for a human to inspect —
+    reference users run exactly this client-side over RawValues pulls.
+
+    Output: (uuid, time, value, prominence) where prominence = value
+    minus the largest neighbor value, > 0 by construction.
+
+    Determinism on duplicate values: STRICT inequality means plateaus
+    (equal neighboring maxima) produce no peak — same rule both engines,
+    no tie-break needed. Pure window comparisons and one subtraction:
+    no float accumulation at all, so cross-engine equality is trivial.
+
+    Plan shape: ONE window pass over (uuid, time, value) — max over the
+    w-preceding and w-following ROWS frames; no self-join, no explode.
+    One uuid-keyed exchange; state per task is the 2w+1 row frame.
+    """
+    wspec = Window.partitionBy("uuid").orderBy("time", "value")
+    before = F.max("value").over(wspec.rowsBetween(-w, -1))
+    after = F.max("value").over(wspec.rowsBetween(1, w))
+    neigh = F.greatest(
+        F.coalesce(before, F.lit(float("-inf"))),
+        F.coalesce(after, F.lit(float("-inf"))),
+    )
+    out = (
+        points.select("uuid", "time", "value")
+        .withColumn("_n", neigh)
+        .filter(F.col("value") > F.col("_n"))
+        .select("uuid", "time", "value", (F.col("value") - F.col("_n")).alias("prominence"))
+    )
+    if min_value is not None:
+        out = out.filter(F.col("value") >= F.lit(float(min_value)))
+    return out
+
+
+def find_peaks_oracle_sql(
+    points_sql: str, w: int = 3, min_value: float | None = None
+) -> str:
+    """DuckDB mirror of find_peaks (same frames, same strict rule)."""
+    floor = f"AND value >= {float(min_value)!r}" if min_value is not None else ""
+    return f"""
+        WITH n AS (
+            SELECT uuid, time, value,
+                   GREATEST(
+                     COALESCE(MAX(value) OVER (
+                       PARTITION BY uuid ORDER BY time, value
+                       ROWS BETWEEN {w} PRECEDING AND 1 PRECEDING), '-infinity'::DOUBLE),
+                     COALESCE(MAX(value) OVER (
+                       PARTITION BY uuid ORDER BY time, value
+                       ROWS BETWEEN 1 FOLLOWING AND {w} FOLLOWING), '-infinity'::DOUBLE)
+                   ) AS nmax
+            FROM {points_sql} p
+        )
+        SELECT uuid, time, value, value - nmax AS prominence
+        FROM n WHERE value > nmax {floor}
+        ORDER BY uuid, time
+    """

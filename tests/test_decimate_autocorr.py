@@ -64,3 +64,27 @@ def test_autocorr_min_overlap_filters(spark):
     pts = _pts(spark, rows)
     out = correlate.stream_autocorr(pts, pw=4, lags=(1,), min_overlap=10).collect()
     assert out == []
+
+
+def test_find_peaks_basic(spark):
+    from btrdb_spark.operators import resample as rs
+
+    pts = _pts(spark, [("a", t, v) for t, v in enumerate([0, 1, 5, 1, 0, 2, 8, 2, 0])])
+    out = {(r["time"], r["value"], r["prominence"]) for r in rs.find_peaks(pts, w=2).collect()}
+    assert out == {(2, 5.0, 4.0), (6, 8.0, 6.0)}
+
+
+def test_find_peaks_plateau_no_peak(spark):
+    from btrdb_spark.operators import resample as rs
+
+    # equal neighboring maxima: strict rule -> no peak on the plateau
+    pts = _pts(spark, [("a", t, v) for t, v in enumerate([0, 5, 5, 0])])
+    assert rs.find_peaks(pts, w=2).collect() == []
+
+
+def test_find_peaks_min_value_floor(spark):
+    from btrdb_spark.operators import resample as rs
+
+    pts = _pts(spark, [("a", t, v) for t, v in enumerate([0, 3, 0, 0, 9, 0])])
+    out = rs.find_peaks(pts, w=1, min_value=5.0).collect()
+    assert [(r["time"], r["value"]) for r in out] == [(4, 9.0)]
