@@ -1,0 +1,93 @@
+"""Corpus scale probe: run the headline text/dedup operators on a
+200k-doc synthetic corpus (400x the sf0.01 fixture, 40x sf0.1) and
+report docs/sec — the cliff check for the LLM-pipeline ops, analogous
+to the 100M-point engine probe. Probe data lives in /tmp; the driver
+fixtures are never touched.
+
+Corpus shape mirrors real pretraining text statistics where they matter
+to the operators: ~55 tokens/doc from a skewed vocabulary (token ids
+drawn across 4 magnitude bands, so frequent tokens exist), 5% exact
+duplicates, and a boilerplate header shared by 2% of docs (the
+hot-shingle stressor for gram-keyed shuffles).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from btrdb_spark.session import get_spark
+
+N = 200_000
+OUT = "/tmp/prof_corpus_docs.parquet"
+
+
+def build(spark):
+    if os.path.exists(OUT):
+        return
+    # deterministic synthesis, fully distributed: token = "w<zipfish id>"
+    # via xxhash64 mixing; duplicate/near-dup structure from id arithmetic
+    base = spark.range(N).select(
+        F.col("id").alias("doc_id"),
+        # 5% exact dups: doc_id % 20 == 7 copies doc_id - 1's text
+        F.when(F.col("id") % 20 == 7, F.col("id") - 1)
+        .otherwise(F.col("id"))
+        .alias("src_id"),
+        (F.col("id") % 4).alias("variant"),
+    )
+    tok = (
+        "concat('w', cast(pmod(xxhash64(src_id * 57 + i), "
+        "cast(pow(10, 1 + pmod(xxhash64(src_id * 131 + i), 4)) as bigint)) as string))"
+    )
+    docs = base.select(
+        "doc_id",
+        F.expr(
+            "concat_ws(' ', "
+            # 2% share an 8-token boilerplate header (hot shingles)
+            "case when pmod(doc_id, 50) = 3 then "
+            "  'terms of service apply to this document text' "
+            "else null end, "
+            f"array_join(transform(sequence(1, 55), i -> {tok}), ' '))"
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+        F.concat(F.lit("src"), (F.col("doc_id") % 4).cast("string")).alias("source"),
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    docs.write.mode("overwrite").parquet(OUT)
+
+
+def main():
+    spark = get_spark("prof_corpus", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+    build(spark)
+    docs = spark.read.parquet(OUT)
+    docs.cache().count()
+
+    from btrdb_spark.functions import dedup, pipeline, text
+
+    probes = {
+        "dedup_exact": lambda: dedup.exact_duplicates(docs).count(),
+        "minhash_lsh_pairs": lambda: dedup.minhash_lsh_pairs(docs).count(),
+        "exact_substring_spans": lambda: dedup.exact_substring_spans(docs, k=8).count(),
+        "lang_id": lambda: text.lang_id(docs).count(),
+        "text_quality": lambda: text.quality_stats(docs).count(),
+        "pipeline_funnel": lambda: pipeline.pipeline_funnel(docs).count(),
+    }
+    print(f"corpus: {N} docs")
+    for name, fn in probes.items():
+        best = float("inf")
+        rows = None
+        for _ in range(2):
+            t0 = time.time()
+            rows = fn()
+            best = min(best, time.time() - t0)
+        print(
+            f"{name}: best={best:.2f}s -> {N / best / 1e3:.1f}K docs/s ({rows} rows)",
+            flush=True,
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
