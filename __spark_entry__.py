@@ -902,6 +902,13 @@ def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
     return events_fn.event_funnel(events_with_time_ns(spark, sf))
 
 
+def q_window_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact p50/p90 per (stream, 2^45 bucket) — windowed percentile
+    dashboard via pure integer rank selection (operators/quantiles.py
+    window_quantiles)."""
+    return qt_ops.window_quantiles(events_as_points(spark, sf), pw=45, pcts=(50, 90))
+
+
 def q_find_peaks(spark: SparkSession, sf: str) -> DataFrame:
     """Per-stream local maxima over a +-5-row neighborhood with
     prominence — the excursion-event locator (operators/resample.py
@@ -969,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only the first 50 of 78 were certified; those 28 lead here. New
     # queries should be inserted near the top for the same reason.
     return {
+        "window_quantiles": q_window_quantiles,
         "find_peaks": q_find_peaks,
         "cusum_alarms": q_cusum_alarms,
         "pipeline_funnel": q_pipeline_funnel,
@@ -1498,6 +1506,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["ewma"] = rs_ops.ewma_oracle_sql(PTS, alpha=0.25)
     oracles["cusum_alarms"] = rs_ops.cusum_oracle_sql(PTS, k=8.0, h=64.0)
     oracles["find_peaks"] = rs_ops.find_peaks_oracle_sql(PTS, w=5)
+    oracles["window_quantiles"] = qt_ops.window_quantiles_oracle_sql(
+        PTS, pw=45, pcts=(50, 90)
+    )
     from btrdb_spark.operators import compress as cp_ops
 
     oracles["sdt_compress"] = cp_ops.sdt_oracle_sql(PTS, tolerance=25.0)

@@ -305,3 +305,72 @@ def diurnal_oracle_sql(points_sql: str, tz_offset_hours: int = 0) -> str:
                MAX(value) AS vmax
         FROM h GROUP BY uuid, hour ORDER BY uuid, hour
     """
+
+
+def window_quantiles(
+    points: DataFrame,
+    pw: int = 42,
+    pcts: Sequence[int] = (50, 90),
+) -> DataFrame:
+    """Exact per-(stream, 2^pw time bucket) discrete quantiles — the
+    windowed percentile dashboard (p50/p90 per hour-ish bucket) that
+    telemetry operators read next to the StatPoint min/mean/max the
+    reference serves. Extends value_quantiles with the time dimension.
+
+    Output: (uuid, bucket_start, p<pct>... ) one row per non-empty
+    bucket. Rank selection only (type-1 quantile, rank =
+    floor(pct*(n-1)/100)+1): values are SELECTED, never combined, so
+    there is no float arithmetic and cross-engine equality is exact.
+
+    Plan shape: one window pass over (uuid, bucket) — row_number +
+    count — then the same groupBy folds every requested percentile as a
+    conditional min. One uuid-bucket-keyed exchange; per-task state is
+    a bucket's rows (bounded by bucket width, not stream length — the
+    windowed variant is MORE scale-friendly than the global one).
+    """
+    width = 1 << pw
+    from ..functions.timeops import bucket_start
+
+    b = bucket_start(F.col("time"), width)
+    w = Window.partitionBy("uuid", "bucket_start").orderBy("value")
+    wn = Window.partitionBy("uuid", "bucket_start")
+    ranked = (
+        points.select("uuid", b.alias("bucket_start"), "value")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("rn")
+                == F.floor(F.lit(int(p)) * (F.col("n") - 1) / F.lit(100)) + 1,
+                F.col("value"),
+            )
+        ).alias(f"p{int(p)}")
+        for p in pcts
+    ]
+    return ranked.groupBy("uuid", "bucket_start").agg(*aggs)
+
+
+def window_quantiles_oracle_sql(
+    points_sql: str, pw: int = 42, pcts: Sequence[int] = (50, 90)
+) -> str:
+    """DuckDB mirror of window_quantiles (same integer rank selection)."""
+    width = 1 << pw
+    cols = ", ".join(
+        f"MIN(CASE WHEN rn = CAST(FLOOR({int(p)} * (n - 1) / 100) AS BIGINT) + 1 "
+        f"THEN value END) AS p{int(p)}"
+        for p in pcts
+    )
+    return f"""
+        WITH r AS (
+            SELECT uuid,
+                   time - ((time % {width} + {width}) % {width}) AS bucket_start,
+                   value,
+                   ROW_NUMBER() OVER (PARTITION BY uuid, time - ((time % {width} + {width}) % {width}) ORDER BY value) AS rn,
+                   COUNT(*) OVER (PARTITION BY uuid, time - ((time % {width} + {width}) % {width})) AS n
+            FROM {points_sql} p
+        )
+        SELECT uuid, bucket_start, {cols}
+        FROM r GROUP BY uuid, bucket_start ORDER BY uuid, bucket_start
+    """

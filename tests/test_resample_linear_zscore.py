@@ -65,3 +65,24 @@ def test_global_shuffle_deterministic_total_order(spark):
     assert len({(s, p) for _, s, p in a}) == 100   # slots are unique
     c = [r["doc_id"] for r in pipeline.global_shuffle(docs, n_shards=8, salt="v2").collect()]
     assert c != [x[0] for x in a]        # a new salt reshuffles
+
+
+def test_window_quantiles_exact_ranks(spark, make_points):
+    from btrdb_spark.operators import quantiles as qt
+
+    # one bucket (pw=6 covers 0..63) with values 1..10: p50 -> rank
+    # floor(50*9/100)+1 = 5 -> value 5.0; p90 -> rank floor(810/100)+1=9
+    rows = [("a", t, float(t + 1), 10) for t in range(10)]
+    out = qt.window_quantiles(make_points(rows), pw=6, pcts=(50, 90)).collect()
+    assert len(out) == 1
+    assert out[0]["p50"] == 5.0 and out[0]["p90"] == 9.0
+
+
+def test_window_quantiles_buckets_independent(spark, make_points):
+    from btrdb_spark.operators import quantiles as qt
+
+    rows = [("a", t, float(t), 10) for t in range(8)]        # bucket 0: 0..7
+    rows += [("a", 8 + t, 100.0 + t, 10) for t in range(8)]  # bucket 1: 100..107
+    out = {r["bucket_start"]: r for r in qt.window_quantiles(make_points(rows), pw=3, pcts=(50,)).collect()}
+    assert out[0]["p50"] == 3.0
+    assert out[8]["p50"] == 103.0
