@@ -189,3 +189,72 @@ def test_diurnal_profile_hours_and_negative_times(spark):
     # tz shift rotates the profile
     shifted = {r["hour"] for r in diurnal_profile(pts, tz_offset_hours=1).collect()}
     assert shifted == {1, 6, 0}
+
+
+def test_decimate_extremes_match_aligned_windows(rand_points):
+    """The decimated envelope's values per bucket ARE the StatPoint
+    vmin/vmax — the two reads must tell one story."""
+    from btrdb_spark.operators.decimate import decimate_minmax
+    from btrdb_spark.operators.windows import aligned_windows
+
+    pw = 6
+    dec = decimate_minmax(rand_points, pw=pw).collect()
+    env = {}
+    for r in dec:
+        k = (r["uuid"], (r["time"] >> pw) << pw)
+        lo, hi = env.get(k, (r["value"], r["value"]))
+        env[k] = (min(lo, r["value"]), max(hi, r["value"]))
+    stats = {
+        (r["uuid"], r["bucket_start"]): (r["vmin"], r["vmax"])
+        for r in aligned_windows(rand_points, None, 0, 1 << 62, pw).collect()
+    }
+    assert env == stats
+
+
+def test_window_quantiles_within_stat_envelope(rand_points):
+    from btrdb_spark.operators.quantiles import window_quantiles
+    from btrdb_spark.operators.windows import aligned_windows
+
+    pw = 6
+    q = {
+        (r["uuid"], r["bucket_start"]): (r["p50"], r["p90"])
+        for r in window_quantiles(rand_points, pw=pw, pcts=(50, 90)).collect()
+    }
+    stats = {
+        (r["uuid"], r["bucket_start"]): (r["vmin"], r["vmax"])
+        for r in aligned_windows(rand_points, None, 0, 1 << 62, pw).collect()
+    }
+    assert set(q) == set(stats)
+    for k, (p50, p90) in q.items():
+        vmin, vmax = stats[k]
+        assert vmin <= p50 <= p90 <= vmax
+
+
+def test_cusum_alarm_rows_are_stream_points(rand_points):
+    from btrdb_spark.operators.resample import cusum_alarms
+
+    pts = {(r["uuid"], r["time"], r["value"]) for r in rand_points.collect()}
+    out = cusum_alarms(rand_points, k=0.5, h=4.0).collect()
+    assert out, "tuned k/h should fire on the random fixture"
+    for r in out:
+        assert (r["uuid"], r["time"], r["value"]) in pts
+        assert r["stat"] > 4.0
+
+
+def test_peaks_are_bucket_maxima_of_their_neighborhood(rand_points):
+    from btrdb_spark.operators.resample import find_peaks
+
+    rows = sorted(
+        rand_points.collect(), key=lambda r: (r["uuid"], r["time"], r["value"])
+    )
+    by_uuid = {}
+    for r in rows:
+        by_uuid.setdefault(r["uuid"], []).append(r)
+    got = {(r["uuid"], r["time"]) for r in find_peaks(rand_points, w=2).collect()}
+    want = set()
+    for u, rs in by_uuid.items():
+        for i, r in enumerate(rs):
+            neigh = rs[max(0, i - 2) : i] + rs[i + 1 : i + 3]
+            if neigh and all(r["value"] > x["value"] for x in neigh):
+                want.add((u, r["time"]))
+    assert got == want
