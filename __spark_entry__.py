@@ -902,6 +902,13 @@ def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
     return events_fn.event_funnel(events_with_time_ns(spark, sf))
 
 
+def q_time_weighted_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """LOCF-integral time-weighted mean per (stream, 2^45 bucket) over
+    January — the correct average for on-change sensors
+    (operators/resample.py time_weighted_mean)."""
+    return rs_ops.time_weighted_mean(events_as_points(spark, sf), T0, T1, pw=45)
+
+
 def q_window_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """Exact p50/p90 per (stream, 2^45 bucket) — windowed percentile
     dashboard via pure integer rank selection (operators/quantiles.py
@@ -976,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only the first 50 of 78 were certified; those 28 lead here. New
     # queries should be inserted near the top for the same reason.
     return {
+        "time_weighted_mean": q_time_weighted_mean,
         "window_quantiles": q_window_quantiles,
         "find_peaks": q_find_peaks,
         "cusum_alarms": q_cusum_alarms,
@@ -1508,6 +1516,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["find_peaks"] = rs_ops.find_peaks_oracle_sql(PTS, w=5)
     oracles["window_quantiles"] = qt_ops.window_quantiles_oracle_sql(
         PTS, pw=45, pcts=(50, 90)
+    )
+    oracles["time_weighted_mean"] = rs_ops.time_weighted_mean_oracle_sql(
+        PTS, T0, T1, pw=45
     )
     from btrdb_spark.operators import compress as cp_ops
 

@@ -533,3 +533,117 @@ def find_peaks_oracle_sql(
         FROM n WHERE value > nmax {floor}
         ORDER BY uuid, time
     """
+
+
+def time_weighted_mean(
+    points: DataFrame,
+    start: int,
+    end: int,
+    pw: int = 45,
+) -> DataFrame:
+    """Per-(stream, 2^pw bucket) TIME-WEIGHTED mean under LOCF hold —
+    the correct average for unevenly-sampled telemetry (a thermostat
+    reporting on-change: arithmetic mean over-weights chatty periods;
+    the time-weighted mean integrates the held value). The reference's
+    StatPoints are count-weighted; users with on-change sensors compute
+    exactly this client-side from RawValues.
+
+    Semantics: point i holds its value over [t_i, t_{i+1}) (last point
+    holds to `end`), segments clipped to [start, end) and SPLIT at
+    bucket boundaries; vtwmean(bucket) = sum(v_i * overlap_ns) /
+    sum(overlap_ns). Zero-length segments (duplicate timestamps) hold
+    nothing and contribute nothing — the later point in (time, value)
+    order wins the hold, deterministically.
+
+    Determinism: overlaps are exact int64 ns; products are
+    DECIMAL(19,6) x DECIMAL(18,0) -> precision 38 in Spark (19+18+1) and 37 in DuckDB (19+18), both scale 6 — EXACT in both (no rounding; a (20,6) operand would push Spark past 38 and license rounding) — exact, so the sums
+    are order-independent; ONE double division at the end. Identical
+    expression shapes in the DuckDB oracle.
+
+    Plan shape: one lead() window pass builds segments (uuid-keyed
+    exchange), a bounded explode splits each segment across the buckets
+    it overlaps (rows ∝ segments + covered buckets — output-shaped),
+    one map-side-combinable groupBy folds the integral. At 100 TB this
+    reads raw points once; no self-joins, no grids.
+    """
+    width = 1 << pw
+    from ..functions.timeops import floor_div
+
+    w = Window.partitionBy("uuid").orderBy("time", "value")
+    seg = (
+        points.select("uuid", "time", "value")
+        .filter((F.col("time") < F.lit(end)))
+        .withColumn("t_next", F.lead("time").over(w))
+        .select(
+            "uuid",
+            "value",
+            F.greatest(F.col("time"), F.lit(start)).alias("s"),
+            F.least(F.coalesce(F.col("t_next"), F.lit(end)), F.lit(end)).alias("e"),
+        )
+        .filter(F.col("e") > F.col("s"))
+    )
+    wl = F.lit(width).cast("long")
+    b0 = floor_div(F.col("s"), wl)
+    b1 = floor_div(F.col("e") - 1, wl)
+    pieces = seg.select(
+        "uuid",
+        "value",
+        "s",
+        "e",
+        F.explode(F.sequence(b0, b1)).alias("b"),
+    ).select(
+        "uuid",
+        (F.col("b") * width).alias("bucket_start"),
+        (
+            F.least(F.col("e"), (F.col("b") + 1) * width)
+            - F.greatest(F.col("s"), F.col("b") * width)
+        ).alias("dur"),
+        F.col("value").cast("decimal(19,6)").alias("v_dec"),
+    )
+    agg = pieces.groupBy("uuid", "bucket_start").agg(
+        F.sum(F.col("v_dec") * F.col("dur").cast("decimal(18,0)")).alias("vw"),
+        F.sum("dur").alias("w"),
+    )
+    return agg.select(
+        "uuid",
+        "bucket_start",
+        F.col("w").cast("long").alias("held_ns"),
+        (F.col("vw").cast("double") / F.col("w").cast("double")).alias("vtwmean"),
+    )
+
+
+def time_weighted_mean_oracle_sql(
+    points_sql: str, start: int, end: int, pw: int = 45
+) -> str:
+    """DuckDB mirror of time_weighted_mean (same decimal products, same
+    one double division)."""
+    width = 1 << pw
+    return f"""
+        WITH seg AS (
+            SELECT uuid, value,
+                   GREATEST(time, {start}) AS s,
+                   LEAST(COALESCE(LEAD(time) OVER (PARTITION BY uuid ORDER BY time, value), {end}), {end}) AS e
+            FROM {points_sql} p
+            WHERE time < {end}
+        ), clipped AS (
+            SELECT * FROM seg WHERE e > s
+        ), pieces AS (
+            SELECT uuid,
+                   bb.b * {width} AS bucket_start,
+                   LEAST(e, (bb.b + 1) * {width}) - GREATEST(s, bb.b * {width}) AS dur,
+                   CAST(value AS DECIMAL(19,6)) AS v_dec
+            FROM clipped,
+                 unnest(range(s // {width}, (e - 1) // {width} + 1)) bb(b)
+        )
+        SELECT uuid, bucket_start,
+               CAST(SUM(dur) AS BIGINT) AS held_ns,
+               -- DECIMAL -> VARCHAR -> DOUBLE: DuckDB's direct
+               -- DECIMAL(38,6)->DOUBLE cast double-rounds past ~17
+               -- significant digits (int128 then /1e6); the varchar
+               -- parse is correctly rounded and matches Spark's
+               -- BigDecimal.doubleValue()
+               CAST(CAST(SUM(v_dec * CAST(dur AS DECIMAL(18,0))) AS VARCHAR) AS DOUBLE)
+                 / CAST(SUM(dur) AS DOUBLE) AS vtwmean
+        FROM pieces GROUP BY uuid, bucket_start
+        ORDER BY uuid, bucket_start
+    """

@@ -86,3 +86,44 @@ def test_window_quantiles_buckets_independent(spark, make_points):
     out = {r["bucket_start"]: r for r in qt.window_quantiles(make_points(rows), pw=3, pcts=(50,)).collect()}
     assert out[0]["p50"] == 3.0
     assert out[8]["p50"] == 103.0
+
+
+def test_time_weighted_mean_holds_value(spark, make_points):
+    from btrdb_spark.operators import resample as rs
+
+    # one stream: value 10 held for 3/4 of the bucket, 20 for 1/4
+    # bucket width 2^4=16: points at t=0 (v=10) and t=12 (v=20), range [0,16)
+    rows = [("a", 0, 10.0, 10), ("a", 12, 20.0, 10)]
+    out = rs.time_weighted_mean(make_points(rows), 0, 16, pw=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["held_ns"] == 16
+    assert r["vtwmean"] == (10.0 * 12 + 20.0 * 4) / 16
+
+
+def test_time_weighted_mean_splits_at_bucket_edges(spark, make_points):
+    from btrdb_spark.operators import resample as rs
+
+    # value 5 held from t=8 across buckets [0,16) and [16,32)
+    rows = [("a", 8, 5.0, 10)]
+    out = {r["bucket_start"]: r for r in rs.time_weighted_mean(make_points(rows), 0, 32, pw=4).collect()}
+    assert out[0]["held_ns"] == 8 and out[0]["vtwmean"] == 5.0
+    assert out[16]["held_ns"] == 16 and out[16]["vtwmean"] == 5.0
+
+
+def test_time_weighted_mean_locf_from_before_range(spark, make_points):
+    from btrdb_spark.operators import resample as rs
+
+    # the point BEFORE the range holds into it
+    rows = [("a", -100, 7.0, 10)]
+    out = rs.time_weighted_mean(make_points(rows), 0, 16, pw=4).collect()
+    assert len(out) == 1 and out[0]["vtwmean"] == 7.0 and out[0]["held_ns"] == 16
+
+
+def test_time_weighted_mean_duplicate_timestamps(spark, make_points):
+    from btrdb_spark.operators import resample as rs
+
+    # duplicate t=0: (time, value) order -> larger value wins the hold
+    rows = [("a", 0, 3.0, 10), ("a", 0, 9.0, 10)]
+    out = rs.time_weighted_mean(make_points(rows), 0, 16, pw=4).collect()
+    assert len(out) == 1 and out[0]["vtwmean"] == 9.0
