@@ -902,6 +902,15 @@ def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
     return events_fn.event_funnel(events_with_time_ns(spark, sf))
 
 
+def q_gram_contrast_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style domain contrast: top-20 non-seed docs whose bigram
+    profile looks most like the seed set (doc_id < 25), integer-exact
+    df-contrast weights (functions/text.py gram_contrast_topk)."""
+    return text.gram_contrast_topk(
+        load_table(spark, sf, "documents"), target_max_id=25, n=2, k=20
+    )
+
+
 def q_time_weighted_mean(spark: SparkSession, sf: str) -> DataFrame:
     """LOCF-integral time-weighted mean per (stream, 2^45 bucket) over
     January — the correct average for on-change sensors
@@ -983,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only the first 50 of 78 were certified; those 28 lead here. New
     # queries should be inserted near the top for the same reason.
     return {
+        "gram_contrast_topk": q_gram_contrast_topk,
         "time_weighted_mean": q_time_weighted_mean,
         "window_quantiles": q_window_quantiles,
         "find_peaks": q_find_peaks,
@@ -1519,6 +1529,9 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["time_weighted_mean"] = rs_ops.time_weighted_mean_oracle_sql(
         PTS, T0, T1, pw=45
+    )
+    oracles["gram_contrast_topk"] = text.gram_contrast_oracle_sql(
+        target_max_id=25, n=2, k=20
     )
     from btrdb_spark.operators import compress as cp_ops
 

@@ -665,3 +665,121 @@ def pii_scrub_oracle_sql() -> str:
                ('0x' || substr(md5({clean}), 1, 15))::BIGINT AS clean_fp
         FROM documents ORDER BY doc_id
     """
+
+
+def gram_contrast_topk(
+    documents: DataFrame,
+    target_max_id: int = 25,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-contrast document selection — the deterministic core of
+    DSIR-style importance resampling (Xie et al. 2023): score each
+    OUT-of-target document by how much its n-gram profile looks like the
+    target set, and return the top-k. The curation primitive for "find
+    me more data like this seed set" at corpus scale.
+
+    Per distinct gram g (document frequencies, not term frequencies):
+        weight(g) = df_target(g) * N_ref - df_ref(g) * N_target
+    (the cross-multiplied df ratio — positive iff g is relatively more
+    frequent in the target; INTEGER, so scoring is exact — DSIR's
+    log-ratio weights are the deployment-scale variant, a monotone
+    refinement this plan swaps in by changing one expression).
+    Doc score = sum of weight(g) over the doc's distinct grams.
+
+    Output: (doc_id, score, rank), top-k reference docs by score desc,
+    ties -> doc_id asc.
+
+    Plan shape / 100 TB notes: grams travel as xxhash64 longs (the
+    exact_substring_spans convention; the oracle joins literal strings,
+    proving the fixture collision-free). One groupBy(gram_hash) builds
+    the df-contrast weights — map-side combinable, balanced keys; one
+    hash join scores (doc, gram) pairs; one groupBy(doc) folds scores;
+    TakeOrdered top-k. Never pairwise, never a corpus-sized broadcast.
+    """
+    toks = F.split(F.col(text_col), " ")
+
+    def grams_of(t: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
+        )
+
+    grams = F.when(F.size(toks) >= n, grams_of(toks)).otherwise(
+        F.array().cast("array<string>")
+    )
+    doc_grams = (
+        documents.select(
+            "doc_id",
+            (F.col("doc_id") < target_max_id).alias("is_target"),
+            F.explode(F.array_distinct(grams)).alias("gram"),
+        )
+        .select("doc_id", "is_target", F.xxhash64(F.col("gram")).alias("gh"))
+    )
+    n_t = documents.filter(F.col("doc_id") < target_max_id).count()
+    n_r = documents.count() - n_t
+    weights = doc_grams.groupBy("gh").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("df_t"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("df_r"),
+    ).select(
+        "gh",
+        (F.col("df_t") * F.lit(int(n_r)) - F.col("df_r") * F.lit(int(n_t)))
+        .cast("long")
+        .alias("wt"),
+    )
+    scored = (
+        doc_grams.filter(~F.col("is_target"))
+        .join(weights, "gh")
+        .groupBy("doc_id")
+        .agg(F.sum("wt").cast("long").alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "score", F.col("rank").cast("long").alias("rank"))
+        .orderBy("rank")
+    )
+
+
+def gram_contrast_oracle_sql(
+    target_max_id: int = 25, n: int = 2, k: int = 20
+) -> str:
+    """DuckDB mirror of gram_contrast_topk (literal gram strings)."""
+    nm1 = n - 1
+    return f"""
+        WITH dg AS (
+            SELECT DISTINCT doc_id, (doc_id < {target_max_id}) AS is_target, gram
+            FROM (
+                SELECT doc_id,
+                       UNNEST(list_transform(
+                           range(1, greatest(len(string_split(text, ' ')) - {nm1}, 0) + 1),
+                           i -> array_to_string(string_split(text, ' ')[i:i+{nm1}], ' ')
+                       )) AS gram
+                FROM documents
+            )
+        ), nn AS (
+            SELECT SUM(CASE WHEN doc_id < {target_max_id} THEN 1 ELSE 0 END) AS n_t,
+                   SUM(CASE WHEN doc_id < {target_max_id} THEN 0 ELSE 1 END) AS n_r
+            FROM documents
+        ), wt AS (
+            SELECT gram,
+                   SUM(CASE WHEN is_target THEN 1 ELSE 0 END) * (SELECT n_r FROM nn)
+                 - SUM(CASE WHEN is_target THEN 0 ELSE 1 END) * (SELECT n_t FROM nn) AS wt
+            FROM dg GROUP BY gram
+        ), scored AS (
+            SELECT dg.doc_id, CAST(SUM(wt.wt) AS BIGINT) AS score
+            FROM dg JOIN wt USING (gram)
+            WHERE NOT dg.is_target
+            GROUP BY dg.doc_id
+        ), ranked AS (
+            SELECT doc_id, score,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+            FROM scored
+        )
+        SELECT doc_id, score, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {k} ORDER BY rank
+    """

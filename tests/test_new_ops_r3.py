@@ -217,3 +217,36 @@ def test_pii_scrub_cross_engine_on_synthesized_pii(spark):
     assert by_id[0][1] == 2 and by_id[1][2] == 2 and by_id[2][3] == 2
     assert by_id[3][1:4] == (0, 0, 0)
     assert by_id[4][1:4] == (1, 1, 1)
+
+
+def test_gram_contrast_prefers_target_like_docs(spark):
+    # seed = docs about "alpha beta"; distractor = "gamma delta"
+    rows = [
+        (0, "alpha beta alpha beta common filler"),
+        (1, "alpha beta words common filler here"),
+        # references:
+        (10, "alpha beta alpha beta more text"),   # target-like
+        (11, "gamma delta gamma delta more text"), # not target-like
+        (12, "common filler unrelated words xyz abc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.gram_contrast_topk(docs, target_max_id=10, n=2, k=3).collect()
+    assert out[0]["doc_id"] == 10                       # most target-like wins
+    ranks = {r["doc_id"]: r["rank"] for r in out}
+    assert ranks[10] < ranks[11]
+    # seed docs never appear in the output
+    assert {r["doc_id"] for r in out}.isdisjoint({0, 1})
+
+
+def test_gram_contrast_weight_sign(spark):
+    # a gram present ONLY in the target set contributes positively;
+    # one present only in references contributes negatively
+    rows = [
+        (0, "tkey tkey2 x"),
+        (10, "tkey tkey2 y"),    # shares a target-only gram
+        (11, "rkey rkey2 z"),
+        (12, "rkey rkey2 w"),    # shares a reference-only gram
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["score"] for r in text.gram_contrast_topk(docs, target_max_id=10, n=2, k=10).collect()}
+    assert out[10] > 0 > out[11]
