@@ -55,7 +55,10 @@ def _shingles(text: Column, n: int) -> Column:
     def grams_of(toks: Column) -> Column:
         return F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
+                F.when(
+                    F.size(toks) >= n,
+                    F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                ).otherwise(F.array().cast("array<int>")),
                 lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
             )
         )

@@ -250,3 +250,21 @@ def test_gram_contrast_weight_sign(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r["score"] for r in text.gram_contrast_topk(docs, target_max_id=10, n=2, k=10).collect()}
     assert out[10] > 0 > out[11]
+
+
+def test_short_docs_produce_no_phantom_grams(spark):
+    """size < n must yield ZERO grams (the descending-sequence guard):
+    Spark's sequence(1, 0) is [1, 0], which without the guard fabricated
+    a gram from element_at nulls."""
+    from btrdb_spark.functions import dedup
+
+    docs = spark.createDataFrame(
+        [(0, "one"), (1, "two words"), (2, "three word doc")],
+        "doc_id long, text string",
+    )
+    edges = dedup.shingle_edges(docs, n=3).collect()
+    assert {r["doc_id"] for r in edges} == {2}
+    assert len(edges) == 1
+    # repetition signals: 1-token doc has neither bigrams nor trigrams
+    out = text.repetition_scores(docs).collect()
+    assert 0 not in {r["doc_id"] for r in out}
