@@ -54,6 +54,14 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "cusum_alarms": (["MapInPandas", "BroadcastHashJoin"], ["BatchEvalPython", "CartesianProduct"]),
     # funnel: one global conditional-sum aggregation, no per-stage re-scan loops
     "pipeline_funnel": (["partial_count"], ["CartesianProduct", "BatchEvalPython"]),
+    # peaks: one window pass, zero joins
+    "find_peaks": (["Window"], ["Join", "CartesianProduct", "BatchEvalPython"]),
+    # windowed quantiles: window rank + map-side-combinable conditional-min agg
+    "window_quantiles": (["Window", "partial_min"], ["Join", "CartesianProduct", "BatchEvalPython"]),
+    # LOCF integral: lead() window + bounded explode + partial-agg fold
+    "time_weighted_mean": (["Window", "partial_sum"], ["CartesianProduct", "BatchEvalPython"]),
+    # gram contrast: hash-keyed gram stats + hash join; no pair generation
+    "gram_contrast_topk": (["xxhash64", "partial_sum"], ["CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin"]),
     "dedup_exact": (["partial_min", "partial_count"], ["BatchEvalPython"]),
     "ann_ivf_topk": (["BroadcastHashJoin"], ["BatchEvalPython"]),
     # trained-quantizer IVF: same join shape as ann_ivf_topk (centroids
