@@ -949,7 +949,7 @@ def q_pipeline_funnel(spark: SparkSession, sf: str) -> DataFrame:
 def q_ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Product-quantization ANN (faiss IndexPQ analog): per-subspace
     k-means codebooks trained driver-side (m=8, nbits=4 -> 4 bytes per
-    vector, 32x compression), corpus encoded once, probes score against
+    vector, 64x compression), corpus encoded once, probes score against
     reconstructions (similarity.ann_pq_topk)."""
     emb = load_table(spark, sf, "embeddings")
     books = similarity.train_pq_codebooks(

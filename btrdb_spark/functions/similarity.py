@@ -1008,7 +1008,7 @@ def ann_pq_topk(
     Measured recall@5 vs exact cosine on the sf0.01 fixture (isotropic
     corpus — the quantization worst case, see ann_ivf_topk): m=8, nbits
     4/6/8 -> 0.22/0.36/0.68; m=16, nbits=8 -> 0.80. Gated operating
-    point m=8/nbits=4 (32x compression); clustered corpora retain
+    point m=8/nbits=4 (64x compression); clustered corpora retain
     cluster-exact neighbors (tests/test_pq.py).
     """
     mshape, _, dsub = books.shape

