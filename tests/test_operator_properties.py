@@ -258,3 +258,33 @@ def test_peaks_are_bucket_maxima_of_their_neighborhood(rand_points):
             if neigh and all(r["value"] > x["value"] for x in neigh):
                 want.add((u, r["time"]))
     assert got == want
+
+
+def test_time_weighted_mean_conserves_held_time(rand_points):
+    """Every stream's held_ns must sum EXACTLY to (end - first_hold_start):
+    segment splitting at bucket edges may never lose or double-count a
+    nanosecond."""
+    from btrdb_spark.operators.resample import time_weighted_mean
+
+    start, end = 0, 1024
+    out = time_weighted_mean(rand_points, start, end, pw=6).collect()
+    held = {}
+    for r in out:
+        held[r["uuid"]] = held.get(r["uuid"], 0) + r["held_ns"]
+    first = {}
+    for r in rand_points.collect():
+        t = max(min(r["time"], end), start)
+        first[r["uuid"]] = min(first.get(r["uuid"], end), t)
+    for u, h in held.items():
+        assert h == end - first[u], (u, h, end - first[u])
+
+
+def test_time_weighted_mean_within_value_range(rand_points):
+    from btrdb_spark.operators.resample import time_weighted_mean
+
+    vals = {}
+    for r in rand_points.collect():
+        vals.setdefault(r["uuid"], []).append(r["value"])
+    for r in time_weighted_mean(rand_points, 0, 1024, pw=6).collect():
+        lo, hi = min(vals[r["uuid"]]), max(vals[r["uuid"]])
+        assert lo - 1e-6 <= r["vtwmean"] <= hi + 1e-6
