@@ -347,7 +347,8 @@ def ewma_oracle_sql(points_sql: str, alpha: float = 0.25) -> str:
 
 
 def cusum_alarms(
-    points: DataFrame, k: float = 8.0, h: float = 64.0
+    points: DataFrame, k: float = 8.0, h: float = 64.0,
+    target: float | None = None,
 ) -> DataFrame:
     """Per-stream two-sided CUSUM changepoint alarms (Page 1954) — the
     classic sequential drift detector telemetry fleets run against each
@@ -378,13 +379,25 @@ def cusum_alarms(
     from ..functions import decsum
 
     kk, hh = float(k), float(h)
-    mu_df = (
-        points.groupBy("uuid")
-        .agg(F.count(F.lit(1)).alias("cnt"), *decsum.sum_aggs(F.col("value")))
-        .select(
-            "uuid", (decsum.vsum().cast("double") / F.col("cnt")).alias("mu")
+    if target is not None:
+        # fixed-target mode (Page's original procedure, and the mode the
+        # STREAMING variant uses — a live stream has no final mean): mu is
+        # a plan literal, no mean pass at all; batch and live alarms agree
+        # exactly on an in-order feed (tests/test_streaming_cusum.py)
+        keyed = points.select("uuid", "time", "value").withColumn(
+            "mu", F.lit(float(target))
         )
-    )
+    else:
+        mu_df = (
+            points.groupBy("uuid")
+            .agg(F.count(F.lit(1)).alias("cnt"), *decsum.sum_aggs(F.col("value")))
+            .select(
+                "uuid", (decsum.vsum().cast("double") / F.col("cnt")).alias("mu")
+            )
+        )
+        keyed = points.select("uuid", "time", "value").join(
+            F.broadcast(mu_df), "uuid"
+        )
 
     def fold(pdfs):
         import pandas as pd
@@ -418,9 +431,7 @@ def cusum_alarms(
         )
 
     return (
-        points.select("uuid", "time", "value")
-        .join(F.broadcast(mu_df), "uuid")
-        .repartition(F.col("uuid"))
+        keyed.repartition(F.col("uuid"))
         .mapInPandas(
             fold,
             "uuid string, time long, value double, direction string, stat double",
