@@ -902,6 +902,26 @@ def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
     return events_fn.event_funnel(events_with_time_ns(spark, sf))
 
 
+def q_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt double-exponential level/trend per stream over 2^45 bucket
+    means + 3-bucket-ahead forecasts (operators/resample.py
+    holt_forecast); Arrow kernel vs recursive-CTE oracle."""
+    return rs_ops.holt_forecast(
+        events_as_points(spark, sf), alpha=0.5, beta=0.25, horizon_buckets=3, pw=45
+    )
+
+
+def q_seasonal_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Hour-of-day seasonal z-score screen — the anomaly detector that
+    doesn't page on the nightly dip (operators/quantiles.py
+    seasonal_anomaly). Fixture values are uniform (|z| caps near sqrt(3))
+    and hour buckets are thin at sf0.01, so the gate point is
+    z=1.5/min_bucket=3; production defaults are 3.0/10."""
+    return qt_ops.seasonal_anomaly(
+        events_as_points(spark, sf), z_threshold=1.5, min_bucket=3
+    )
+
+
 def q_gram_contrast_topk(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR-style domain contrast: top-20 non-seed docs whose bigram
     profile looks most like the seed set (doc_id < 25), integer-exact
@@ -992,6 +1012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only the first 50 of 78 were certified; those 28 lead here. New
     # queries should be inserted near the top for the same reason.
     return {
+        "holt_forecast": q_holt_forecast,
+        "seasonal_anomaly": q_seasonal_anomaly,
         "gram_contrast_topk": q_gram_contrast_topk,
         "time_weighted_mean": q_time_weighted_mean,
         "window_quantiles": q_window_quantiles,
@@ -1532,6 +1554,12 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["gram_contrast_topk"] = text.gram_contrast_oracle_sql(
         target_max_id=25, n=2, k=20
+    )
+    oracles["seasonal_anomaly"] = qt_ops.seasonal_anomaly_oracle_sql(
+        PTS, z_threshold=1.5, min_bucket=3
+    )
+    oracles["holt_forecast"] = rs_ops.holt_oracle_sql(
+        PTS, alpha=0.5, beta=0.25, horizon_buckets=3, pw=45
     )
     from btrdb_spark.operators import compress as cp_ops
 

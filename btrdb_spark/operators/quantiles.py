@@ -374,3 +374,104 @@ def window_quantiles_oracle_sql(
         SELECT uuid, bucket_start, {cols}
         FROM r GROUP BY uuid, bucket_start ORDER BY uuid, bucket_start
     """
+
+
+def seasonal_anomaly(
+    points: DataFrame,
+    z_threshold: float = 3.0,
+    min_bucket: int = 10,
+    tz_offset_hours: int = 0,
+) -> DataFrame:
+    """Seasonal (hour-of-day) anomaly screen: flag points whose value
+    deviates more than ``z_threshold`` standard deviations from the
+    stream's OWN profile for that hour of day — the anomaly detector that
+    does not page on the nightly load dip, because the baseline is
+    seasonal, not global. Composes the diurnal_profile baseline with a
+    z-score, all in one plan.
+
+    Determinism contract: per-(uuid, hour) sufficient statistics are
+    exact (count, decimal sum, decimal sum of squares); mean/variance
+    assemble through the identical IEEE expression in both engines
+    ((ss - s*m) / (n-1), the rolling_zscore convention); one subtraction
+    + one division + one sqrt per point. Buckets with fewer than
+    ``min_bucket`` points or zero variance flag nothing (no baseline, no
+    alarm).
+
+    Output: (uuid, time, value, hour, z) for |z| > z_threshold.
+
+    Plan shape: one groupBy (streams x 24 keys — balanced under any time
+    skew), baseline broadcast back onto the points (dashboard-sized
+    frame), one scan-project for the z. Two passes over points, zero
+    window functions.
+    """
+    from ..functions import decsum
+    from ..functions.timeops import floor_div
+
+    ns_per_hour = 3_600_000_000_000
+    hour = F.pmod(
+        floor_div(F.col("time"), F.lit(ns_per_hour)) + F.lit(int(tz_offset_hours)),
+        F.lit(24),
+    ).cast("long")
+    pts = points.select("uuid", "time", "value", hour.alias("hour"))
+    base = (
+        pts.groupBy("uuid", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *decsum.sum_aggs(F.col("value")),
+            F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)")).alias("ss_d"),
+        )
+        .select(
+            "uuid",
+            "hour",
+            "n",
+            decsum.vsum().cast("double").alias("s"),
+            F.col("ss_d").cast("double").alias("ss"),
+        )
+    )
+    m = F.col("s") / F.col("n")
+    var = (F.col("ss") - F.col("s") * m) / (F.col("n") - F.lit(1))
+    base = base.select(
+        "uuid", "hour", "n", m.alias("m"),
+        F.when(var > 0, F.sqrt(var)).alias("sd"),
+    )
+    z = (F.col("value") - F.col("m")) / F.col("sd")
+    return (
+        pts.join(F.broadcast(base), ["uuid", "hour"])
+        .filter((F.col("n") >= min_bucket) & F.col("sd").isNotNull())
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > F.lit(float(z_threshold)))
+        .select("uuid", "time", "value", "hour", "z")
+    )
+
+
+def seasonal_anomaly_oracle_sql(
+    points_sql: str,
+    z_threshold: float = 3.0,
+    min_bucket: int = 10,
+    tz_offset_hours: int = 0,
+) -> str:
+    """DuckDB mirror of seasonal_anomaly (identical statistics assembly)."""
+    tz = int(tz_offset_hours)
+    return f"""
+        WITH pts AS (
+            SELECT uuid, time, value,
+                   ((((time // 3600000000000) + {tz}) % 24) + 24) % 24 AS hour
+            FROM {points_sql} p
+        ), base AS (
+            SELECT uuid, hour, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s,
+                   CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS ss
+            FROM pts GROUP BY uuid, hour
+        ), stats AS (
+            SELECT uuid, hour, n, s / n AS m,
+                   CASE WHEN (ss - s * (s / n)) / (n - 1) > 0
+                        THEN sqrt((ss - s * (s / n)) / (n - 1)) END AS sd
+            FROM base
+        )
+        SELECT p.uuid, p.time, p.value, CAST(p.hour AS BIGINT) AS hour,
+               (p.value - st.m) / st.sd AS z
+        FROM pts p JOIN stats st ON st.uuid = p.uuid AND st.hour = p.hour
+        WHERE st.n >= {int(min_bucket)} AND st.sd IS NOT NULL
+          AND abs((p.value - st.m) / st.sd) > {float(z_threshold)!r}
+        ORDER BY p.uuid, p.time
+    """

@@ -658,3 +658,143 @@ def time_weighted_mean_oracle_sql(
         FROM pieces GROUP BY uuid, bucket_start
         ORDER BY uuid, bucket_start
     """
+
+
+def holt_forecast(
+    points: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    horizon_buckets: int = 3,
+    pw: int = 45,
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per stream, over
+    the 2^pw bucket-mean series, plus an h-step-ahead forecast — the
+    capacity-planning read ("where is this feeder trending") reference
+    users run client-side over AlignedWindows pulls.
+
+    Recurrences over the bucket means x_1..x_n (standard Holt):
+
+        l_1 = x_1,                b_1 = 0
+        l_i = alpha*x_i + (1-alpha)*(l_{i-1} + b_{i-1})
+        b_i = beta*(l_i - l_{i-1}) + (1-beta)*b_{i-1}
+
+    Output, one row per stream: (uuid, n_buckets, level, trend,
+    forecast_1 .. forecast_h) with forecast_j = level + j*trend.
+
+    Two COUPLED linear recurrences — the window-function-inexpressible
+    shape (the ewma/cusum Arrow-kernel family): bucket means are
+    2^-20-quantized (the stream_correlations contract, making the input
+    series deterministic), the fold evaluates the EXACT expression
+    shapes above in float64, and the DuckDB recursive-CTE oracle
+    evaluates the same shapes — bit-identical for binary-representable
+    alpha/beta (0.5, 0.25, ...).
+
+    Plan shape: one map-side-combinable groupBy builds the bucket means
+    (can read the rollup ladder at scale), one uuid shuffle feeds the
+    kernel, state = two doubles per stream; output is stream-count rows.
+    """
+    from ..functions import decsum
+
+    a, b = float(alpha), float(beta)
+    width = 1 << pw
+    from ..functions.timeops import bucket_start as _bs
+
+    _Q = float(1 << 20)
+    m = (
+        points.withColumn("bucket", _bs(F.col("time"), width))
+        .groupBy("uuid", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"), *decsum.sum_aggs(F.col("value")))
+        .select(
+            "uuid",
+            "bucket",
+            (
+                F.floor((decsum.vsum().cast("double") / F.col("cnt")) * F.lit(_Q))
+                .cast("long")
+                .cast("double")
+                / F.lit(_Q)
+            ).alias("x"),
+        )
+    )
+
+    h = int(horizon_buckets)
+    fcols = ", ".join(f"forecast_{j} double" for j in range(1, h + 1))
+
+    def fold(pdfs):
+        import pandas as pd
+
+        chunks = list(pdfs)
+        if not chunks:
+            return
+        rows = pd.concat(chunks, ignore_index=True).sort_values(
+            ["uuid", "bucket"], kind="mergesort"
+        )
+        out = []
+        for uuid, g in rows.groupby("uuid", sort=False):
+            xs = g["x"].to_numpy()
+            level = float(xs[0])
+            trend = 0.0
+            for x in xs[1:]:
+                prev = level
+                level = a * float(x) + (1.0 - a) * (level + trend)
+                trend = b * (level - prev) + (1.0 - b) * trend
+            out.append(
+                [uuid, len(xs), level, trend]
+                + [level + j * trend for j in range(1, h + 1)]
+            )
+        cols = ["uuid", "n_buckets", "level", "trend"] + [
+            f"forecast_{j}" for j in range(1, h + 1)
+        ]
+        yield pd.DataFrame(out, columns=cols)
+
+    return (
+        m.repartition(F.col("uuid"))
+        .mapInPandas(
+            fold,
+            f"uuid string, n_buckets long, level double, trend double, {fcols}",
+        )
+    )
+
+
+def holt_oracle_sql(
+    points_sql: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    horizon_buckets: int = 3,
+    pw: int = 45,
+) -> str:
+    """DuckDB recursive-CTE mirror of holt_forecast."""
+    a, b = float(alpha), float(beta)
+    width = 1 << pw
+    _Q = float(1 << 20)
+    h = int(horizon_buckets)
+    fsel = ", ".join(
+        f"level + {j} * trend AS forecast_{j}" for j in range(1, h + 1)
+    )
+    return f"""
+        WITH RECURSIVE m AS (
+            SELECT uuid,
+                   (time // {width}) * {width} AS bucket,
+                   CAST(CAST(FLOOR((CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)) * {_Q!r}) AS BIGINT) AS DOUBLE) / {_Q!r} AS x
+            FROM {points_sql} p GROUP BY 1, 2
+        ), r AS (
+            SELECT uuid, x,
+                   ROW_NUMBER() OVER (PARTITION BY uuid ORDER BY bucket) AS rn
+            FROM m
+        ), rec AS (
+            SELECT uuid, rn, x AS level, CAST(0.0 AS DOUBLE) AS trend, x AS prev_level
+            FROM r WHERE rn = 1
+            UNION ALL
+            SELECT r.uuid, r.rn,
+                   {a!r} * r.x + (1.0 - {a!r}) * (rec.level + rec.trend),
+                   {b!r} * (({a!r} * r.x + (1.0 - {a!r}) * (rec.level + rec.trend)) - rec.level)
+                     + (1.0 - {b!r}) * rec.trend,
+                   rec.level
+            FROM rec JOIN r ON r.uuid = rec.uuid AND r.rn = rec.rn + 1
+        ), last AS (
+            SELECT uuid, rn, level, trend,
+                   ROW_NUMBER() OVER (PARTITION BY uuid ORDER BY rn DESC) AS rr
+            FROM rec
+        )
+        SELECT uuid, CAST(rn AS BIGINT) AS n_buckets, level, trend, {fsel}
+        FROM last WHERE rr = 1 ORDER BY uuid
+    """

@@ -47,3 +47,45 @@ def test_cusum_streams_independent(spark):
     rows += [("a", 30 + t, 50.0) for t in range(5)]
     out = rs.cusum_alarms(_pts(spark, rows), k=2.0, h=20.0).collect()
     assert {r["uuid"] for r in out} == {"a"}
+
+
+def test_holt_converges_on_linear_trend(spark):
+    from btrdb_spark.operators import resample as rs
+
+    # perfectly linear bucket means: x_b = b (one point per 2^4 bucket)
+    rows = [("a", b * 16, float(b), 10) for b in range(60)]
+    pts = spark.createDataFrame(
+        rows, "uuid string, time long, value double, version long"
+    )
+    out = rs.holt_forecast(pts, alpha=0.5, beta=0.25, horizon_buckets=2, pw=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    # on a pure linear series Holt converges to trend ~= slope (1/bucket)
+    assert abs(r["trend"] - 1.0) < 0.05
+    assert abs(r["level"] - 59.0) < 0.5
+    assert abs(r["forecast_2"] - (r["level"] + 2 * r["trend"])) < 1e-12
+
+
+def test_holt_flat_series_zero_trend(spark):
+    from btrdb_spark.operators import resample as rs
+
+    rows = [("a", b * 16, 7.0, 10) for b in range(40)]
+    pts = spark.createDataFrame(
+        rows, "uuid string, time long, value double, version long"
+    )
+    r = rs.holt_forecast(pts, pw=4).collect()[0]
+    assert r["trend"] == 0.0 and r["level"] == 7.0 and r["forecast_3"] == 7.0
+
+
+def test_seasonal_anomaly_flags_hourly_outlier(spark):
+    from btrdb_spark.operators.quantiles import seasonal_anomaly
+
+    ns_h = 3_600_000_000_000
+    # hour-0 baseline ~10 with small jitter across 12 days, one big spike
+    rows = [("a", d * 24 * ns_h + (d % 3), 10.0 + (d % 3) * 0.1, 10) for d in range(12)]
+    rows.append(("a", 12 * 24 * ns_h, 50.0, 10))
+    pts = spark.createDataFrame(
+        rows, "uuid string, time long, value double, version long"
+    )
+    out = seasonal_anomaly(pts, z_threshold=3.0, min_bucket=10).collect()
+    assert len(out) == 1 and out[0]["value"] == 50.0 and out[0]["hour"] == 0

@@ -52,6 +52,10 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "ann_pq_topk": (["BroadcastHashJoin", "partial_min"], ["CartesianProduct", "BatchEvalPython"]),
     # CUSUM: sequential kernel is the documented Arrow case; mean frame broadcast
     "cusum_alarms": (["MapInPandas", "BroadcastHashJoin"], ["BatchEvalPython", "CartesianProduct"]),
+    # Holt: bucket-mean groupBy feeds the sequential kernel; no joins at all
+    "holt_forecast": (["MapInPandas", "partial_count"], ["BatchEvalPython", "CartesianProduct", "Join"]),
+    # seasonal anomaly: 24-key baseline broadcast back; no window functions
+    "seasonal_anomaly": (["BroadcastHashJoin", "partial_count"], ["BatchEvalPython", "CartesianProduct", "Window"]),
     # funnel: one global conditional-sum aggregation, no per-stage re-scan loops
     "pipeline_funnel": (["partial_count"], ["CartesianProduct", "BatchEvalPython"]),
     # peaks: one window pass, zero joins
