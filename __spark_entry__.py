@@ -902,6 +902,16 @@ def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
     return events_fn.event_funnel(events_with_time_ns(spark, sf))
 
 
+def q_corpus_clean_decontam(spark: SparkSession, sf: str) -> DataFrame:
+    """The FULL hygiene ladder: clean_corpus plus eval-set
+    decontamination (any shared 8-gram with doc_id < 5 drops the doc) —
+    functions/pipeline.py clean_corpus_decontaminated."""
+    docs = load_table(spark, sf, "documents")
+    return pipeline.clean_corpus_decontaminated(
+        docs, docs.filter(F.col("doc_id") < 5), contamination_n=8
+    )
+
+
 def q_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
     """Holt double-exponential level/trend per stream over 2^45 bucket
     means + 3-bucket-ahead forecasts (operators/resample.py
@@ -1012,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only the first 50 of 78 were certified; those 28 lead here. New
     # queries should be inserted near the top for the same reason.
     return {
+        "corpus_clean_decontam": q_corpus_clean_decontam,
         "holt_forecast": q_holt_forecast,
         "seasonal_anomaly": q_seasonal_anomaly,
         "gram_contrast_topk": q_gram_contrast_topk,
@@ -1688,6 +1699,18 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 4, 'neardup', CAST(SUM(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT),
                CAST(SUM(CASE WHEN c4 THEN nt ELSE 0 END) AS BIGINT) FROM base
         ORDER BY stage_ord
+    """
+
+    # corpus_clean + decontamination: composed from the same stage oracles
+    oracles["corpus_clean_decontam"] = f"""
+        WITH cleaned AS ({oracles["corpus_clean"].replace("ORDER BY d.doc_id", "")}),
+        contaminated AS (
+            SELECT doc_id FROM ({text.contamination_oracle_sql("doc_id < 5", 8)})
+            WHERE contamination_frac > 0.0
+        )
+        SELECT c.doc_id, c.n_tokens FROM cleaned c
+        WHERE c.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ORDER BY c.doc_id
     """
 
     oracles["semantic_dedup"] = similarity.semantic_dedup_oracle_sql(16, 0.28)

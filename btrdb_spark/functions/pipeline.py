@@ -516,3 +516,49 @@ def pipeline_funnel(
         .select("r.stage_ord", "r.stage", "r.n_docs", "r.n_tokens")
         .orderBy("stage_ord")
     )
+
+
+def clean_corpus_decontaminated(
+    documents: DataFrame,
+    eval_docs: DataFrame,
+    lang: str = "en",
+    min_tokens: int = 20,
+    min_stopword_ratio: float = 0.05,
+    neardup_threshold: float = 0.8,
+    contamination_n: int = 8,
+    max_contamination_frac: float = 0.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """clean_corpus plus the benchmark-decontamination stage — the FULL
+    pre-training hygiene ladder:
+
+        lang ∧ quality ∧ exact-dedup ∧ ¬near-dup ∧ ¬contaminated
+
+    A doc is contaminated when the fraction of its word n-grams found in
+    the eval set exceeds ``max_contamination_frac`` (default 0: ANY
+    shared n-gram drops the doc — the conservative published practice).
+    Docs that are themselves IN the eval set are dropped by the same
+    rule (self-overlap is total).
+
+    Plan shape: the four clean_corpus stages fuse as before; the
+    decontamination adds one broadcast join against the (tiny) eval-set
+    gram hashes and one anti-join — the corpus side still never shuffles
+    on the gram key (see text.ngram_contamination scale notes).
+    """
+    contaminated = (
+        text.ngram_contamination(documents, eval_docs, n=contamination_n, text_col=text_col)
+        .filter(F.col("contamination_frac") > max_contamination_frac)
+        .select("doc_id")
+    )
+    return (
+        clean_corpus(
+            documents,
+            lang=lang,
+            min_tokens=min_tokens,
+            min_stopword_ratio=min_stopword_ratio,
+            neardup_threshold=neardup_threshold,
+            text_col=text_col,
+        )
+        .join(contaminated, "doc_id", "anti")
+        .orderBy("doc_id")
+    )

@@ -406,3 +406,19 @@ def test_pipeline_funnel_monotone_and_consistent(spark):
     survivors = pipeline.clean_corpus(documents)
     assert docs[-1] == survivors.count()
     assert toks[-1] == survivors.agg(SF.sum("n_tokens")).first()[0]
+
+
+def test_clean_corpus_decontam_drops_contaminated(spark):
+    from btrdb_spark.functions import pipeline
+
+    documents = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    evald = documents.filter("doc_id < 5")
+    base = {r["doc_id"] for r in pipeline.clean_corpus(documents).collect()}
+    dec = {
+        r["doc_id"]
+        for r in pipeline.clean_corpus_decontaminated(documents, evald).collect()
+    }
+    # decontamination only removes docs, never adds
+    assert dec <= base
+    # the eval docs themselves never survive (total self-overlap)
+    assert dec.isdisjoint(set(range(5)))
