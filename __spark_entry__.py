@@ -902,6 +902,14 @@ def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
     return events_fn.event_funnel(events_with_time_ns(spark, sf))
 
 
+def q_sax_motifs(spark: SparkSession, sf: str) -> DataFrame:
+    """SAX motif mining: top-3 recurring 4-symbol shapes per stream over
+    z-normalized 2^45 bucket means (operators/compress.py sax_motifs)."""
+    from btrdb_spark.operators import compress as cp_ops
+
+    return cp_ops.sax_motifs(events_as_points(spark, sf), pw=45, word_len=4, k=3)
+
+
 def q_corpus_clean_decontam(spark: SparkSession, sf: str) -> DataFrame:
     """The FULL hygiene ladder: clean_corpus plus eval-set
     decontamination (any shared 8-gram with doc_id < 5 drops the doc) —
@@ -1022,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only the first 50 of 78 were certified; those 28 lead here. New
     # queries should be inserted near the top for the same reason.
     return {
+        "sax_motifs": q_sax_motifs,
         "corpus_clean_decontam": q_corpus_clean_decontam,
         "holt_forecast": q_holt_forecast,
         "seasonal_anomaly": q_seasonal_anomaly,
@@ -1575,6 +1584,7 @@ def oracle_sql() -> dict[str, str]:
     from btrdb_spark.operators import compress as cp_ops
 
     oracles["sdt_compress"] = cp_ops.sdt_oracle_sql(PTS, tolerance=25.0)
+    oracles["sax_motifs"] = cp_ops.sax_oracle_sql(PTS, pw=45, word_len=4, k=3)
     oracles["pii_scrub"] = text.pii_scrub_oracle_sql()
     oracles["diurnal_profile"] = qt_ops.diurnal_oracle_sql(PTS)
     oracles["centroid_classify"] = similarity.CENTROID_CLASSIFY_ORACLE

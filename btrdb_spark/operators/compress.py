@@ -37,7 +37,7 @@ streams chunk by (uuid, time-chunk) with anchors re-seeded per chunk
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -155,4 +155,155 @@ def sdt_oracle_sql(points_sql: str, tolerance: float) -> str:
         UNION
         SELECT uuid, time, value FROM r WHERE rn = n
         ORDER BY uuid, time
+    """
+
+
+def sax_motifs(
+    points: DataFrame,
+    pw: int = 45,
+    word_len: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """SAX motif mining (Lin & Keogh's Symbolic Aggregate approXimation):
+    per stream, z-normalize the 2^pw bucket-mean series against the
+    stream's own mean/std, map each bucket to a 4-letter alphabet by the
+    standard normal quartile breakpoints, slide a ``word_len``-symbol
+    window over consecutive (row-order) buckets, and report each
+    stream's top-k most frequent words — its recurring shapes (motifs).
+    The pattern-mining read ("what does this feeder keep doing") that
+    raw or StatPoint scans cannot answer directly.
+
+    Determinism: bucket means are 2^-20-quantized (the correlations
+    contract); the stream mean/std use exact sufficient statistics and
+    the (ss - s*m)/(n-1) assembly (rolling_zscore convention); symbols
+    are pure comparisons against the literal breakpoints
+    (-0.6744897501960817, 0.0, 0.6744897501960817 — N(0,1) quartiles),
+    so no new float arithmetic orders exist to diverge. Ties in the
+    top-k break by word ascending.
+
+    Plan shape: one (uuid, bucket) groupBy (ladder-compatible), one
+    broadcast of the per-stream stats, one lead() window pass to build
+    words, one (uuid, word) count, one per-stream top-k window. Gaps in
+    the bucket sequence are treated as adjacent (classic SAX over the
+    PAA sequence — the symbols are positional, not temporal; document
+    the choice, don't hide it).
+    """
+    from ..functions import decsum
+    from ..functions.timeops import bucket_start as _bs
+
+    width = 1 << pw
+    _Q = float(1 << 20)
+    m = (
+        points.withColumn("bucket", _bs(F.col("time"), width))
+        .groupBy("uuid", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"), *decsum.sum_aggs(F.col("value")))
+        .select(
+            "uuid",
+            "bucket",
+            (
+                F.floor((decsum.vsum().cast("double") / F.col("cnt")) * F.lit(_Q))
+                .cast("long")
+                .cast("double")
+                / F.lit(_Q)
+            ).alias("x"),
+        )
+    )
+    stats = (
+        m.groupBy("uuid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast("decimal(38,6)")).alias("s_d"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,6)")).alias("ss_d"),
+        )
+        .select(
+            "uuid", "n",
+            F.col("s_d").cast("double").alias("s"),
+            F.col("ss_d").cast("double").alias("ss"),
+        )
+    )
+    mu = F.col("s") / F.col("n")
+    var = (F.col("ss") - F.col("s") * mu) / (F.col("n") - F.lit(1))
+    stats = stats.select(
+        "uuid", mu.alias("mu"), F.when(var > 0, F.sqrt(var)).alias("sd")
+    )
+    z = (F.col("x") - F.col("mu")) / F.col("sd")
+    B1, B2, B3 = -0.6744897501960817, 0.0, 0.6744897501960817
+    sym = (
+        F.when(z < B1, F.lit("a"))
+        .when(z < B2, F.lit("b"))
+        .when(z < B3, F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    w = Window.partitionBy("uuid").orderBy("bucket")
+    symbols = (
+        m.join(F.broadcast(stats), "uuid")
+        .filter(F.col("sd").isNotNull())
+        .withColumn("sym", sym)
+    )
+    word = F.concat(
+        *[F.lead("sym", i).over(w) for i in range(word_len)]
+    )
+    words = (
+        symbols.withColumn("word", word)
+        .filter(F.length("word") == word_len)  # lead past the end -> NULL concat
+        .groupBy("uuid", "word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    rw = Window.partitionBy("uuid").orderBy(F.desc("n_occurrences"), F.asc("word"))
+    return (
+        words.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .select("uuid", "word", "n_occurrences", F.col("rank").cast("long").alias("rank"))
+        .orderBy("uuid", "rank")
+    )
+
+
+def sax_oracle_sql(
+    points_sql: str, pw: int = 45, word_len: int = 4, k: int = 3
+) -> str:
+    """DuckDB mirror of sax_motifs (identical quantization, stats
+    assembly, breakpoints, and word construction)."""
+    width = 1 << pw
+    _Q = float(1 << 20)
+    leads = " || ".join(
+        f"LEAD(sym, {i}) OVER (PARTITION BY uuid ORDER BY bucket)"
+        for i in range(word_len)
+    )
+    return f"""
+        WITH m AS (
+            SELECT uuid,
+                   (time // {width}) * {width} AS bucket,
+                   CAST(CAST(FLOOR((CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)) * {_Q!r}) AS BIGINT) AS DOUBLE) / {_Q!r} AS x
+            FROM {points_sql} p GROUP BY 1, 2
+        ), st AS (
+            SELECT uuid, COUNT(*) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS s,
+                   CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS ss
+            FROM m GROUP BY uuid
+        ), st2 AS (
+            SELECT uuid, s / n AS mu,
+                   CASE WHEN (ss - s * (s / n)) / (n - 1) > 0
+                        THEN sqrt((ss - s * (s / n)) / (n - 1)) END AS sd
+            FROM st
+        ), syms AS (
+            SELECT m.uuid, m.bucket,
+                   CASE WHEN (m.x - st2.mu) / st2.sd < -0.6744897501960817 THEN 'a'
+                        WHEN (m.x - st2.mu) / st2.sd < 0.0 THEN 'b'
+                        WHEN (m.x - st2.mu) / st2.sd < 0.6744897501960817 THEN 'c'
+                        ELSE 'd' END AS sym
+            FROM m JOIN st2 ON st2.uuid = m.uuid
+            WHERE st2.sd IS NOT NULL
+        ), words AS (
+            SELECT uuid, word, COUNT(*) AS n_occurrences FROM (
+                SELECT uuid, {leads} AS word FROM syms
+            ) WHERE length(word) = {word_len}
+            GROUP BY uuid, word
+        ), ranked AS (
+            SELECT uuid, word, n_occurrences,
+                   ROW_NUMBER() OVER (PARTITION BY uuid ORDER BY n_occurrences DESC, word ASC) AS rank
+            FROM words
+        )
+        SELECT uuid, word, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {k} ORDER BY uuid, rank
     """

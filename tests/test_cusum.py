@@ -89,3 +89,31 @@ def test_seasonal_anomaly_flags_hourly_outlier(spark):
     )
     out = seasonal_anomaly(pts, z_threshold=3.0, min_bucket=10).collect()
     assert len(out) == 1 and out[0]["value"] == 50.0 and out[0]["hour"] == 0
+
+
+def test_sax_motif_finds_repeating_shape(spark):
+    from btrdb_spark.operators import compress as cp
+
+    # one point per 2^4 bucket, repeating pattern low,low,high,high ->
+    # the period-4 word repeats; z-normalized symbols must cycle
+    pattern = [0.0, 0.0, 10.0, 10.0]
+    rows = [("a", b * 16, pattern[b % 4], 10) for b in range(40)]
+    pts = spark.createDataFrame(
+        rows, "uuid string, time long, value double, version long"
+    )
+    out = cp.sax_motifs(pts, pw=4, word_len=4, k=2).collect()
+    assert out[0]["uuid"] == "a"
+    # 4 rotations of the same cycle dominate; top word occurs ~n/4 times
+    assert out[0]["n_occurrences"] >= 9
+    # symbols only use the outer letters for a two-level series
+    assert set(out[0]["word"]) <= {"a", "d"}
+
+
+def test_sax_constant_stream_emits_nothing(spark):
+    from btrdb_spark.operators import compress as cp
+
+    rows = [("c", b * 16, 5.0, 10) for b in range(20)]
+    pts = spark.createDataFrame(
+        rows, "uuid string, time long, value double, version long"
+    )
+    assert cp.sax_motifs(pts, pw=4).collect() == []  # sd undefined -> no symbols

@@ -52,6 +52,8 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "ann_pq_topk": (["BroadcastHashJoin", "partial_min"], ["CartesianProduct", "BatchEvalPython"]),
     # CUSUM: sequential kernel is the documented Arrow case; mean frame broadcast
     "cusum_alarms": (["MapInPandas", "BroadcastHashJoin"], ["BatchEvalPython", "CartesianProduct"]),
+    # SAX: bucket-mean groupBy + broadcast stats + lead window + top-k window
+    "sax_motifs": (["BroadcastHashJoin", "partial_count"], ["CartesianProduct", "BatchEvalPython", "MapInPandas"]),
     # Holt: bucket-mean groupBy feeds the sequential kernel; no joins at all
     "holt_forecast": (["MapInPandas", "partial_count"], ["BatchEvalPython", "CartesianProduct", "Join"]),
     # seasonal anomaly: 24-key baseline broadcast back; no window functions
