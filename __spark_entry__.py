@@ -902,6 +902,15 @@ def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
     return events_fn.event_funnel(events_with_time_ns(spark, sf))
 
 
+def q_stream_availability(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stream availability KPI over January (max_gap = 12h): uptime
+    fraction with lead-in/tail silence counted as downtime
+    (operators/resample.py stream_availability)."""
+    return rs_ops.stream_availability(
+        events_as_points(spark, sf), T0, T1, max_gap=12 * HOUR
+    )
+
+
 def q_sax_motifs(spark: SparkSession, sf: str) -> DataFrame:
     """SAX motif mining: top-3 recurring 4-symbol shapes per stream over
     z-normalized 2^45 bucket means (operators/compress.py sax_motifs)."""
@@ -1030,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only the first 50 of 78 were certified; those 28 lead here. New
     # queries should be inserted near the top for the same reason.
     return {
+        "stream_availability": q_stream_availability,
         "sax_motifs": q_sax_motifs,
         "corpus_clean_decontam": q_corpus_clean_decontam,
         "holt_forecast": q_holt_forecast,
@@ -1585,6 +1595,9 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["sdt_compress"] = cp_ops.sdt_oracle_sql(PTS, tolerance=25.0)
     oracles["sax_motifs"] = cp_ops.sax_oracle_sql(PTS, pw=45, word_len=4, k=3)
+    oracles["stream_availability"] = rs_ops.stream_availability_oracle_sql(
+        PTS, T0, T1, max_gap=12 * HOUR
+    )
     oracles["pii_scrub"] = text.pii_scrub_oracle_sql()
     oracles["diurnal_profile"] = qt_ops.diurnal_oracle_sql(PTS)
     oracles["centroid_classify"] = similarity.CENTROID_CLASSIFY_ORACLE

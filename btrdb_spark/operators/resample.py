@@ -798,3 +798,100 @@ def holt_oracle_sql(
         SELECT uuid, CAST(rn AS BIGINT) AS n_buckets, level, trend, {fsel}
         FROM last WHERE rr = 1 ORDER BY uuid
     """
+
+
+def stream_availability(
+    points: DataFrame, start: int, end: int, max_gap: int
+) -> DataFrame:
+    """Per-stream availability KPI over [start, end): the fraction of the
+    range NOT covered by data gaps longer than ``max_gap`` ns — the
+    fleet-health dashboard number ("feeder 12 was 99.3% available in
+    January"). The lead-in before the first point and the tail after the
+    last point count as gaps when longer than max_gap (a silent sensor
+    is unavailable, not unmeasured).
+
+    Output: (uuid, n_points, n_gaps, downtime_ns, availability) — all
+    integer arithmetic except the ONE final double division, so
+    cross-engine equality is exact.
+
+    Plan shape: one lag-window pass over in-range points builds interior
+    gaps; per-stream min/max (map-side-combinable groupBy) bound the
+    edge gaps; one join of two stream-count-sized frames. No grids, no
+    explodes; cost is one shuffle on uuid.
+    """
+    inr = points.filter((F.col("time") >= start) & (F.col("time") < end))
+    w = Window.partitionBy("uuid").orderBy("time", "value")
+    interior = (
+        inr.select("uuid", "time", F.lag("time").over(w).alias("pt"))
+        .filter(F.col("pt").isNotNull() & (F.col("time") - F.col("pt") > max_gap))
+        .groupBy("uuid")
+        .agg(
+            F.count(F.lit(1)).alias("n_interior_gaps"),
+            F.sum(F.col("time") - F.col("pt")).alias("interior_ns"),
+        )
+    )
+    bounds = inr.groupBy("uuid").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("time").alias("t_first"),
+        F.max("time").alias("t_last"),
+    )
+    lead_ns = F.col("t_first") - F.lit(start)
+    tail_ns = F.lit(end) - F.col("t_last")
+    lead_gap = F.when(lead_ns > max_gap, lead_ns).otherwise(F.lit(0))
+    tail_gap = F.when(tail_ns > max_gap, tail_ns).otherwise(F.lit(0))
+    out = (
+        bounds.join(interior, "uuid", "left")
+        .select(
+            "uuid",
+            "n_points",
+            (
+                F.coalesce(F.col("n_interior_gaps"), F.lit(0))
+                + F.when(lead_gap > 0, 1).otherwise(0)
+                + F.when(tail_gap > 0, 1).otherwise(0)
+            ).cast("long").alias("n_gaps"),
+            (
+                F.coalesce(F.col("interior_ns"), F.lit(0)) + lead_gap + tail_gap
+            ).cast("long").alias("downtime_ns"),
+        )
+    )
+    span = float(end - start)
+    return out.withColumn(
+        "availability",
+        F.lit(1.0) - F.col("downtime_ns").cast("double") / F.lit(span),
+    )
+
+
+def stream_availability_oracle_sql(
+    points_sql: str, start: int, end: int, max_gap: int
+) -> str:
+    """DuckDB mirror of stream_availability (same integer gap algebra)."""
+    span = float(end - start)
+    return f"""
+        WITH inr AS (
+            SELECT uuid, time, value FROM {points_sql} p
+            WHERE time >= {start} AND time < {end}
+        ), lagd AS (
+            SELECT uuid, time,
+                   LAG(time) OVER (PARTITION BY uuid ORDER BY time, value) AS pt
+            FROM inr
+        ), interior AS (
+            SELECT uuid, COUNT(*) AS n_interior_gaps, SUM(time - pt) AS interior_ns
+            FROM lagd WHERE pt IS NOT NULL AND time - pt > {max_gap}
+            GROUP BY uuid
+        ), bounds AS (
+            SELECT uuid, COUNT(*) AS n_points, MIN(time) AS t_first, MAX(time) AS t_last
+            FROM inr GROUP BY uuid
+        )
+        SELECT b.uuid, CAST(b.n_points AS BIGINT) AS n_points,
+               CAST(COALESCE(i.n_interior_gaps, 0)
+                    + CASE WHEN b.t_first - {start} > {max_gap} THEN 1 ELSE 0 END
+                    + CASE WHEN {end} - b.t_last > {max_gap} THEN 1 ELSE 0 END AS BIGINT) AS n_gaps,
+               CAST(COALESCE(i.interior_ns, 0)
+                    + CASE WHEN b.t_first - {start} > {max_gap} THEN b.t_first - {start} ELSE 0 END
+                    + CASE WHEN {end} - b.t_last > {max_gap} THEN {end} - b.t_last ELSE 0 END AS BIGINT) AS downtime_ns,
+               1.0 - CAST(COALESCE(i.interior_ns, 0)
+                    + CASE WHEN b.t_first - {start} > {max_gap} THEN b.t_first - {start} ELSE 0 END
+                    + CASE WHEN {end} - b.t_last > {max_gap} THEN {end} - b.t_last ELSE 0 END AS DOUBLE) / {span!r} AS availability
+        FROM bounds b LEFT JOIN interior i ON i.uuid = b.uuid
+        ORDER BY b.uuid
+    """

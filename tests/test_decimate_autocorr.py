@@ -88,3 +88,25 @@ def test_find_peaks_min_value_floor(spark):
     pts = _pts(spark, [("a", t, v) for t, v in enumerate([0, 3, 0, 0, 9, 0])])
     out = rs.find_peaks(pts, w=1, min_value=5.0).collect()
     assert [(r["time"], r["value"]) for r in out] == [(4, 9.0)]
+
+
+def test_stream_availability_gap_accounting(spark):
+    from btrdb_spark.operators import resample as rs
+
+    # range [0, 100), max_gap 10:
+    # stream a: points at 5, 20, 80 -> lead-in 5 (<=10, ok), gap 5->20 = 15
+    # (down), gap 20->80 = 60 (down), tail 100-80 = 20 (down)
+    pts = _pts(spark, [("a", 5, 1.0), ("a", 20, 1.0), ("a", 80, 1.0)])
+    out = rs.stream_availability(pts, 0, 100, max_gap=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_gaps"] == 3 and r["downtime_ns"] == 15 + 60 + 20
+    assert r["availability"] == 1.0 - 95 / 100.0
+
+
+def test_stream_availability_dense_stream_full(spark):
+    from btrdb_spark.operators import resample as rs
+
+    pts = _pts(spark, [("b", t, 0.0) for t in range(0, 100, 5)])
+    r = rs.stream_availability(pts, 0, 100, max_gap=10).collect()[0]
+    assert r["n_gaps"] == 0 and r["downtime_ns"] == 0 and r["availability"] == 1.0

@@ -60,6 +60,8 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "seasonal_anomaly": (["BroadcastHashJoin", "partial_count"], ["BatchEvalPython", "CartesianProduct", "Window"]),
     # funnel: one global conditional-sum aggregation, no per-stage re-scan loops
     "pipeline_funnel": (["partial_count"], ["CartesianProduct", "BatchEvalPython"]),
+    # availability: one lag window + two stream-count frames joined
+    "stream_availability": (["Window", "partial_count"], ["CartesianProduct", "BatchEvalPython"]),
     # peaks: one window pass, zero joins
     "find_peaks": (["Window"], ["Join", "CartesianProduct", "BatchEvalPython"]),
     # windowed quantiles: window rank + map-side-combinable conditional-min agg
