@@ -902,6 +902,20 @@ def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
     return events_fn.event_funnel(events_with_time_ns(spark, sf))
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ composed ANN (IndexIVFPQ shape): k-means cell routing x
+    PQ-compressed asymmetric scan (similarity.ann_ivfpq_topk)."""
+    emb = load_table(spark, sf, "embeddings")
+    raw = similarity.load_sorted_embeddings(f"{sf}/embeddings.parquet")
+    cents = similarity.centroids_df(
+        spark, similarity.train_kmeans_centroids(raw, k=16)
+    )
+    books = similarity.train_pq_codebooks(raw, m=8, nbits=4)
+    return similarity.ann_ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), cents, books, k=5, nprobe=4
+    )
+
+
 def q_stream_availability(spark: SparkSession, sf: str) -> DataFrame:
     """Per-stream availability KPI over January (max_gap = 12h): uptime
     fraction with lead-in/tail silence counted as downtime
@@ -1039,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only the first 50 of 78 were certified; those 28 lead here. New
     # queries should be inserted near the top for the same reason.
     return {
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "stream_availability": q_stream_availability,
         "sax_motifs": q_sax_motifs,
         "corpus_clean_decontam": q_corpus_clean_decontam,
@@ -1541,6 +1556,10 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["ann_pq_topk"] = similarity.ann_pq_oracle_sql(
         "/root/testdata/sf0.01/embeddings.parquet", m=8, nbits=4, k=5
+    )
+    oracles["ann_ivfpq_topk"] = similarity.ann_ivfpq_oracle_sql(
+        "/root/testdata/sf0.01/embeddings.parquet",
+        m=8, nbits=4, n_centroids=16, nprobe=4, k=5,
     )
     oracles.update(pipeline.ORACLES)
     oracles["value_quantiles"] = qt_ops.quantile_oracle_sql(PTS)

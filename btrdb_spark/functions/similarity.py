@@ -1108,3 +1108,166 @@ def ann_pq_oracle_sql(
         SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score
         FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
     """
+
+
+def ann_ivfpq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    centroids: DataFrame,
+    books: "np.ndarray",
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ ANN (the faiss IndexIVFPQ shape): corpus vectors live in
+    their nearest coarse cell AND are PQ-encoded; each probe searches
+    its nprobe nearest cells, scoring only those cells' codes by
+    asymmetric inner product against reconstructions. The two scale
+    levers compose: nprobe/n_cells bounds the fraction of codes
+    scanned, PQ bounds the bytes per code (4-8 B vs 256 B float32).
+
+    This variant encodes RAW vectors (not cell residuals); classic
+    IVFPQ encodes x - centroid(cell) for tighter quantization — a
+    drop-in refinement (subtract before pq_encode, add the centroid
+    partial dot at scoring) left out to keep the oracle one mirror.
+
+    Output: (query_id, neighbor_id, rank, score) — top-k by approximate
+    score desc, ties -> neighbor_id asc, self excluded.
+
+    Plan shape: ivf_cells routes corpus (nprobe=1) and probes (nprobe)
+    with the centroids broadcast; pq_encode passes the broadcast
+    codebooks over the corpus; reconstructions join probes on the CELL
+    key (broadcast probe side), so at 100 TB a cell-bucketed code table
+    is scanned at nprobe/n_cells selectivity and the scan reads codes,
+    not vectors.
+    """
+    mshape, _, dsub = books.shape
+    spark = corpus.sparkSession
+    cb = pq_codebooks_df(spark, books)
+    enc = pq_encode(corpus, cb, mshape, dsub, id_col, vec_col)
+    recon = (
+        enc.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "cvec"))).alias("parts"))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.flatten(F.transform(F.col("parts"), lambda p: p["cvec"])).alias("rvec"),
+        )
+    )
+    corpus_cells = ivf_cells(corpus, centroids, id_col, vec_col, nprobe=1).select(
+        F.col("vec_id").alias("neighbor_id"), "cell"
+    )
+    probe_cells = ivf_cells(probes, centroids, id_col, vec_col, nprobe=nprobe).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    p = probes.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("pvec"),
+    ).join(probe_cells, "query_id")
+    scored = (
+        recon.join(corpus_cells, "neighbor_id")
+        .join(F.broadcast(p), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            _dot(F.col("pvec"), F.col("rvec")).alias("score"),
+        )
+        # a corpus vector lives in exactly one cell -> no pair dedup needed
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "score")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_ivfpq_oracle_sql(
+    parquet_path: str,
+    m: int = 8,
+    nbits: int = 4,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    probe_max_id: int = 10,
+) -> str:
+    """DuckDB oracle for ann_ivfpq_topk: trains the SAME k-means
+    centroids and PQ codebooks from the same file; all float literals
+    quoted (varchar->double parses correctly rounded), dots as explicit
+    left folds."""
+    emb = load_sorted_embeddings(parquet_path)
+    cents = train_kmeans_centroids(emb, k=n_centroids)
+    books = train_pq_codebooks(emb, m=m, nbits=nbits)
+    dsub = books.shape[2]
+    dim = m * dsub
+
+    def _d(v: float) -> str:
+        return f"'{float(v)!r}'"
+
+    cvals = ", ".join(
+        f"({i}, [{', '.join(_d(v) for v in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    bvals = ", ".join(
+        f"({s}, {c}, [{', '.join(_d(v) for v in books[s, c])}]::DOUBLE[], "
+        f"{_d((books[s, c] ** 2).sum())}::DOUBLE)"
+        for s in range(books.shape[0])
+        for c in range(books.shape[1])
+    )
+
+    def _lf(a: str, b: str, n: int) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {n + 1}), "
+            f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+        )
+
+    return f"""
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings
+        ), cents AS (
+            SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
+            FROM (VALUES {cvals}) AS t(cell, cv)
+        ), assign AS (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY list_dot_product(vecs.v, cents.cv) / (vecs.nrm * cents.cnrm) DESC,
+                                cell ASC) AS cell_rank
+            FROM vecs CROSS JOIN cents
+        ), corpus_cells AS (
+            SELECT vec_id, cell FROM assign WHERE cell_rank = 1
+        ), probe_cells AS (
+            SELECT vec_id, cell FROM assign WHERE cell_rank <= {nprobe} AND vec_id < {probe_max_id}
+        ), subs AS (
+            SELECT vec_id, ss.s AS sub, v[ss.s * {dsub} + 1 : ss.s * {dsub} + {dsub}] AS sv
+            FROM vecs, unnest(range(0, {m})) ss(s)
+        ), cb AS (
+            SELECT * FROM (VALUES {bvals}) AS t(sub, code, cv, c2)
+        ), enc AS (
+            SELECT vec_id, sub, code, cv,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id, sub
+                       ORDER BY -2.0 * {_lf("sv", "cv", dsub)} + c2 ASC, code ASC
+                   ) AS rn
+            FROM subs JOIN cb USING (sub)
+        ), recon AS (
+            SELECT vec_id, flatten(list(cv ORDER BY sub)) AS rv
+            FROM enc WHERE rn = 1 GROUP BY vec_id
+        ), scored AS (
+            SELECT pc.vec_id AS query_id, cc.vec_id AS neighbor_id,
+                   {_lf("p.v", "r.rv", dim)} AS score
+            FROM probe_cells pc
+            JOIN corpus_cells cc ON cc.cell = pc.cell
+            JOIN vecs p ON p.vec_id = pc.vec_id
+            JOIN recon r ON r.vec_id = cc.vec_id AND cc.vec_id <> pc.vec_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score
+        FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+    """

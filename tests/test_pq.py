@@ -72,3 +72,40 @@ def test_pq_recall_vs_exact_on_fixture(spark):
     # compression) as the documented operating point; real clustered
     # corpora behave like test_pq_topk_recovers_clustered_neighbors.
     assert recall >= 0.15
+
+
+def test_ivfpq_clustered_recall(spark):
+    """On clustered data the composed IVF-PQ keeps cluster identity:
+    cell routing finds the right cluster, PQ reconstruction ranks inside."""
+    rng = np.random.RandomState(9)
+    centers = rng.randn(8, 32) * 10
+    x = np.vstack([c + rng.randn(25, 32) * 0.1 for c in centers])
+    df = _emb_df(spark, x)
+    cents = similarity.centroids_df(spark, similarity.train_kmeans_centroids(x, k=8))
+    books = similarity.train_pq_codebooks(x, m=4, nbits=4, seed=0)
+    out = similarity.ann_ivfpq_topk(
+        df, df.filter(F.col("vec_id") < 8), cents, books, k=5, nprobe=2
+    ).collect()
+    assert len(out) == 40
+    for r in out:
+        assert r["neighbor_id"] // 25 == r["query_id"] // 25, r
+
+
+def test_ivfpq_scans_only_probed_cells(spark):
+    """Neighbors must come from the probe's nprobe cells only (the scan
+    bound that makes IVF-PQ cheap)."""
+    emb = similarity.load_sorted_embeddings("/root/testdata/sf0.01/embeddings.parquet")
+    df = _emb_df(spark, emb)
+    cents = similarity.centroids_df(spark, similarity.train_kmeans_centroids(emb, k=16))
+    books = similarity.train_pq_codebooks(emb, m=8, nbits=4)
+    probes = df.filter(F.col("vec_id") < 3)
+    out = similarity.ann_ivfpq_topk(df, probes, cents, books, k=5, nprobe=2).collect()
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.ivf_cells(df, cents, nprobe=1).collect()
+    }
+    probed = {}
+    for r in similarity.ivf_cells(probes, cents, nprobe=2).collect():
+        probed.setdefault(r["vec_id"], set()).add(r["cell"])
+    for r in out:
+        assert cells[r["neighbor_id"]] in probed[r["query_id"]], r
