@@ -111,13 +111,14 @@ def main() -> None:
         # stalls on this box (identical runs vary >3x); min reflects the
         # operator's real cost, not the kernel's dirty-page backlog
         ingest_s = float("inf")
-        for i in range(3):
+        for i in range(4):
             # drain the page-cache backlog before each rep: the previous
             # rep's 20M-point write (or the caller's prior churn) otherwise
-            # stalls ALL reps and best-of-3 still reads a 7x-low figure
-            # (observed 1.05M vs 9.0M pts/s on a settled box)
+            # stalls ALL reps and best-of-N still reads a 7x-low figure
+            # (observed 1.05M vs 9.0M pts/s on a settled box); 4 reps x 3s
+            # settle buys more chances to catch a clean writeback window
             os.sync()
-            time.sleep(2)
+            time.sleep(3)
             eng = BTrDBEngine(spark, f"{tmp}/eng{i}", ladder=True)
             eng.ladder.levels = (30,)
             t0 = time.time()
