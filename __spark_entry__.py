@@ -902,6 +902,22 @@ def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
     return events_fn.event_funnel(events_with_time_ns(spark, sf))
 
 
+def q_ann_ivfpq_residual_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Residual-encoded IVF-PQ (the classic IndexIVFPQ formulation:
+    codebooks on cell residuals, reconstruction = centroid + residual —
+    similarity.ann_ivfpq_residual_topk)."""
+    emb = load_table(spark, sf, "embeddings")
+    raw = similarity.load_sorted_embeddings(f"{sf}/embeddings.parquet")
+    cents_np = similarity.train_kmeans_centroids(raw, k=16)
+    cents = similarity.centroids_df(spark, cents_np)
+    books, anchors_np = similarity.train_residual_pq(raw, cents_np, m=8, nbits=4)
+    anchors = similarity.centroids_df(spark, anchors_np)
+    return similarity.ann_ivfpq_residual_topk(
+        emb, emb.filter(F.col("vec_id") < 10), cents, books, anchors,
+        k=5, nprobe=4,
+    )
+
+
 def q_ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-PQ composed ANN (IndexIVFPQ shape): k-means cell routing x
     PQ-compressed asymmetric scan (similarity.ann_ivfpq_topk)."""
@@ -1053,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only the first 50 of 78 were certified; those 28 lead here. New
     # queries should be inserted near the top for the same reason.
     return {
+        "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "stream_availability": q_stream_availability,
         "sax_motifs": q_sax_motifs,
@@ -1558,6 +1575,10 @@ def oracle_sql() -> dict[str, str]:
         "/root/testdata/sf0.01/embeddings.parquet", m=8, nbits=4, k=5
     )
     oracles["ann_ivfpq_topk"] = similarity.ann_ivfpq_oracle_sql(
+        "/root/testdata/sf0.01/embeddings.parquet",
+        m=8, nbits=4, n_centroids=16, nprobe=4, k=5,
+    )
+    oracles["ann_ivfpq_residual_topk"] = similarity.ann_ivfpq_residual_oracle_sql(
         "/root/testdata/sf0.01/embeddings.parquet",
         m=8, nbits=4, n_centroids=16, nprobe=4, k=5,
     )

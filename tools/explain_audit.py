@@ -52,6 +52,7 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "ann_pq_topk": (["BroadcastHashJoin", "partial_min"], ["CartesianProduct", "BatchEvalPython"]),
     # IVF-PQ: cell routing + code scan, probe side broadcast on the cell key
     "ann_ivfpq_topk": (["BroadcastHashJoin", "partial_min"], ["CartesianProduct", "BatchEvalPython"]),
+    "ann_ivfpq_residual_topk": (["BroadcastHashJoin", "partial_min"], ["CartesianProduct", "BatchEvalPython"]),
     # CUSUM: sequential kernel is the documented Arrow case; mean frame broadcast
     "cusum_alarms": (["MapInPandas", "BroadcastHashJoin"], ["BatchEvalPython", "CartesianProduct"]),
     # SAX: bucket-mean groupBy + broadcast stats + lead window + top-k window
