@@ -902,6 +902,18 @@ def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
     return events_fn.event_funnel(events_with_time_ns(spark, sf))
 
 
+def q_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Packing-quality manifest per (source, shard): docs starting,
+    token mass, fill fraction (functions/pipeline.py shard_manifest)."""
+    return pipeline.shard_manifest(load_table(spark, sf, "documents"))
+
+
+def q_neardup_cluster_sizes(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup cluster-size histogram — the corpus redundancy report
+    (functions/dedup.py neardup_cluster_sizes)."""
+    return dedup.neardup_cluster_sizes(load_table(spark, sf, "documents"))
+
+
 def q_ann_ivfpq_residual_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Residual-encoded IVF-PQ (the classic IndexIVFPQ formulation:
     codebooks on cell residuals, reconstruction = centroid + residual —
@@ -1069,6 +1081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only the first 50 of 78 were certified; those 28 lead here. New
     # queries should be inserted near the top for the same reason.
     return {
+        "shard_manifest": q_shard_manifest,
+        "neardup_cluster_sizes": q_neardup_cluster_sizes,
         "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "stream_availability": q_stream_availability,
@@ -1582,6 +1596,18 @@ def oracle_sql() -> dict[str, str]:
         "/root/testdata/sf0.01/embeddings.parquet",
         m=8, nbits=4, n_centroids=16, nprobe=4, k=5,
     )
+    oracles["shard_manifest"] = pipeline.shard_manifest_oracle_sql(2048)
+    oracles["neardup_cluster_sizes"] = f"""
+        WITH sized AS (
+            SELECT cluster_id, COUNT(*) AS cluster_size
+            FROM ({dedup.ORACLES["neardup_clusters"]})
+            GROUP BY cluster_id
+        )
+        SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+        FROM sized GROUP BY cluster_size ORDER BY cluster_size DESC
+    """
     oracles.update(pipeline.ORACLES)
     oracles["value_quantiles"] = qt_ops.quantile_oracle_sql(PTS)
     oracles["value_mad_outliers"] = qt_ops.mad_outliers_oracle_sql(PTS, k=3.0)

@@ -755,3 +755,33 @@ def exact_substring_oracle_sql(k: int = 8) -> str:
                CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / CAST(t.n AS DOUBLE) AS dup_frac
         FROM toks t LEFT JOIN cnt c USING (doc_id)
     """
+
+
+def neardup_cluster_sizes(
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_est_jaccard: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup cluster-size histogram — the dedup report published next
+    to a cleaned corpus ("how much redundancy was there, in what clump
+    sizes"). Output: (cluster_size, n_clusters, n_docs), size descending.
+    The histogram is tiny regardless of corpus size (one extra groupBy
+    over the clusters output)."""
+    clusters = neardup_clusters(
+        documents, n=n, num_hashes=num_hashes, bands=bands,
+        min_est_jaccard=min_est_jaccard, text_col=text_col,
+    )
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            (F.count(F.lit(1)) * F.col("cluster_size")).cast("long").alias("n_docs"),
+        )
+        .select(F.col("cluster_size").cast("long").alias("cluster_size"), "n_clusters", "n_docs")
+        .orderBy(F.desc("cluster_size"))
+    )

@@ -562,3 +562,65 @@ def clean_corpus_decontaminated(
         .join(contaminated, "doc_id", "anti")
         .orderBy("doc_id")
     )
+
+
+def shard_manifest(
+    documents: DataFrame,
+    budget_tokens: int = 2048,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Manifest rollup of pack_token_shards — what the trainer's data
+    loader reads before touching a shard: per (group, shard): how many
+    docs START in it, their token mass, and the fill fraction of the
+    budget. The packing-quality report (underfilled tails, straddle
+    rates) for capacity planning.
+
+    Integer counts/sums + ONE double division (fill_frac), so the
+    oracle matches exactly. One extra groupBy over the packing output —
+    the manifest is shard-count-sized regardless of corpus size.
+    """
+    packed = pack_token_shards(documents, budget_tokens, group_col, text_col)
+    return (
+        packed.groupBy(group_col, "shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.min("offset_in_shard").cast("long").alias("first_offset"),
+        )
+        .withColumn(
+            "fill_frac",
+            F.col("sum_tokens").cast("double") / F.lit(float(budget_tokens)),
+        )
+        .orderBy(group_col, "shard_id")
+    )
+
+
+def shard_manifest_oracle_sql(budget_tokens: int = 2048) -> str:
+    """DuckDB mirror over the pack_token_shards oracle shape."""
+    return f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT doc_id, source, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM t
+        ), packed AS (
+            SELECT doc_id, source, n_tokens,
+                   CAST(cum_before // {budget_tokens} AS BIGINT) AS shard_id,
+                   CAST(cum_before % {budget_tokens} AS BIGINT) AS offset_in_shard
+            FROM c
+        )
+        SELECT source, shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(MIN(offset_in_shard) AS BIGINT) AS first_offset,
+               CAST(SUM(n_tokens) AS DOUBLE) / {float(budget_tokens)!r} AS fill_frac
+        FROM packed GROUP BY source, shard_id
+        ORDER BY source, shard_id
+    """
