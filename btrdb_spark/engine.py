@@ -870,3 +870,32 @@ class BTrDBEngine:
         return chg_ops.changed_ranges(
             pts, uuid, from_ver, to_ver, resolution, deletes=self.deletes
         )
+
+    # ---------- SQL surface ----------
+
+    def register_sql_views(self, prefix: str = "btrdb") -> None:
+        """Expose the engine's logical tables as Spark SQL temp views, so
+        analysts query the store with plain ``spark.sql`` — the
+        Spark-native face of the engine (the DataFrame API and this SQL
+        surface compile to the same Catalyst plans):
+
+            <prefix>_points   latest-version merge-on-read points
+                              (hot buffer overlaid, delete tombstones
+                              APPLIED — what raw_values scans)
+            <prefix>_streams  the metadata plane (collection/tags/anns)
+            <prefix>_deletes  raw tombstones (for version archaeology)
+
+        The views are lazy plans, not snapshots: each SQL query re-reads
+        current storage, and predicate pushdown / partition pruning work
+        exactly as through the DataFrame API (the uuid/time filters in
+        the SQL WHERE clause reach the parquet scan). Latest-version
+        only — historical reads stay on the API where the version
+        parameter lives.
+        """
+        from .operators import raw as _raw
+
+        pts, dels = self._queryable(None)
+        visible = _raw.apply_deletes(pts, dels, version=None)
+        visible.createOrReplaceTempView(f"{prefix}_points")
+        self.streams.createOrReplaceTempView(f"{prefix}_streams")
+        dels.createOrReplaceTempView(f"{prefix}_deletes")

@@ -929,6 +929,45 @@ def pq_codebooks_df(spark, books: "np.ndarray") -> DataFrame:
     )
 
 
+_PQ_SCALE = float(1 << 20)
+
+
+def _pq_code_udf(books: "np.ndarray"):
+    """Arrow-batched PQ code assigner: array<double> -> array<int> of m
+    codes. Scoring is PURE INT64 — vector and codebook entries are
+    quantized with floor(x * 2^20), the ranking key is
+    |c_q|^2 - 2 * <x_q, c_q> — so the numpy int64 matmul is EXACT
+    (integer sums have no evaluation order) and bit-identical to the
+    DuckDB oracle's integer fold. Same design as the LSH signature
+    kernel (_signature_udf): one (batch x dsub) @ (dsub x codes) int
+    matmul per subspace per Arrow batch replaces ~2^nbits interpreted
+    higher-order fold expressions per row (measured 16x+ on the 200k
+    probe). Bound: |x_q| <= 2^20 * max|x|; products sum over dsub —
+    far inside int64 for normalized embeddings.
+    """
+    mshape, ncode, dsub = books.shape
+    cq = np.floor(books * _PQ_SCALE).astype(np.int64)          # (m, ncode, dsub)
+    c2 = (cq * cq).sum(axis=2)                                 # (m, ncode)
+
+    @pandas_udf("array<int>")
+    def codes(vecs: pd.Series) -> pd.Series:
+        out = [None] * len(vecs)
+        idxs = np.flatnonzero(vecs.notna().to_numpy())
+        if len(idxs):
+            mat = np.array([np.asarray(vecs.iat[i], dtype=np.float64) for i in idxs])
+            xq = np.floor(mat * _PQ_SCALE).astype(np.int64)    # (n, dim)
+            picked = np.empty((len(xq), mshape), dtype=np.int32)
+            for s in range(mshape):
+                xs = xq[:, s * dsub : (s + 1) * dsub]          # (n, dsub)
+                keys = c2[s][None, :] - 2 * (xs @ cq[s].T)     # (n, ncode) int64
+                picked[:, s] = np.argmin(keys, axis=1)         # ties -> smallest
+            for row, i in enumerate(idxs):
+                out[i] = picked[row]
+        return pd.Series(out, dtype=object)
+
+    return codes
+
+
 def pq_encode(
     vectors: DataFrame,
     codebooks: DataFrame,
@@ -936,43 +975,44 @@ def pq_encode(
     dsub: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    books: "np.ndarray | None" = None,
 ) -> DataFrame:
     """PQ encode: each vector's subspace s maps to its nearest codebook
-    entry by squared L2 (tie -> smaller code). Output:
-    (vec_id, sub, code, cvec) — cvec kept for reconstruction.
+    entry (tie -> smaller code). Output: (vec_id, sub, code, cvec) —
+    cvec kept for reconstruction.
 
-    Determinism + plan shape: ranking key is -2*<v_sub, c> + |c|^2
-    (equals dist^2 minus the per-vector constant |v_sub|^2, so the
-    argmin is unchanged) — both factors are the same float64 literals
-    and the same left-fold dot in Spark and DuckDB. The argmin is a
-    min(struct(...)) groupBy — map-side combinable, no window, one
-    shuffle of m * 2^nbits score rows per vector. At 100 TB the encode
-    is a single pass over the corpus with the (tiny) codebook broadcast;
-    the stored code table is m*nbits bits per vector — 32x smaller than
-    the float32 vectors it replaces (m=8, nbits=4, dim=64).
+    Determinism: the ranking key |c_q|^2 - 2*<x_q, c_q> is computed in
+    QUANTIZED INT64 (floor(x * 2^20) on both sides — the repo's LSH
+    convention), so the argmin is identical under ANY summation order:
+    the Arrow matmul kernel (_pq_code_udf), and the DuckDB oracle's
+    integer fold agree bit-for-bit by construction, not by luck (the
+    previous float-fold scoring was exact only because both engines
+    folded left-to-right — and interpreted fold expressions made the
+    encode 16x slower at scale). The 2^-20 quantization can only flip
+    selections between codes whose true keys differ by < ~2^-19 — and
+    flips them identically everywhere.
+
+    Plan shape: one Arrow kernel pass over the corpus (codebooks are a
+    driver-side closure, KBs), then an m-row posexplode joined to the
+    broadcast codebook frame for cvec. At 100 TB the encode is a single
+    pass; the stored code table is m*nbits bits per vector — 64x smaller
+    than the float32 vectors it replaces (m=8, nbits=4, dim=64).
     """
-    subs = vectors.select(
+    if books is None:
+        # reassemble the ndarray from the codebook frame (tiny)
+        rows = codebooks.orderBy("sub", "code").collect()
+        ncode = max(r["code"] for r in rows) + 1
+        books = np.array(
+            [[rows[s * ncode + c]["cvec"] for c in range(ncode)] for s in range(m)]
+        )
+    kernel = _pq_code_udf(np.asarray(books, dtype=np.float64))
+    coded = vectors.select(
         F.col(id_col).alias("vec_id"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.slice(F.col(vec_col).cast("array<double>"), s * dsub + 1, dsub),
-            )
-        ).alias("sub", "svec"),
+        F.posexplode(kernel(F.col(vec_col).cast("array<double>"))).alias("sub", "code"),
     )
-    scored = subs.join(F.broadcast(codebooks), "sub").select(
-        "vec_id",
-        "sub",
-        F.struct(
-            (F.lit(-2.0) * _dot(F.col("svec"), F.col("cvec")) + F.col("c2")).alias("key"),
-            F.col("code"),
-            F.col("cvec"),
-        ).alias("cand"),
-    )
-    best = scored.groupBy("vec_id", "sub").agg(F.min("cand").alias("best"))
-    return best.select(
-        "vec_id", "sub", F.col("best.code").alias("code"), F.col("best.cvec").alias("cvec")
-    )
+    return coded.join(
+        F.broadcast(codebooks.select("sub", "code", "cvec")), ["sub", "code"]
+    ).select("vec_id", "sub", "code", "cvec")
 
 
 def ann_pq_topk(
@@ -1071,9 +1111,11 @@ def ann_pq_oracle_sql(
     def _d(v: float) -> str:
         return f"'{float(v)!r}'"
 
+    cq = np.floor(books * _PQ_SCALE).astype(np.int64)
     vals = ", ".join(
         f"({s}, {c}, [{', '.join(_d(v) for v in books[s, c])}]::DOUBLE[], "
-        f"{_d((books[s, c] ** 2).sum())}::DOUBLE)"
+        f"[{', '.join(str(int(v)) for v in cq[s, c])}]::BIGINT[], "
+        f"{int((cq[s, c] ** 2).sum())})"
         for s in range(books.shape[0])
         for c in range(books.shape[1])
     )
@@ -1084,12 +1126,17 @@ def ann_pq_oracle_sql(
             SELECT vec_id, ss.s AS sub, v[ss.s * {dsub} + 1 : ss.s * {dsub} + {dsub}] AS sv
             FROM vecs, unnest(range(0, {m})) ss(s)
         ), cb AS (
-            SELECT * FROM (VALUES {vals}) AS t(sub, code, cv, c2)
+            SELECT * FROM (VALUES {vals}) AS t(sub, code, cv, cq, c2q)
         ), enc AS (
+            -- INT64 scoring (mirror of _pq_code_udf): quantize the
+            -- subvector, integer products, integer sum — order-free
             SELECT vec_id, sub, code, cv,
                    ROW_NUMBER() OVER (
                        PARTITION BY vec_id, sub
-                       ORDER BY -2.0 * {_lf("sv", "cv", dsub)} + c2 ASC, code ASC
+                       ORDER BY c2q - 2 * list_reduce(
+                           list_transform(range(1, {dsub + 1}),
+                               i -> CAST(FLOOR(sv[i] * {_PQ_SCALE!r}) AS BIGINT) * cq[i]),
+                           (x, y) -> x + y) ASC, code ASC
                    ) AS rn
             FROM subs JOIN cb USING (sub)
         ), recon AS (
@@ -1209,9 +1256,11 @@ def ann_ivfpq_oracle_sql(
         f"({i}, [{', '.join(_d(v) for v in c)}]::DOUBLE[])"
         for i, c in enumerate(cents)
     )
+    bq = np.floor(books * _PQ_SCALE).astype(np.int64)
     bvals = ", ".join(
         f"({s}, {c}, [{', '.join(_d(v) for v in books[s, c])}]::DOUBLE[], "
-        f"{_d((books[s, c] ** 2).sum())}::DOUBLE)"
+        f"[{', '.join(str(int(v)) for v in bq[s, c])}]::BIGINT[], "
+        f"{int((bq[s, c] ** 2).sum())})"
         for s in range(books.shape[0])
         for c in range(books.shape[1])
     )
@@ -1245,12 +1294,15 @@ def ann_ivfpq_oracle_sql(
             SELECT vec_id, ss.s AS sub, v[ss.s * {dsub} + 1 : ss.s * {dsub} + {dsub}] AS sv
             FROM vecs, unnest(range(0, {m})) ss(s)
         ), cb AS (
-            SELECT * FROM (VALUES {bvals}) AS t(sub, code, cv, c2)
+            SELECT * FROM (VALUES {bvals}) AS t(sub, code, cv, cq, c2q)
         ), enc AS (
             SELECT vec_id, sub, code, cv,
                    ROW_NUMBER() OVER (
                        PARTITION BY vec_id, sub
-                       ORDER BY -2.0 * {_lf("sv", "cv", dsub)} + c2 ASC, code ASC
+                       ORDER BY c2q - 2 * list_reduce(
+                           list_transform(range(1, {dsub + 1}),
+                               i -> CAST(FLOOR(sv[i] * {_PQ_SCALE!r}) AS BIGINT) * cq[i]),
+                           (x, y) -> x + y) ASC, code ASC
                    ) AS rn
             FROM subs JOIN cb USING (sub)
         ), recon AS (
@@ -1428,9 +1480,11 @@ def ann_ivfpq_residual_oracle_sql(
         f"({i}, [{', '.join(_d(v) for v in a)}]::DOUBLE[])"
         for i, a in enumerate(anchors)
     )
+    bq = np.floor(books * _PQ_SCALE).astype(np.int64)
     bvals = ", ".join(
         f"({s}, {c}, [{', '.join(_d(v) for v in books[s, c])}]::DOUBLE[], "
-        f"{_d((books[s, c] ** 2).sum())}::DOUBLE)"
+        f"[{', '.join(str(int(v)) for v in bq[s, c])}]::BIGINT[], "
+        f"{int((bq[s, c] ** 2).sum())})"
         for s in range(books.shape[0])
         for c in range(books.shape[1])
     )
@@ -1472,12 +1526,15 @@ def ann_ivfpq_residual_oracle_sql(
             SELECT vec_id, ss.s AS sub, rv[ss.s * {dsub} + 1 : ss.s * {dsub} + {dsub}] AS sv
             FROM resid, unnest(range(0, {m})) ss(s)
         ), cb AS (
-            SELECT * FROM (VALUES {bvals}) AS t(sub, code, cv, c2)
+            SELECT * FROM (VALUES {bvals}) AS t(sub, code, cv, cq, c2q)
         ), enc AS (
             SELECT vec_id, sub, code, cv,
                    ROW_NUMBER() OVER (
                        PARTITION BY vec_id, sub
-                       ORDER BY -2.0 * {_lf("sv", "cv", dsub)} + c2 ASC, code ASC
+                       ORDER BY c2q - 2 * list_reduce(
+                           list_transform(range(1, {dsub + 1}),
+                               i -> CAST(FLOOR(sv[i] * {_PQ_SCALE!r}) AS BIGINT) * cq[i]),
+                           (x, y) -> x + y) ASC, code ASC
                    ) AS rn
             FROM subs JOIN cb USING (sub)
         ), rrec AS (

@@ -48,11 +48,13 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "stream_autocorr": (["partial_count", "BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython"]),
     # gram-hash dedup: longs over the shuffle, plain hash aggregation + join
     "exact_substring_spans": (["partial_count", "xxhash64"], ["CartesianProduct", "BatchEvalPython", "Window"]),
-    # PQ: codebook broadcast into encode, probe broadcast into scoring
-    "ann_pq_topk": (["BroadcastHashJoin", "partial_min"], ["CartesianProduct", "BatchEvalPython"]),
+    # PQ: encode = integer Arrow kernel (ArrowEvalPython — the justified
+    # vectorized-UDF case, like the LSH signatures), codebook/probe sides
+    # broadcast; never a row-at-a-time Python UDF
+    "ann_pq_topk": (["BroadcastHashJoin", "ArrowEvalPython"], ["CartesianProduct", "BatchEvalPython"]),
     # IVF-PQ: cell routing + code scan, probe side broadcast on the cell key
-    "ann_ivfpq_topk": (["BroadcastHashJoin", "partial_min"], ["CartesianProduct", "BatchEvalPython"]),
-    "ann_ivfpq_residual_topk": (["BroadcastHashJoin", "partial_min"], ["CartesianProduct", "BatchEvalPython"]),
+    "ann_ivfpq_topk": (["BroadcastHashJoin", "ArrowEvalPython"], ["CartesianProduct", "BatchEvalPython"]),
+    "ann_ivfpq_residual_topk": (["BroadcastHashJoin", "ArrowEvalPython"], ["CartesianProduct", "BatchEvalPython"]),
     # CUSUM: sequential kernel is the documented Arrow case; mean frame broadcast
     "cusum_alarms": (["MapInPandas", "BroadcastHashJoin"], ["BatchEvalPython", "CartesianProduct"]),
     # SAX: bucket-mean groupBy + broadcast stats + lead window + top-k window
