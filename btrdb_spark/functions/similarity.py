@@ -968,6 +968,25 @@ def _pq_code_udf(books: "np.ndarray"):
     return codes
 
 
+def _ip_q_udf():
+    """Arrow-batched QUANTIZED inner product: score = <floor(a*2^20),
+    floor(b*2^20)> / 2^40 — int64 products and sums (order-free), one
+    exact int->double division at the end. ~1e-6 relative error on the
+    score (the repo's correlation-quantization convention) in exchange
+    for a numpy int64 matmul instead of an interpreted 64-step fold per
+    pair (measured 10x+ on the 200k-code scan). Bound: 64 dims x 2^40
+    products = 2^46 per score — far inside int64.
+    """
+
+    @pandas_udf("double")
+    def ipq(a: pd.Series, b: pd.Series) -> pd.Series:
+        am = np.floor(np.array([np.asarray(v, dtype=np.float64) for v in a]) * _PQ_SCALE).astype(np.int64)
+        bm = np.floor(np.array([np.asarray(v, dtype=np.float64) for v in b]) * _PQ_SCALE).astype(np.int64)
+        return pd.Series((am * bm).sum(axis=1) / (_PQ_SCALE * _PQ_SCALE))
+
+    return ipq
+
+
 def pq_encode(
     vectors: DataFrame,
     codebooks: DataFrame,
@@ -1063,13 +1082,53 @@ def ann_pq_topk(
             F.flatten(F.transform(F.col("parts"), lambda p: p["cvec"])).alias("rvec"),
         )
     )
-    p = probes.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("pvec"),
+    # streamed scan: the probe matrix rides INSIDE the kernel closure
+    # (KBs), the reconstruction table streams through mapInPandas, and
+    # each partition emits only its own exact top-k per probe — the
+    # shuffle carries n_partitions x n_probes x k candidate rows, never
+    # the (probe x corpus) cross product. A join-then-score shape moved
+    # 2 x 64 doubles per PAIR through Arrow (6.5 GB on the 200k probe)
+    # and was 3x slower than the scoring itself. Selection is exact: the
+    # per-partition cut uses the same total order (score desc,
+    # neighbor_id asc, integer scores) as the global window, so every
+    # global top-k row survives its partition cut.
+    prows = sorted(
+        (int(r["query_id"]), list(r["pvec"]))
+        for r in probes.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("pvec"),
+        ).collect()
     )
-    scored = (
-        recon.join(F.broadcast(p), F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", _dot(F.col("pvec"), F.col("rvec")).alias("score"))
+    pids = np.array([q for q, _ in prows], dtype=np.int64)
+    pq_mat = np.floor(
+        np.array([v for _, v in prows], dtype=np.float64) * _PQ_SCALE
+    ).astype(np.int64)
+
+    def scan(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            nid = pdf["neighbor_id"].to_numpy()
+            rq = np.floor(
+                np.array([np.asarray(v, dtype=np.float64) for v in pdf["rvec"]])
+                * _PQ_SCALE
+            ).astype(np.int64)
+            scores = rq @ pq_mat.T                      # (rows, probes) int64
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(pids):
+                mask = nid != qid
+                cand_n = nid[mask]
+                cand_s = scores[mask, j]
+                order = np.lexsort((cand_n, -cand_s))[:k]
+                out_q.extend([qid] * len(order))
+                out_n.extend(cand_n[order])
+                out_s.extend(cand_s[order] / (_PQ_SCALE * _PQ_SCALE))
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "score": out_s}
+            )
+
+    scored = recon.mapInPandas(
+        scan, "query_id long, neighbor_id long, score double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -1144,7 +1203,7 @@ def ann_pq_oracle_sql(
             FROM enc WHERE rn = 1 GROUP BY vec_id
         ), scored AS (
             SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
-                   {_lf("p.v", "c.rv", dim)} AS score
+                   CAST(list_reduce(list_transform(range(1, {dim + 1}), i -> CAST(FLOOR(p.v[i] * {_PQ_SCALE!r}) AS BIGINT) * CAST(FLOOR(c.rv[i] * {_PQ_SCALE!r}) AS BIGINT)), (x, y) -> x + y) AS DOUBLE) / ({_PQ_SCALE!r} * {_PQ_SCALE!r}) AS score
             FROM recon c
             JOIN vecs p ON p.vec_id < {probe_max_id} AND c.vec_id <> p.vec_id
         ), ranked AS (
@@ -1217,7 +1276,7 @@ def ann_ivfpq_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id",
-            _dot(F.col("pvec"), F.col("rvec")).alias("score"),
+            _ip_q_udf()(F.col("pvec"), F.col("rvec")).alias("score"),
         )
         # a corpus vector lives in exactly one cell -> no pair dedup needed
     )
@@ -1310,7 +1369,7 @@ def ann_ivfpq_oracle_sql(
             FROM enc WHERE rn = 1 GROUP BY vec_id
         ), scored AS (
             SELECT pc.vec_id AS query_id, cc.vec_id AS neighbor_id,
-                   {_lf("p.v", "r.rv", dim)} AS score
+                   CAST(list_reduce(list_transform(range(1, {dim + 1}), i -> CAST(FLOOR(p.v[i] * {_PQ_SCALE!r}) AS BIGINT) * CAST(FLOOR(r.rv[i] * {_PQ_SCALE!r}) AS BIGINT)), (x, y) -> x + y) AS DOUBLE) / ({_PQ_SCALE!r} * {_PQ_SCALE!r}) AS score
             FROM probe_cells pc
             JOIN corpus_cells cc ON cc.cell = pc.cell
             JOIN vecs p ON p.vec_id = pc.vec_id
@@ -1438,7 +1497,7 @@ def ann_ivfpq_residual_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id",
-            _dot(F.col("pvec"), F.col("rvec")).alias("score"),
+            _ip_q_udf()(F.col("pvec"), F.col("rvec")).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -1547,7 +1606,7 @@ def ann_ivfpq_residual_oracle_sql(
             FROM rrec r JOIN resid re ON re.vec_id = r.vec_id
         ), scored AS (
             SELECT pc.vec_id AS query_id, rc.vec_id AS neighbor_id,
-                   {_lf("p.v", "rc.rv", dim)} AS score
+                   CAST(list_reduce(list_transform(range(1, {dim + 1}), i -> CAST(FLOOR(p.v[i] * {_PQ_SCALE!r}) AS BIGINT) * CAST(FLOOR(rc.rv[i] * {_PQ_SCALE!r}) AS BIGINT)), (x, y) -> x + y) AS DOUBLE) / ({_PQ_SCALE!r} * {_PQ_SCALE!r}) AS score
             FROM probe_cells pc
             JOIN recon rc ON rc.cell = pc.cell
             JOIN vecs p ON p.vec_id = pc.vec_id
