@@ -902,6 +902,15 @@ def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
     return events_fn.event_funnel(events_with_time_ns(spark, sf))
 
 
+def q_ngram_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric containment near-dups (|A∩B|/|A| — subset/quote
+    detection Jaccard misses); functions/dedup.py
+    ngram_containment_pairs."""
+    return dedup.ngram_containment_pairs(
+        load_table(spark, sf, "documents"), n=3, threshold=0.8
+    )
+
+
 def q_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
     """Packing-quality manifest per (source, shard): docs starting,
     token mass, fill fraction (functions/pipeline.py shard_manifest)."""
@@ -1081,6 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only the first 50 of 78 were certified; those 28 lead here. New
     # queries should be inserted near the top for the same reason.
     return {
+        "ngram_containment_pairs": q_ngram_containment_pairs,
         "shard_manifest": q_shard_manifest,
         "neardup_cluster_sizes": q_neardup_cluster_sizes,
         "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
@@ -1597,6 +1607,9 @@ def oracle_sql() -> dict[str, str]:
         m=8, nbits=4, n_centroids=16, nprobe=4, k=5,
     )
     oracles["shard_manifest"] = pipeline.shard_manifest_oracle_sql(2048)
+    oracles["ngram_containment_pairs"] = dedup.containment_oracle_sql(
+        n=3, threshold=0.8
+    )
     oracles["neardup_cluster_sizes"] = f"""
         WITH sized AS (
             SELECT cluster_id, COUNT(*) AS cluster_size

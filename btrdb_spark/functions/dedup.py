@@ -785,3 +785,99 @@ def neardup_cluster_sizes(
         .select(F.col("cluster_size").cast("long").alias("cluster_size"), "n_clusters", "n_docs")
         .orderBy(F.desc("cluster_size"))
     )
+
+
+def ngram_containment_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs — the asymmetric near-dup signal
+    Jaccard misses: containment(A in B) = |A ∩ B| / |A| is high when A
+    is a subset/quote/excerpt of a larger B even though their Jaccard is
+    low (Broder's original containment measure; the curation use case is
+    finding subsumed documents to drop while keeping the superset).
+
+    Output: (doc_a, doc_b, inter, na, nb, cont_a_in_b, cont_b_in_a) for
+    unordered pairs (doc_a < doc_b) where EITHER direction's containment
+    >= threshold. Containments are single double divisions of exact
+    integer counts — bit-identical cross-engine.
+
+    Plan shape: identical to ngram_jaccard_pairs (shingle-hash buckets,
+    in-bucket pair generation, one pair groupBy, doc sizes broadcast) —
+    only the final expression differs; the same max_df/minhash scale
+    notes apply.
+    """
+    edges = shingle_edges(documents, n, text_col)
+    sizes = _spread(documents).select(
+        F.col("doc_id"),
+        F.size(_shingles(F.col(text_col), n)).alias("n_shingles"),
+    )
+    buckets = (
+        edges.select(F.xxhash64(F.col("shingle")).alias("sh"), "doc_id")
+        .groupBy("sh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    inter = (
+        buckets.select(F.explode(_pairs_from_bucket(F.col("ds"))).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    cab = F.col("inter").cast("double") / F.col("na").cast("double")
+    cba = F.col("inter").cast("double") / F.col("nb").cast("double")
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("cont_a_in_b", cab)
+        .withColumn("cont_b_in_a", cba)
+        .filter(
+            (F.col("cont_a_in_b") >= threshold) | (F.col("cont_b_in_a") >= threshold)
+        )
+        .select(
+            "doc_a", "doc_b",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("na").cast("long").alias("na"),
+            F.col("nb").cast("long").alias("nb"),
+            "cont_a_in_b", "cont_b_in_a",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def containment_oracle_sql(n: int = 3, threshold: float = 0.8) -> str:
+    """DuckDB mirror of ngram_containment_pairs (distinct shingles,
+    same counts, same single divisions)."""
+    nm1 = n - 1
+    return f"""
+        WITH dg AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       UNNEST(list_transform(
+                           range(1, greatest(len(string_split(text, ' ')) - {nm1}, 0) + 1),
+                           i -> array_to_string(string_split(text, ' ')[i:i+{nm1}], ' ')
+                       )) AS shingle
+                FROM documents
+            )
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n_shingles FROM dg GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM dg a JOIN dg b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT i.doc_a, i.doc_b, CAST(i.inter AS BIGINT) AS inter,
+               CAST(sa.n_shingles AS BIGINT) AS na,
+               CAST(sb.n_shingles AS BIGINT) AS nb,
+               CAST(i.inter AS DOUBLE) / CAST(sa.n_shingles AS DOUBLE) AS cont_a_in_b,
+               CAST(i.inter AS DOUBLE) / CAST(sb.n_shingles AS DOUBLE) AS cont_b_in_a
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n_shingles AS DOUBLE) >= {float(threshold)!r}
+           OR CAST(i.inter AS DOUBLE) / CAST(sb.n_shingles AS DOUBLE) >= {float(threshold)!r}
+        ORDER BY doc_a, doc_b
+    """

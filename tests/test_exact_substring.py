@@ -48,3 +48,19 @@ def test_overlapping_dup_spans_union_not_sum(spark):
     out = {r["doc_id"]: r for r in dedup.exact_substring_spans(docs, k=4).collect()}
     assert out[0]["dup_tokens"] == 5
     assert out[1]["dup_tokens"] == 5
+
+
+def test_containment_detects_subset_doc(spark):
+    """A short doc fully contained in a long one: containment(A in B)=1
+    while Jaccard is low — the signal this operator exists for."""
+    quote = "the quick brown fox jumps over dogs"
+    long = "intro words here " + quote + " plus a long tail of many extra tokens x y z w"
+    docs = _docs(spark, [quote, long, "completely unrelated content words here now"])
+    out = dedup.ngram_containment_pairs(docs, n=3, threshold=0.9).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"]) == (0, 1)
+    assert r["cont_a_in_b"] == 1.0      # every 3-gram of the quote is in the long doc
+    assert r["cont_b_in_a"] < 0.5       # but not vice versa
+    # Jaccard would be inter/(na+nb-inter) = well under the threshold
+    assert r["inter"] / (r["na"] + r["nb"] - r["inter"]) < 0.5
