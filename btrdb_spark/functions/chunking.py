@@ -149,7 +149,7 @@ def chunk_dedup_oracle_sql(chunk_tokens: int, stride: int) -> str:
                COUNT(*) AS n_chunks,
                CAST(SUM(CASE WHEN s.n_docs_with_chunk >= 2 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_shared_chunks,
-               CAST(SUM(CASE WHEN s.n_docs_with_chunk >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               CAST(SUM(CASE WHEN s.n_docs_with_chunk >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
                    / COUNT(*) AS shared_frac
         FROM chunks c JOIN sharing s USING (chunk_text)
         GROUP BY c.doc_id ORDER BY c.doc_id

@@ -598,7 +598,8 @@ ORACLES = {
               ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
         )
         SELECT doc_a, doc_b,
-               SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) / COUNT(*) AS est_jaccard
+               CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS est_jaccard
         FROM cand
         JOIN sigs sa ON sa.doc_id = doc_a
         JOIN sigs sb ON sb.doc_id = doc_b AND sb.i = sa.i
