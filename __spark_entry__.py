@@ -911,6 +911,15 @@ def q_ngram_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ngram_containment_pairs_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """Stop-shingle containment variant: hot shingles (df > 4) dropped
+    from the universe so per-bucket pair blowup is bounded under
+    boilerplate skew — same lever as ngram_jaccard_pairs_capped."""
+    return dedup.ngram_containment_pairs(
+        load_table(spark, sf, "documents"), n=3, threshold=0.8, max_df=4
+    )
+
+
 def q_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
     """Packing-quality manifest per (source, shard): docs starting,
     token mass, fill fraction (functions/pipeline.py shard_manifest)."""
@@ -1106,6 +1115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": q_repetition_scores,
         "props_extract_stats": q_props_extract_stats,
         "event_funnel": q_event_funnel,
+        # r4 new entries (driver gate reaches ~50 rows; keep new work here)
+        "ngram_containment_pairs_capped": q_ngram_containment_pairs_capped,
         "ngram_containment_pairs": q_ngram_containment_pairs,
         "shard_manifest": q_shard_manifest,
         "neardup_cluster_sizes": q_neardup_cluster_sizes,
@@ -1613,6 +1624,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["shard_manifest"] = pipeline.shard_manifest_oracle_sql(2048)
     oracles["ngram_containment_pairs"] = dedup.containment_oracle_sql(
         n=3, threshold=0.8
+    )
+    oracles["ngram_containment_pairs_capped"] = dedup.containment_oracle_sql(
+        n=3, threshold=0.8, max_df=4
     )
     oracles["neardup_cluster_sizes"] = f"""
         WITH sized AS (

@@ -793,6 +793,7 @@ def ngram_containment_pairs(
     n: int = 3,
     threshold: float = 0.8,
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram CONTAINMENT pairs — the asymmetric near-dup signal
     Jaccard misses: containment(A in B) = |A ∩ B| / |A| is high when A
@@ -807,8 +808,15 @@ def ngram_containment_pairs(
 
     Plan shape: identical to ngram_jaccard_pairs (shingle-hash buckets,
     in-bucket pair generation, one pair groupBy, doc sizes broadcast) —
-    only the final expression differs; the same max_df/minhash scale
-    notes apply.
+    only the final expression differs.
+
+    ``max_df`` is the stop-shingle ceiling, same semantics as
+    ngram_jaccard_pairs: buckets with more than max_df docs are dropped
+    from the shingle UNIVERSE (both intersections and per-doc sizes), so
+    the output is exact containment over the reduced universe and the
+    pair blowup per surviving bucket is bounded by max_df^2/2 even when a
+    boilerplate shingle appears in every document. max_df=None keeps the
+    full-universe exact baseline.
     """
     edges = shingle_edges(documents, n, text_col)
     sizes = _spread(documents).select(
@@ -821,6 +829,20 @@ def ngram_containment_pairs(
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") > 1)
     )
+    if max_df is not None:
+        hot_cnt = (
+            buckets.filter(F.size("ds") > max_df)
+            .select(F.explode("ds").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hot"))
+        )
+        sizes = sizes.join(hot_cnt, "doc_id", "left").select(
+            "doc_id",
+            (F.col("n_shingles") - F.coalesce(F.col("n_hot"), F.lit(0))).alias(
+                "n_shingles"
+            ),
+        )
+        buckets = buckets.filter(F.size("ds") <= max_df)
     inter = (
         buckets.select(F.explode(_pairs_from_bucket(F.col("ds"))).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
@@ -849,12 +871,24 @@ def ngram_containment_pairs(
     )
 
 
-def containment_oracle_sql(n: int = 3, threshold: float = 0.8) -> str:
+def containment_oracle_sql(
+    n: int = 3, threshold: float = 0.8, max_df: int | None = None
+) -> str:
     """DuckDB mirror of ngram_containment_pairs (distinct shingles,
-    same counts, same single divisions)."""
+    same counts, same single divisions; max_df drops hot shingles from
+    the universe exactly as the Spark side does)."""
     nm1 = n - 1
+    cap_sql = (
+        f"""), dfreq AS (
+            SELECT shingle, COUNT(*) AS df FROM dg0 GROUP BY 1
+        ), dg AS (
+            SELECT s.doc_id, s.shingle FROM dg0 s JOIN dfreq USING (shingle)
+            WHERE dfreq.df <= {int(max_df)}"""
+        if max_df is not None
+        else "), dg AS (SELECT * FROM dg0"
+    )
     return f"""
-        WITH dg AS (
+        WITH dg0 AS (
             SELECT DISTINCT doc_id, shingle FROM (
                 SELECT doc_id,
                        UNNEST(list_transform(
@@ -863,6 +897,7 @@ def containment_oracle_sql(n: int = 3, threshold: float = 0.8) -> str:
                        )) AS shingle
                 FROM documents
             )
+        {cap_sql}
         ), sizes AS (
             SELECT doc_id, COUNT(*) AS n_shingles FROM dg GROUP BY doc_id
         ), inter AS (

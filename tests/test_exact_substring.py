@@ -64,3 +64,35 @@ def test_containment_detects_subset_doc(spark):
     assert r["cont_b_in_a"] < 0.5       # but not vice versa
     # Jaccard would be inter/(na+nb-inter) = well under the threshold
     assert r["inter"] / (r["na"] + r["nb"] - r["inter"]) < 0.5
+
+
+def test_containment_max_df_drops_boilerplate_shingle(spark):
+    """A boilerplate shingle shared by EVERY doc (the unbounded-quadratic
+    case) is dropped from the universe when max_df caps it, both from
+    intersections and from per-doc sizes — so unrelated docs that share
+    only the boilerplate produce no pair at all."""
+    boiler = "copyright two thousand"  # one 3-gram shared by all docs
+    quote = "the quick brown fox jumps over dogs"
+    texts = [
+        quote + " " + boiler,
+        "intro words here " + quote + " " + boiler + " plus tail tokens x y z",
+        "first unrelated content entirely here " + boiler,
+        "second unrelated body of text now " + boiler,
+        "third unrelated run of words again " + boiler,
+    ]
+    docs = _docs(spark, texts)
+    # uncapped: the boilerplate gram links every doc pair -> many candidates
+    # reach the pair groupBy (visible as inter>=1 pairs at threshold 0)
+    uncapped = dedup.ngram_containment_pairs(docs, n=3, threshold=0.0).collect()
+    assert len(uncapped) == 10  # all C(5,2) pairs share >= the boiler gram
+    # capped at max_df=2: the df=5 boiler grams leave the universe; only
+    # the genuine quote-subset pair (0 in 1) survives a 0.9 threshold
+    capped = dedup.ngram_containment_pairs(docs, n=3, threshold=0.9, max_df=2)
+    rows = capped.collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in rows] == [(0, 1)]
+    r = rows[0]
+    assert r["cont_a_in_b"] == 1.0
+    # and even at threshold 0 the unrelated-only pairs are gone entirely
+    capped0 = dedup.ngram_containment_pairs(docs, n=3, threshold=0.0, max_df=2).collect()
+    pairs0 = {(r["doc_a"], r["doc_b"]) for r in capped0}
+    assert (2, 3) not in pairs0 and (3, 4) not in pairs0 and (2, 4) not in pairs0
