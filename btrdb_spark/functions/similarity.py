@@ -586,17 +586,51 @@ LABEL_CENTROIDS_ORACLE = """
 """
 
 
-def load_sorted_embeddings(parquet_path: str) -> "np.ndarray":
-    """embeddings.parquet -> (n, dim) float64 matrix ordered by vec_id.
+# Hard ceiling on rows any trainer materializes driver-side. 2^18 rows
+# x 1024 dims x 8 B = 2 GiB worst case — a bounded driver allocation no
+# matter how large the corpus parquet is. k-means/PQ codebook quality
+# saturates far below this sample size (faiss trains IVF/PQ on
+# 30-256x n_centroids points), so the cap costs nothing at scale.
+TRAIN_SAMPLE_ROWS = 1 << 18
 
-    The ONE shared reader for k-means training on both the Spark query
-    side and the DuckDB oracle side: identical input order + exact
+
+def load_sorted_embeddings(
+    parquet_path: str, max_rows: int | None = TRAIN_SAMPLE_ROWS
+) -> "np.ndarray":
+    """embeddings.parquet -> (n, dim) float64 matrix ordered by vec_id,
+    n capped at ``max_rows`` (first rows in FILE order, then sorted by
+    vec_id — a deterministic prefix sample, never a full-table read).
+
+    The ONE shared reader for k-means/PQ training on both the Spark
+    query side and the DuckDB oracle side: identical input order + exact
     float32->float64 widening means the (deterministic) trainer emits
-    bit-identical centroids in both places."""
+    bit-identical centroids in both places — and because BOTH sides call
+    this same function with the same cap, bit-identity survives the
+    sampling. The read is row-group incremental: at most
+    ceil(max_rows / rows_per_group) row groups are ever decoded, so
+    driver memory is bounded by the cap, not the corpus."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(parquet_path, columns=["vec_id", "embedding"])
+    pf = pq.ParquetFile(parquet_path)
+    if max_rows is None:
+        tbl = pf.read(columns=["vec_id", "embedding"])
+    else:
+        batches, got = [], 0
+        for batch in pf.iter_batches(
+            batch_size=min(int(max_rows), 65536), columns=["vec_id", "embedding"]
+        ):
+            batches.append(batch)
+            got += batch.num_rows
+            if got >= max_rows:
+                break
+        if batches:
+            tbl = pa.Table.from_batches(batches)
+        else:  # zero-row file
+            tbl = pf.read(columns=["vec_id", "embedding"])
     df = tbl.to_pandas().sort_values("vec_id")
+    if max_rows is not None:
+        df = df.head(int(max_rows))
     return np.stack(df["embedding"].to_numpy()).astype(np.float64)
 
 
@@ -1041,6 +1075,7 @@ def ann_pq_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_probes: int = 65536,
 ) -> DataFrame:
     """PQ asymmetric-distance ANN (faiss IndexPQ search analog): the
     corpus is PQ-encoded (m*nbits bits per vector); each full-precision
@@ -1092,13 +1127,22 @@ def ann_pq_topk(
     # per-partition cut uses the same total order (score desc,
     # neighbor_id asc, integer scores) as the global window, so every
     # global top-k row survives its partition cut.
-    prows = sorted(
-        (int(r["query_id"]), list(r["pvec"]))
-        for r in probes.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).cast("array<double>").alias("pvec"),
-        ).collect()
-    )
+    # The probe matrix is collected into the kernel closure, so its size
+    # IS driver + executor memory: bound it explicitly instead of
+    # trusting the caller. limit(max+1) lets us detect overflow without
+    # a separate count() job; chunk the probe set (or use the join-based
+    # cosine_topk path) when it genuinely exceeds the cap.
+    collected = probes.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("pvec"),
+    ).limit(int(max_probes) + 1).collect()
+    if len(collected) > max_probes:
+        raise ValueError(
+            f"ann_pq_topk probe set exceeds max_probes={max_probes}; "
+            "chunk the probes and union the results, or raise max_probes "
+            "deliberately (the probe matrix is broadcast into the scan kernel)"
+        )
+    prows = sorted((int(r["query_id"]), list(r["pvec"])) for r in collected)
     pids = np.array([q for q, _ in prows], dtype=np.int64)
     pq_mat = np.floor(
         np.array([v for _, v in prows], dtype=np.float64) * _PQ_SCALE

@@ -147,3 +147,79 @@ def test_residual_ivfpq_end_to_end(spark):
     ).collect()
     assert len(out) == 25
     assert all(r["neighbor_id"] != r["query_id"] for r in out)
+
+
+def test_loader_cap_is_deterministic_file_prefix(tmp_path):
+    """load_sorted_embeddings(max_rows=N) reads the first N rows in FILE
+    order (bounded row-group read), then sorts by vec_id — a
+    deterministic sample regardless of on-disk id order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(11)
+    # file deliberately NOT in vec_id order
+    ids = [5, 2, 9, 0, 7, 1, 8, 3, 6, 4]
+    mat = rng.randn(10, 4).astype(np.float32)
+    tbl = pa.table(
+        {"vec_id": pa.array(ids, pa.int64()),
+         "embedding": pa.array([list(map(float, r)) for r in mat], pa.list_(pa.float32()))}
+    )
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(tbl, path, row_group_size=3)
+
+    full = similarity.load_sorted_embeddings(path, max_rows=None)
+    assert full.shape == (10, 4)
+    capped = similarity.load_sorted_embeddings(path, max_rows=5)
+    # first 5 file rows are ids [5,2,9,0,7]; the sample is those rows
+    # sorted by vec_id -> [0,2,5,7,9]
+    by_id = {ids[i]: mat[i].astype(np.float64) for i in range(10)}
+    expect = [by_id[i] for i in sorted(ids[:5])]
+    assert np.allclose(capped, np.stack(expect), atol=1e-6)
+    # determinism: same call twice -> bit-identical
+    again = similarity.load_sorted_embeddings(path, max_rows=5)
+    assert np.array_equal(capped, again)
+    # default cap exceeds the file: identical to the full read
+    assert np.array_equal(similarity.load_sorted_embeddings(path), full)
+
+
+def test_kmeans_trained_on_sample_recovers_clusters(tmp_path):
+    """VERDICT r3 item 4: training on a bounded sample (!= full set)
+    keeps retrieval quality — with separated clusters, sample-trained
+    centroids classify EVERY full-set point into its true cluster."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(23)
+    centers = rng.randn(4, 8) * 10
+    x = np.vstack([c + rng.randn(50, 8) * 0.1 for c in centers]).astype(np.float32)
+    order = rng.permutation(len(x))
+    tbl = pa.table(
+        {"vec_id": pa.array([int(i) for i in order], pa.int64()),
+         "embedding": pa.array([list(map(float, r)) for r in x[order]], pa.list_(pa.float32()))}
+    )
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(tbl, path, row_group_size=32)
+
+    sample = similarity.load_sorted_embeddings(path, max_rows=96)
+    assert sample.shape[0] == 96 < len(x)
+    cents = similarity.train_kmeans_centroids(sample, k=4)
+    full = similarity.load_sorted_embeddings(path, max_rows=None)
+    # every full-set point lands on the centroid of its own cluster
+    d = ((full[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    assign = d.argmin(1)
+    for c in range(4):
+        true_members = assign[np.abs(full - centers[c]).sum(1) < 5.0]
+        assert len(set(true_members.tolist())) == 1
+
+
+def test_ann_pq_topk_rejects_oversized_probe_set(spark):
+    rng = np.random.RandomState(5)
+    x = rng.randn(30, 16)
+    books = similarity.train_pq_codebooks(x, m=2, nbits=2, seed=0)
+    df = _emb_df(spark, x)
+    probes = df.filter(F.col("vec_id") < 5)
+    try:
+        similarity.ann_pq_topk(df, probes, books, k=3, max_probes=4)
+        assert False, "expected ValueError on probe overflow"
+    except ValueError as e:
+        assert "max_probes" in str(e)
