@@ -717,7 +717,14 @@ def holt_forecast(
     )
 
     h = int(horizon_buckets)
-    fcols = ", ".join(f"forecast_{j} double" for j in range(1, h + 1))
+    if h < 0:
+        raise ValueError("horizon_buckets must be >= 0")
+    # build the full column-spec list and join once, so h=0 degrades to a
+    # clean level/trend-only schema instead of a trailing-comma parse error
+    schema = ", ".join(
+        ["uuid string", "n_buckets long", "level double", "trend double"]
+        + [f"forecast_{j} double" for j in range(1, h + 1)]
+    )
 
     def fold(pdfs):
         import pandas as pd
@@ -748,10 +755,7 @@ def holt_forecast(
 
     return (
         m.repartition(F.col("uuid"))
-        .mapInPandas(
-            fold,
-            f"uuid string, n_buckets long, level double, trend double, {fcols}",
-        )
+        .mapInPandas(fold, schema)
     )
 
 

@@ -117,3 +117,21 @@ def test_sax_constant_stream_emits_nothing(spark):
         rows, "uuid string, time long, value double, version long"
     )
     assert cp.sax_motifs(pts, pw=4).collect() == []  # sd undefined -> no symbols
+
+
+def test_holt_zero_horizon_degrades_to_level_trend(spark):
+    """horizon_buckets=0 must return level/trend only, not die on a
+    malformed trailing-comma schema (ADVICE r3)."""
+    pts = spark.createDataFrame(
+        [("u", i * 16, float(i)) for i in range(8)],
+        "uuid string, time long, value double",
+    )
+    out = rs.holt_forecast(pts, alpha=0.5, beta=0.25, horizon_buckets=0, pw=4)
+    assert out.columns == ["uuid", "n_buckets", "level", "trend"]
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["n_buckets"] == 8
+    try:
+        rs.holt_forecast(pts, horizon_buckets=-1, pw=4)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
