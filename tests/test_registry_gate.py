@@ -1,0 +1,94 @@
+"""Registry-integrity gate (ADVICE r3 #2).
+
+The driver's per-round correctness gate only reaches ~50 of the
+registry's entries, so a regression in a displaced entry could ship
+unnoticed. Two layers of defense, both committed here:
+
+1. Structural checks that ALWAYS run with the suite: every query has a
+   callable, names are unique, every oracle key targets a registered
+   query, and the entries no driver round has certified sit at the head
+   of the dict (where the gate will reach them).
+2. The full 112-entry driver-replica gate (tools/check_correctness.py),
+   which takes ~3 min of Spark+DuckDB work — gated behind
+   RUN_FULL_GATE=1 so `pytest tests/ -x -q` stays fast, and exercised
+   every round by the committed tools/ entry point.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry
+
+
+def test_every_query_is_callable_and_unique():
+    qs = entry.queries()
+    assert len(qs) >= 112
+    assert all(callable(f) for f in qs.values())
+    # dict construction dedupes silently; catch copy-paste dupes at the
+    # source by re-parsing the literal keys
+    import re
+
+    src = open("/root/repo/__spark_entry__.py").read()
+    m = re.search(r"def queries\(\).*?return \{(.*?)\n    \}", src, re.S)
+    keys = re.findall(r'"([a-z0-9_]+)":', m.group(1))
+    assert len(keys) == len(set(keys)), "duplicate key in queries() literal"
+    assert list(qs.keys()) == keys
+
+
+def test_every_oracle_targets_a_registered_query():
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    missing = set(os_) - set(qs)
+    assert not missing, f"oracles without queries: {sorted(missing)}"
+    # queries WITHOUT an oracle get only the weaker rows-only driver
+    # check — keep that set explicit so additions are deliberate
+    rows_only = sorted(set(qs) - set(os_))
+    assert rows_only == [], f"undeclared rows-only queries: {rows_only}"
+
+
+def test_never_certified_entries_lead_the_gate_order():
+    """The 12 entries with no green driver row before r4 must occupy the
+    head of the registry until a driver round certifies them."""
+    import json
+
+    certified = set()
+    for fn in sorted(os.listdir("/root/repo")):
+        if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
+            d = json.load(open(os.path.join("/root/repo", fn)))
+            for k, v in d.items():
+                if (
+                    v.get("rows_match")
+                    and v.get("schema_match")
+                    and v.get("hash_match", True)
+                ):
+                    certified.add(k)
+    keys = list(entry.queries().keys())
+    never = [k for k in keys if k not in certified]
+    gate_window = keys[:50]
+    missed = [k for k in never if k not in gate_window]
+    assert not missed, (
+        f"never-certified queries outside the 50-row gate window: {missed}; "
+        "move them to the head of queries()"
+    )
+
+
+@pytest.mark.skipif(
+    os.environ.get("RUN_FULL_GATE") != "1",
+    reason="full 112-query oracle gate (~3 min); set RUN_FULL_GATE=1",
+)
+def test_full_registry_oracle_gate():
+    proc = subprocess.run(
+        [sys.executable, "tools/check_correctness.py"],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    tail = "\n".join(proc.stdout.splitlines()[-5:])
+    assert proc.returncode == 0, f"full gate failed:\n{tail}\n{proc.stderr[-2000:]}"
