@@ -178,6 +178,38 @@ def register(engine, dist: Distillate) -> None:
         pass  # already registered
 
 
+def stamp_seq(out: DataFrame, output_uuid: str) -> DataFrame:
+    """(time, value) -> hot-buffer batch (uuid, time, value, seq) with
+    seq = rank of the row under (time, value) order within the batch.
+
+    seq stamps insert order (schemas.py). A partitionBy-less row_number
+    would funnel the whole recompute through ONE task; instead rank
+    within 2^42-ns time buckets and add per-bucket offsets (a cumulative
+    sum over the tiny bucket-count frame, broadcast back) — identical
+    seq values to the global sort, but the data itself only ever
+    shuffles on the bucket key."""
+    from ..functions.timeops import bucket_start as _bs
+
+    tb = out.withColumn("_tb", _bs(F.col("time"), 1 << 42))
+    offs = (
+        tb.groupBy("_tb")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(
+            "_tb",
+            (F.sum("_c").over(Window.orderBy("_tb")) - F.col("_c")).alias("_off"),
+        )
+    )
+    seq_in_bucket = F.row_number().over(
+        Window.partitionBy("_tb").orderBy("time", "value")
+    )
+    return tb.join(F.broadcast(offs), "_tb").select(
+        F.lit(output_uuid).alias("uuid"),
+        F.col("time").cast("long").alias("time"),
+        F.col("value").cast("double").alias("value"),
+        (F.col("_off") + seq_in_bucket - 1).cast("long").alias("seq"),
+    )
+
+
 def update(engine, dist: Distillate) -> list[tuple[int, int]]:
     """One incremental maintenance pass. Returns the recomputed ranges
     (empty when every input is already at its processed version)."""
@@ -212,13 +244,7 @@ def update(engine, dist: Distillate) -> list[tuple[int, int]]:
         out = dist.fn(ins, s, e).filter(
             (F.col("time") >= s) & (F.col("time") < e)
         )
-        seq = F.row_number().over(Window.orderBy("time", "value")) - 1
-        batch = out.select(
-            F.lit(dist.output_uuid).alias("uuid"),
-            F.col("time").cast("long").alias("time"),
-            F.col("value").cast("double").alias("value"),
-            seq.cast("long").alias("seq"),
-        )
+        batch = stamp_seq(out, dist.output_uuid)
         engine.append_hot(batch)
         engine.flush(dist.output_uuid)
     _write_state(engine, dist.name, targets)

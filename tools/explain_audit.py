@@ -285,9 +285,27 @@ def main() -> int:
         if "time_bucket" not in pf:
             bad.append("engine_raw_bounded: time_bucket partition pruning missing")
 
+    # DISTIL write path: the seq-stamping row_number must rank within
+    # time buckets (data shuffles on the bucket key), never as a global
+    # partitionBy-less Window whose Exchange SinglePartition carries the
+    # whole recompute. Only the tiny bucket-offset frame may be single-
+    # partition, so the one allowed SinglePartition exchange must feed a
+    # running-sum Window, not the row_number over the data.
+    from btrdb_spark.plans.distill import stamp_seq
+
+    pts2 = events_as_points(spark, SF_DIR).select("time", "value")
+    dplan = stamp_seq(pts2, "out-uuid")._jdf.queryExecution().explainString(mode)
+    if "hashpartitioning(_tb" not in dplan:
+        bad.append("distill_stamp_seq: data row_number not partitioned by time bucket")
+    data_windows = [
+        seg for seg in dplan.split("Window")[1:] if "row_number" in seg[:400]
+    ]
+    if any("_tb" not in seg[:400] for seg in data_windows):
+        bad.append("distill_stamp_seq: row_number Window missing _tb partition spec")
+
     for b in bad:
         print("VIOLATION", b)
-    print(f"{len(bad)} violations across {len(RULES) + 1} audited plans")
+    print(f"{len(bad)} violations across {len(RULES) + 2} audited plans")
     return 1 if bad else 0
 
 
