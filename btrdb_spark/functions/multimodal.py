@@ -107,6 +107,10 @@ def synthetic_ppm_media(documents: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(out, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
+    # 8 fixed partitions, measured: the per-doc blobs are ~1 KB, so at
+    # bench scale Python-worker startup dominates a wider fan-out (32-way
+    # measured 1.5x SLOWER at sf0.1). This is a fixture generator — a
+    # production media table arrives already partitioned by the source.
     return documents.select("doc_id").repartition(8, "doc_id").mapInPandas(
         kernel, MEDIA_SCHEMA
     )
@@ -136,6 +140,10 @@ def synthetic_wav_media(documents: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(out, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
+    # 8 fixed partitions, measured: the per-doc blobs are ~1 KB, so at
+    # bench scale Python-worker startup dominates a wider fan-out (32-way
+    # measured 1.5x SLOWER at sf0.1). This is a fixture generator — a
+    # production media table arrives already partitioned by the source.
     return documents.select("doc_id").repartition(8, "doc_id").mapInPandas(
         kernel, MEDIA_SCHEMA
     )
