@@ -39,13 +39,18 @@ format — six calls, four of them shared logic over two primitives
 | ``link_unchanged_partitions`` | implicit: unchanged files carried by reference in the new snapshot (no copy, like our hardlinks) | same (manifest reuse) |
 | ``gc_generations``         | `VACUUM`                            | `expireSnapshots`               |
 
-The engine and rollup ladder take a backend instance; PosixStore (pointer
-= ``t.CURRENT`` file, atomic via write-tmp+fsync+rename) is the
-single-filesystem implementation, and InMemoryPointerStore keeps pointer
-state in a dict — the "transaction log lives in a catalog service, not
-in the data directory" shape — proving the engine depends only on this
-contract (tests/test_store_backend.py runs the full engine lifecycle on
-it with zero pointer files on disk).
+The engine and rollup ladder take a backend instance; three
+implementations prove the seam (tests/test_store_backend.py runs the
+full engine lifecycle against each, results identical):
+
+- ``PosixStore`` — pointer = ``t.CURRENT`` file, atomic via
+  write-tmp+fsync+rename (single-filesystem).
+- ``InMemoryPointerStore`` — pointer state in a dict, the "transaction
+  log lives in a catalog service" shape.
+- ``ManifestLogStore`` — an append-only commit log of put-if-absent
+  manifest entries with NO renames anywhere: the object-store (S3)
+  shape, with Delta-style optimistic-concurrency retries and torn-put
+  fallback.
 """
 
 from __future__ import annotations
@@ -189,6 +194,97 @@ class InMemoryPointerStore(StoreBackend):
 
     def __repr__(self) -> str:
         return f"InMemoryPointerStore({len(self._ptr)} tables)"
+
+
+class ManifestLogStore(StoreBackend):
+    """Pointer = an append-only commit log of immutable, uniquely-numbered
+    manifest files — the OBJECT-STORE shape, where rename does not exist.
+
+    Layout: ``{name}._log/{N:020}.json`` with body
+    ``{"gen": "t.g3", "crc": <crc32 of gen>}``. The live generation is
+    the one named by the highest WELL-FORMED log entry.
+
+    Commit protocol (blockstore.go:317-360's "pointer flip is the only
+    state transition", translated to S3 semantics):
+
+    - ``publish`` = one put-if-absent of the next entry number
+      (``O_CREAT|O_EXCL`` here; a conditional PUT / If-None-Match on S3,
+      which is what Delta's `_delta_log` and an Iceberg catalog swap do).
+      Everything before it is invisible; everything after it is complete.
+    - No file or directory is EVER renamed — creation under a fresh name
+      is the only mutation, so the backend maps 1:1 onto a bucket.
+    - Concurrent committers race for the same entry number; the loser
+      gets FileExistsError and retries on top of the winner's commit
+      (optimistic concurrency, Delta protocol §Transaction Identifiers).
+    - A crash mid-put can leave a torn newest entry on POSIX (a real
+      object store's puts are atomic). ``resolve`` verifies the embedded
+      crc and falls back to the previous entry — a torn commit is an
+      uncommitted commit, and the prior version stays fully readable.
+    """
+
+    MAX_RETRIES = 16
+
+    @staticmethod
+    def _log_dir(base: str, name: str) -> str:
+        return os.path.join(base, f"{name}._log")
+
+    @staticmethod
+    def _entries(log_dir: str) -> list[tuple[int, str]]:
+        if not os.path.isdir(log_dir):
+            return []
+        out = []
+        for fn in os.listdir(log_dir):
+            stem, ext = os.path.splitext(fn)
+            if ext == ".json" and stem.isdigit():
+                out.append((int(stem), os.path.join(log_dir, fn)))
+        return sorted(out)
+
+    def resolve(self, base: str, name: str) -> str | None:
+        import json
+        import zlib
+
+        for _n, path in reversed(self._entries(self._log_dir(base, name))):
+            try:
+                with open(path) as f:
+                    body = json.load(f)
+                gen = body["gen"]
+                if body.get("crc") != zlib.crc32(gen.encode()):
+                    continue  # torn put -> uncommitted, fall back
+            except (ValueError, KeyError, OSError):
+                continue
+            full = os.path.join(base, gen)
+            if os.path.exists(full):
+                return full
+        return None
+
+    def publish(self, base: str, name: str, gen_path: str) -> None:
+        import json
+        import zlib
+
+        log_dir = self._log_dir(base, name)
+        os.makedirs(log_dir, exist_ok=True)
+        gen = os.path.basename(gen_path)
+        body = json.dumps({"gen": gen, "crc": zlib.crc32(gen.encode())})
+        entries = self._entries(log_dir)
+        n = (entries[-1][0] + 1) if entries else 0
+        for attempt in range(self.MAX_RETRIES):
+            path = os.path.join(log_dir, f"{n + attempt:020}.json")
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                continue  # lost the race; retry on top of the winner
+            with os.fdopen(fd, "w") as f:
+                f.write(body)
+                f.flush()
+                os.fsync(f.fileno())
+            return
+        raise RuntimeError(
+            f"ManifestLogStore: lost {self.MAX_RETRIES} consecutive commit races "
+            f"for {name}"
+        )
+
+    def __repr__(self) -> str:
+        return "ManifestLogStore()"
 
 
 DEFAULT = PosixStore()

@@ -87,3 +87,78 @@ def test_in_memory_backend_atomic_swap_semantics(tmp_path):
     assert b.resolve(base, "t") == g1
     victims = b.gc_generations(base, "t", keep=1)
     assert victims == [g0] and b.resolve(base, "t") == g1
+
+
+def test_manifest_backend_runs_full_lifecycle(spark, tmp_path, posix_result):
+    """S3-style no-rename commit log (VERDICT r3 #5): same engine
+    lifecycle, results identical to POSIX, and no .CURRENT pointer files
+    or rename-based commits anywhere."""
+    base = str(tmp_path / "db")
+    eng = BTrDBEngine(
+        spark, base, flush_threshold=10_000, ladder=True,
+        store_backend=store.ManifestLogStore(),
+    )
+    got = _lifecycle(eng)
+    assert got == posix_result
+    pointer_files = [
+        f for r, _d, fs in os.walk(base) for f in fs
+        if f.endswith(".CURRENT") or f.endswith(".CURRENT.tmp")
+    ]
+    assert pointer_files == []
+    # the commit history IS the log: at least one table has >1 entry
+    logs = [
+        os.path.join(r, d) for r, ds, _f in os.walk(base) for d in ds
+        if d.endswith("._log")
+    ]
+    assert logs, "no manifest logs written"
+    assert any(len(os.listdir(lg)) > 1 for lg in logs)
+
+
+def test_manifest_backend_atomic_swap_semantics(tmp_path):
+    b = store.ManifestLogStore()
+    base = str(tmp_path)
+    assert b.resolve(base, "t") is None
+    g0 = b.new_generation(base, "t")
+    assert b.resolve(base, "t") is None  # staged, not live
+    b.publish(base, "t", g0)
+    assert b.resolve(base, "t") == g0
+    g1 = b.new_generation(base, "t")
+    assert b.resolve(base, "t") == g0
+    b.publish(base, "t", g1)
+    assert b.resolve(base, "t") == g1
+
+
+def test_manifest_torn_commit_falls_back_to_previous(tmp_path):
+    """A torn newest log entry (crash mid-put on POSIX) is an
+    UNCOMMITTED commit: resolve returns the previous generation."""
+    b = store.ManifestLogStore()
+    base = str(tmp_path)
+    g0 = b.new_generation(base, "t")
+    b.publish(base, "t", g0)
+    g1 = b.new_generation(base, "t")
+    # simulate the crash: next entry number exists but is torn garbage
+    log_dir = b._log_dir(base, "t")
+    with open(os.path.join(log_dir, f"{1:020}.json"), "w") as f:
+        f.write('{"gen": "t.g1", "cr')  # truncated mid-body
+    assert b.resolve(base, "t") == g0
+    # recovery: the next publish commits PAST the torn entry and wins
+    b.publish(base, "t", g1)
+    assert b.resolve(base, "t") == g1
+
+
+def test_manifest_commit_race_loser_retries(tmp_path):
+    """Two committers racing for the same entry number: the loser's
+    put-if-absent fails and it lands on the next number (optimistic
+    concurrency) — no commit is lost, last write wins."""
+    a, c = store.ManifestLogStore(), store.ManifestLogStore()
+    base = str(tmp_path)
+    g0 = a.new_generation(base, "t")
+    a.publish(base, "t", g0)
+    g1 = a.new_generation(base, "t")
+    g2 = a.new_generation(base, "t")
+    # both see entry 0 as latest; both target entry 1
+    a.publish(base, "t", g1)
+    c.publish(base, "t", g2)  # EEXIST on 1 -> retries at 2
+    log = sorted(os.listdir(a._log_dir(base, "t")))
+    assert len(log) == 3
+    assert a.resolve(base, "t") == g2
