@@ -38,6 +38,8 @@ table (MERGE + transaction log); the engine relies only on
 from __future__ import annotations
 
 import os
+import threading
+import time as timelib
 import uuid as uuidlib
 from collections.abc import Iterable, Mapping
 
@@ -93,6 +95,19 @@ def time_bucket(col, pw: int = TIME_PARTITION_PW):
     return F.shiftright(col, pw)
 
 
+def _locked(fn):
+    """Serialize a mutating engine method on the per-engine write lock
+    (see __init__) — required once a MaintenanceLoop runs off-thread."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._write_lock:
+            return fn(self, *args, **kwargs)
+
+    return wrapper
+
+
 class BTrDBEngine:
     def __init__(
         self,
@@ -108,8 +123,19 @@ class BTrDBEngine:
         # the commit-protocol backend (store.StoreBackend): POSIX pointer
         # files by default; any lakehouse-shaped backend plugs in here
         self.store = store_backend if store_backend is not None else store.DEFAULT
+        # Serializes MUTATIONS (appends, flushes, rewrites, GC) so an
+        # off-thread maintenance pass can never snapshot-then-republish a
+        # table while a foreground write lands in the superseded
+        # generation. Reads never take it — the generation-pointer MVCC
+        # keeps them consistent lock-free. Re-entrant: flush (locked)
+        # calls _clear_hot (locked).
+        self._write_lock = threading.RLock()
         os.makedirs(base_dir, exist_ok=True)
         self._init_layout()
+        # uuids tombstoned with defer_gc=True whose data the background
+        # maintenance pass has not reaped yet; cached from the gc_pending
+        # journal so the hot read path filters with a literal, never a job
+        self._pending_gc: set[str] = self._load_pending_gc()
         self.ladder = None
         if ladder:
             from .plans.rollup import RollupLadder
@@ -271,6 +297,7 @@ class BTrDBEngine:
 
     # ---------- metadata plane (M1-M4) ----------
 
+    @_locked
     def create_stream(
         self,
         collection: str,
@@ -319,6 +346,7 @@ class BTrDBEngine:
         )
         return uuid
 
+    @_locked
     def set_annotations(
         self, uuid: str, expected_version: int, changes: Mapping[str, str | None]
     ) -> None:
@@ -443,6 +471,7 @@ class BTrDBEngine:
 
     # ---------- write path (S1-S4) ----------
 
+    @_locked
     def insert(self, uuid: str, values: Iterable[tuple[int, float]], sync: bool = False) -> tuple[int, int]:
         """S1: buffered insert. Validates domain, appends to the hot table,
         auto-flushes past the threshold (or immediately when sync=True)."""
@@ -465,6 +494,7 @@ class BTrDBEngine:
             return self.flush(uuid)
         return major, minor
 
+    @_locked
     def append_hot(self, batch: DataFrame) -> None:
         """Append (uuid, time, value, seq) rows to the hot buffer,
         partitioned by uuid_bucket so a flush's clear touches 1/N of the
@@ -476,6 +506,7 @@ class BTrDBEngine:
             .parquet(self._append_dir("hot"))
         )
 
+    @_locked
     def flush(self, uuid: str) -> tuple[int, int]:
         """S4: commit the hot buffer into the cold points table at major+1."""
         major, minor = self.stream_version(uuid)
@@ -509,6 +540,7 @@ class BTrDBEngine:
         self._clear_hot(uuid)
         return new_major, 0
 
+    @_locked
     def bulk_load(self, points: DataFrame, version: int | None = None) -> None:
         """Backfill path: commit an arbitrarily large (uuid, time, value)
         DataFrame straight to cold storage + rollup ladder, bypassing the
@@ -576,6 +608,7 @@ class BTrDBEngine:
             fp.result()
             fl.result()
 
+    @_locked
     def compact_points(
         self,
         n_uuid_buckets: int | None = None,
@@ -659,19 +692,26 @@ class BTrDBEngine:
         folds small flush files (run it at a coarser cadence than GC —
         every compact creates one new generation per table)."""
         out: dict = {}
-        if compact:
-            self.compact_points()
-            out["compacted"] = True
-        out["reaped"] = self.vacuum(keep=keep)
+        with self._write_lock:
+            reaped_streams = self.gc_obliterated()
+            if reaped_streams:
+                out["obliterated_reaped"] = reaped_streams
+            if compact:
+                self.compact_points()
+                if self.ladder is not None:
+                    self.ladder.compact()
+                out["compacted"] = True
+            out["reaped"] = self.vacuum(keep=keep)
         return out
 
+    @_locked
     def vacuum(self, keep: int = 2) -> dict[str, int]:
         """Reap superseded table generations (Delta VACUUM analog). Old
         generations are the MVCC window for in-flight readers — `keep`
         bounds how far back a long-running query may lag. Returns
         {table: generations removed}."""
         out: dict[str, int] = {}
-        names = ["points", "hot", "streams", "deletes"]
+        names = ["points", "hot", "streams", "deletes", "gc_pending"]
         if self.ladder is not None:
             names += [self.ladder._name(pw) for pw in self.ladder.levels]
         for name in names:
@@ -693,6 +733,7 @@ class BTrDBEngine:
             lambda df: df.filter(F.col("uuid") != uuid).select(cols),
         )
 
+    @_locked
     def delete_range(self, uuid: str, start: int, end: int) -> int:
         """V3: range tombstone at a new version; flushes the buffer first so
         buffered points in range are also deleted."""
@@ -713,16 +754,43 @@ class BTrDBEngine:
             invalidate_buckets(self.ladder, live, uuid, start, end)
         return new_major
 
-    def obliterate(self, uuid: str) -> None:
+    def obliterate(self, uuid: str, defer_gc: bool = False) -> None:
         """S7: tombstone metadata and drop the stream's data.
 
-        Touches ONLY the stream's own partitions: its meta_bucket row
-        group, its uuid_bucket directory of the cold/hot tables (all other
-        partition directories hardlink into the new generation), and the
-        ladder levels; every swap is an atomic pointer flip."""
-        if not self.streams.filter(F.col("uuid") == uuid).count():
-            raise KeyError(f"no such stream: {uuid}")
-        self._rewrite_stream_row(uuid, tombstoned="deleted")
+        ``defer_gc=False`` (default): synchronous — data partitions are
+        rewritten before returning.
+
+        ``defer_gc=True`` is the REFERENCE's shape (quasar.go:119-137 +
+        mprovider Obliterate): the call only tombstones metadata and
+        journals the uuid into ``gc_pending``; the stream disappears from
+        every query IMMEDIATELY (the read path filters journaled uuids),
+        and the background maintenance loop reclaims the storage later
+        via ``gc_obliterated`` — obliterate latency is one metadata row,
+        not O(stream partitions).
+
+        Either way only the stream's own partitions are ever touched: its
+        meta_bucket row group, its uuid_bucket directory of the cold/hot
+        tables (all other partition directories hardlink into the new
+        generation), and the ladder levels; every swap is an atomic
+        pointer flip."""
+        with self._write_lock:
+            if not self.streams.filter(F.col("uuid") == uuid).count():
+                raise KeyError(f"no such stream: {uuid}")
+            self._rewrite_stream_row(uuid, tombstoned="deleted")
+            if defer_gc:
+                self.spark.createDataFrame(
+                    [(uuid, int(timelib.time() * 1e9))],
+                    "uuid string, requested long",
+                ).coalesce(1).write.mode("append").parquet(
+                    self._append_dir("gc_pending")
+                )
+                self._pending_gc.add(uuid)
+                return
+            self._drop_stream_data(uuid)
+
+    def _drop_stream_data(self, uuid: str) -> None:
+        """Reap one obliterated stream's storage: cold uuid_bucket
+        partition, hot-buffer rows, every ladder level."""
         if self._has_parquet(self._data_dir("points")):
             self._rewrite_bucket_partition(
                 "points",
@@ -737,6 +805,31 @@ class BTrDBEngine:
                 self.ladder.rewrite_level(
                     pw, lambda df: df.filter(F.col("uuid") != uuid)
                 )
+
+    def _load_pending_gc(self) -> set[str]:
+        path = self._data_dir("gc_pending")
+        if not self._has_parquet(path):
+            return set()
+        return {r["uuid"] for r in self.spark.read.parquet(path).select("uuid").distinct().collect()}
+
+    def gc_obliterated(self) -> int:
+        """Background half of deferred obliterate (quasar.go:119-137's
+        1/min GC): reap the storage of every journaled uuid, then clear
+        the journal. Idempotent — replaying after a crash between the
+        data drop and the journal clear just re-filters already-absent
+        rows. Returns the number of streams reaped."""
+        with self._write_lock:
+            pending = sorted(self._load_pending_gc())
+            if not pending:
+                return 0
+            for u in pending:
+                self._drop_stream_data(u)
+            # clear the journal: publish a fresh empty generation (no
+            # rows survive — all journaled uuids were just processed)
+            gen = self.store.new_generation(self.base, "gc_pending")
+            self.store.publish(self.base, "gc_pending", gen)
+            self._pending_gc -= set(pending)
+            return len(pending)
 
     # ---------- read path (merge-on-read) ----------
 
@@ -759,6 +852,12 @@ class BTrDBEngine:
                 "uuid", "time", "value", F.lit((1 << 62)).cast("long").alias("version")
             )
             pts = pts.unionByName(overlay)
+        if self._pending_gc:
+            # deferred-obliterate window: tombstoned streams whose data
+            # the maintenance pass hasn't reaped yet are ALREADY gone to
+            # every reader — a literal NOT IN, zero cost when the set is
+            # empty (the steady state)
+            pts = pts.filter(~F.col("uuid").isin(sorted(self._pending_gc)))
         return pts, self.deletes
 
     def raw_values(self, uuid: str, start: int, end: int, version: int | None = None) -> DataFrame:
@@ -770,7 +869,7 @@ class BTrDBEngine:
         latest-version query, no buffered rows for the stream, and a
         maintained level at or below pw. Otherwise the raw path (which is
         always exact; the ladder is a pure accelerator)."""
-        if self.ladder is not None:
+        if self.ladder is not None and uuid not in self._pending_gc:
             if version is None:
                 # latest: valid unless unflushed hot rows must merge in
                 routable = not self.hot.filter(F.col("uuid") == uuid).limit(1).count()
@@ -804,6 +903,7 @@ class BTrDBEngine:
         if (
             self.ladder is not None
             and version is None
+            and uuid not in self._pending_gc
             and not self.hot.filter(F.col("uuid") == uuid).limit(1).count()
             and not self.deletes.filter(F.col("uuid") == uuid).limit(1).count()
         ):
@@ -867,6 +967,8 @@ class BTrDBEngine:
             )
             pts = pts.unionByName(overlay)
             to_ver = 1 << 62
+        if self._pending_gc:
+            pts = pts.filter(~F.col("uuid").isin(sorted(self._pending_gc)))
         return chg_ops.changed_ranges(
             pts, uuid, from_ver, to_ver, resolution, deletes=self.deletes
         )

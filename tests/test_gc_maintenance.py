@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import os
 import re
+import threading
 import time
 
 from pyspark.sql import functions as F
@@ -91,3 +92,89 @@ def test_streaming_trigger_runs_interval_gc(spark, tmp_path):
     assert len(_gens(base, "hot")) <= 5 < n_flushes
     # and the data survived: committed rows all readable
     assert eng.raw_values("gcs1", 0, 10**12).count() > 0
+
+
+def test_deferred_obliterate_reclaimed_by_background_loop(spark, tmp_path):
+    """VERDICT r3 #6: obliterate(defer_gc=True) tombstones + journals in
+    one metadata write; the stream vanishes from every query path
+    immediately; the MaintenanceLoop reclaims the storage WITHOUT any
+    explicit gc call; the journal survives an engine reopen."""
+    from btrdb_spark.maintenance import MaintenanceLoop
+
+    base = str(tmp_path / "db")
+    eng = BTrDBEngine(spark, base, flush_threshold=10_000, ladder=True)
+    keep_u = eng.create_stream("m/keep")
+    dead_u = eng.create_stream("m/dead")
+    eng.insert(keep_u, [(i * 1000, float(i)) for i in range(50)], sync=True)
+    eng.insert(dead_u, [(i * 1000, 9.0) for i in range(50)], sync=True)
+    keep_rows = [tuple(r) for r in eng.raw_values(keep_u, 0, 10**9).collect()]
+
+    eng.obliterate(dead_u, defer_gc=True)
+    # gone from queries NOW, before any GC ran
+    assert eng.raw_values(dead_u, 0, 10**9).count() == 0
+    assert eng.aligned_windows(dead_u, 0, 10**9, 14).count() == 0
+    assert eng.windows(dead_u, 0, 10**9, 16384).count() == 0
+    # but the bytes are still on disk (data reap deferred)
+    assert eng.points.filter(F.col("uuid") == dead_u).count() > 0
+    # journal is durable: a fresh engine on the same store also hides it
+    eng2 = BTrDBEngine(spark, base, flush_threshold=10_000, ladder=True)
+    assert eng2.raw_values(dead_u, 0, 10**9).count() == 0
+
+    loop = MaintenanceLoop(eng, interval_s=0.2, keep=2, compact_every=1000)
+    with loop:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if loop.passes >= 1 and eng.points.filter(F.col("uuid") == dead_u).count() == 0:
+                break
+            time.sleep(0.3)
+    assert loop.last_error is None, loop.last_error
+    assert loop.passes >= 1
+    # storage reclaimed by the background pass, no explicit call
+    assert eng.points.filter(F.col("uuid") == dead_u).count() == 0
+    assert eng._pending_gc == set()
+    # the surviving stream is untouched
+    assert [tuple(r) for r in eng.raw_values(keep_u, 0, 10**9).collect()] == keep_rows
+
+
+def test_writes_during_maintenance_pass_stay_query_correct(spark, tmp_path):
+    """A writer thread keeps inserting while the maintenance loop runs
+    aggressive GC+compaction passes: every acknowledged write must read
+    back exactly afterwards (the write-lock serialization contract)."""
+    from btrdb_spark.maintenance import MaintenanceLoop
+
+    base = str(tmp_path / "db")
+    eng = BTrDBEngine(spark, base, flush_threshold=40, ladder=True)
+    u = eng.create_stream("m/live")
+    # a doomed stream so the loop's obliterate-GC half also exercises
+    doomed = eng.create_stream("m/doomed")
+    eng.insert(doomed, [(i, 1.0) for i in range(30)], sync=True)
+    eng.obliterate(doomed, defer_gc=True)
+
+    written: list[tuple[int, float]] = []
+    errors: list[BaseException] = []
+
+    def writer():
+        try:
+            for b in range(12):
+                batch = [(b * 100_000 + i * 100, float(b * 1000 + i)) for i in range(50)]
+                eng.insert(u, batch, sync=(b % 3 == 0))
+                written.extend(batch)
+        except BaseException as exc:  # surface in the main thread
+            errors.append(exc)
+
+    loop = MaintenanceLoop(eng, interval_s=0.05, keep=2, compact_every=3)
+    t = threading.Thread(target=writer)
+    with loop:
+        t.start()
+        t.join(timeout=300)
+    assert not t.is_alive(), "writer deadlocked"
+    assert errors == [], errors
+    assert loop.last_error is None, loop.last_error
+    assert loop.passes >= 2, f"loop barely ran ({loop.passes} passes)"
+    eng.flush(u)
+    got = sorted(
+        (r["time"], r["value"]) for r in eng.raw_values(u, 0, 1 << 60).collect()
+    )
+    assert got == sorted(written)
+    # the doomed stream's storage went away in the background
+    assert eng.points.filter(F.col("uuid") == doomed).count() == 0
