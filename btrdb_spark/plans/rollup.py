@@ -351,13 +351,50 @@ class RollupLadder:
             )
         return self.spark.read.parquet(path)
 
-    def ingest_batch(self, batch_points: DataFrame) -> None:
+    # ---- streaming exactly-once bookkeeping (pqm.go:152-188 analog) ----
+
+    def _epoch_name(self, pw: int) -> str:
+        return f"{self._name(pw)}_epoch"
+
+    def committed_epoch(self, pw: int) -> int | None:
+        """Highest streaming epoch whose partials are durably appended at
+        level pw, or None if no epoch-stamped ingest ever ran."""
+        import re as _re
+
+        path = self.store.resolve(self.base, self._epoch_name(pw))
+        if path is None:
+            return None
+        m = _re.search(r"\.g(\d+)$", path)
+        return int(m.group(1)) if m else None
+
+    def _mark_epoch(self, pw: int, epoch: int) -> None:
+        """Atomically record epoch as committed at level pw: an empty
+        generation directory named by the epoch + the backend's pointer
+        flip (works on every StoreBackend, including no-rename ones)."""
+        gen = os.path.join(self.base, f"{self._epoch_name(pw)}.g{epoch}")
+        os.makedirs(gen, exist_ok=True)
+        self.store.publish(self.base, self._epoch_name(pw), gen)
+        self.store.gc_generations(self.base, self._epoch_name(pw), keep=2)
+
+    def ingest_batch(self, batch_points: DataFrame, epoch: int | None = None) -> None:
         """Append per-level partials for a batch — O(batch) work.
 
         Folds level-to-level (finest first, each 64x smaller) exactly like
         the reference's spine update, instead of re-scanning the batch per
         level. Partials are stamped with the batch's commit version (the
         CGeneration analog); unversioned batches get the latest sentinel.
+
+        ``epoch`` (streaming replay guard): when the caller supplies the
+        micro-batch's monotonic epoch id, each level's append is followed
+        by an atomic per-level epoch-watermark flip, and a replayed epoch
+        skips every level whose watermark already covers it — the
+        version-guarded journal replay of pqm.go:152-188, per ladder
+        level. Epochs arrive strictly in order (Structured Streaming
+        serializes foreachBatch), so watermark >= epoch means this
+        level's partials for the epoch are already durable. The residual
+        window is a crash between a level's parquet job commit and its
+        watermark flip (one metadata op later); closing it entirely
+        takes a transactional table format, same note as the hot sink.
         """
         if "version" not in batch_points.columns:
             batch_points = batch_points.withColumn(
@@ -367,9 +404,15 @@ class RollupLadder:
         for i, pw in enumerate(self.levels):
             if i > 0:
                 partial = coarsen(partial, self.levels[i - 1], pw)
+            if epoch is not None:
+                done = self.committed_epoch(pw)
+                if done is not None and done >= epoch:
+                    continue  # replayed crash: this level already has it
             partial.write.mode("append").parquet(
                 self.store.current_dir(self.base, self._name(pw), create=True)
             )
+            if epoch is not None:
+                self._mark_epoch(pw, epoch)
 
     def rewrite_level(self, pw: int, rewrite) -> None:
         """Replace level pw with ``rewrite(level_df)`` via a new generation

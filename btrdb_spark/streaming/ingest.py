@@ -67,6 +67,43 @@ def attach_ingest(
             "pass ladder=None: engine.flush() already maintains engine.ladder "
             "at commit time; wiring it here too would double-count every batch"
         )
+    process_batch = make_batch_processor(
+        engine,
+        checkpoint_dir,
+        ladder=ladder,
+        maintenance_interval_s=maintenance_interval_s,
+        vacuum_keep=vacuum_keep,
+    )
+    return (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+def make_batch_processor(
+    engine: BTrDBEngine,
+    checkpoint_dir: str,
+    ladder: RollupLadder | None = None,
+    maintenance_interval_s: float | None = None,
+    vacuum_keep: int = 2,
+):
+    """The foreachBatch body, exposed so crash/replay semantics are
+    directly testable (tests/test_streaming_ladder_chaos.py drives it
+    with crafted epochs and injected kills).
+
+    Exactly-once across replays:
+    - hot table: rows carry seq=epoch_id; a replayed epoch whose rows
+      already landed is detected with one pruned existence probe and
+      skipped (closes the re-append window the r2 sink documented);
+    - ladder: ingest_batch(epoch=...) guards each level with an atomic
+      per-level epoch watermark (plans/rollup.py) — a kill between the
+      hot append and the ladder merge, or between any two level appends,
+      replays into appends of only the missing levels;
+    - the epoch .done marker then gates the whole batch; flush/GC after
+      it are version-guarded engine ops, safe to repeat.
+    """
     marker_dir = os.path.join(checkpoint_dir, "committed_epochs")
     os.makedirs(marker_dir, exist_ok=True)
     last_maintain = [float("-inf")]  # monotonic seconds of the last GC run
@@ -81,9 +118,13 @@ def attach_ingest(
             F.col("value").cast("double"),
             F.lit(epoch_id).cast("long").alias("seq"),
         )
-        engine.append_hot(batch)
+        hot_done = (
+            engine.hot.filter(F.col("seq") == epoch_id).limit(1).count() > 0
+        )
+        if not hot_done:
+            engine.append_hot(batch)
         if ladder is not None:
-            ladder.ingest_batch(batch.select("uuid", "time", "value"))
+            ladder.ingest_batch(batch.select("uuid", "time", "value"), epoch=epoch_id)
         # atomic marker AFTER the data commit (write tmp + rename)
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:
@@ -119,9 +160,4 @@ def attach_ingest(
                 last_maintain[0] = now
                 engine.maintain(keep=vacuum_keep)
 
-    return (
-        stream_df.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(processingTime=f"{trigger_seconds} seconds")
-        .start()
-    )
+    return process_batch
