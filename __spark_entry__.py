@@ -1081,6 +1081,47 @@ def q_decimate_minmax(spark: SparkSession, sf: str) -> DataFrame:
     return decimate.decimate_minmax(events_as_points(spark, sf), T0, T1, pw=42)
 
 
+def q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/MassiveWeb quality-filter rules (Rae et al. 2021 App. A):
+    per-doc metrics + pass verdict, one codegen'd scan-project
+    (functions/text.py gopher_quality)."""
+    return text.gopher_quality(load_table(spark, sf, "documents"))
+
+
+def q_vocab_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary accounting: tokens, vocab, hapax, type-token
+    ratio, Zipf-head mass (functions/text.py vocab_stats)."""
+    return text.vocab_stats(load_table(spark, sf, "documents"), top_k=10)
+
+
+def q_domain_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source curation report: docs, exact-dup rate, char volume
+    (functions/text.py domain_stats)."""
+    return text.domain_stats(load_table(spark, sf, "documents"))
+
+
+def q_counter_increase(spark: SparkSession, sf: str) -> DataFrame:
+    """Prometheus-style counter increase per 2^45 bucket with reset
+    handling (operators/resample.py counter_increase)."""
+    return rs_ops.counter_increase(events_as_points(spark, sf), pw=45)
+
+
+def q_stream_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of snapshot of every stream at T0+10d with a 5-day lookback —
+    the whole-plant current-value read (operators/raw.py snapshot)."""
+    return raw_ops.snapshot(
+        events_as_points(spark, sf), at=T0 + 10 * DAY, lookback=5 * DAY
+    )
+
+
+def q_lttb_downsample(spark: SparkSession, sf: str) -> DataFrame:
+    """LTTB visual downsampling with fixed bucket-mean anchors on the
+    2^42 grid (operators/decimate.py lttb_downsample)."""
+    from btrdb_spark.operators import decimate
+
+    return decimate.lttb_downsample(events_as_points(spark, sf), pw=42)
+
+
 def q_stream_autocorr(spark: SparkSession, sf: str) -> DataFrame:
     """Per-stream autocorrelation of 2^45-bucket means at lags 1-3 —
     the seasonality probe, exact-sum deterministic like
@@ -1117,6 +1158,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         # r4 new entries (driver gate reaches ~50 rows; keep new work here)
         "ngram_containment_pairs_capped": q_ngram_containment_pairs_capped,
+        "gopher_quality": q_gopher_quality,
+        "vocab_stats": q_vocab_stats,
+        "domain_stats": q_domain_stats,
+        "counter_increase": q_counter_increase,
+        "stream_snapshot": q_stream_snapshot,
+        "lttb_downsample": q_lttb_downsample,
         "ngram_containment_pairs": q_ngram_containment_pairs,
         "shard_manifest": q_shard_manifest,
         "neardup_cluster_sizes": q_neardup_cluster_sizes,
@@ -1628,6 +1675,18 @@ def oracle_sql() -> dict[str, str]:
     oracles["ngram_containment_pairs_capped"] = dedup.containment_oracle_sql(
         n=3, threshold=0.8, max_df=4
     )
+    oracles["gopher_quality"] = text.gopher_quality_oracle_sql()
+    oracles["vocab_stats"] = text.vocab_stats_oracle_sql(top_k=10)
+    oracles["domain_stats"] = text.domain_stats_oracle_sql()
+    oracles["counter_increase"] = rs_ops.counter_increase_oracle_sql(PTS, pw=45)
+    from btrdb_spark.operators import raw as _raw_ops
+
+    oracles["stream_snapshot"] = _raw_ops.snapshot_oracle_sql(
+        PTS, at=T0 + 10 * DAY, lookback=5 * DAY
+    )
+    from btrdb_spark.operators import decimate as _dec_ops
+
+    oracles["lttb_downsample"] = _dec_ops.lttb_oracle_sql(PTS, pw=42)
     oracles["neardup_cluster_sizes"] = f"""
         WITH sized AS (
             SELECT cluster_id, COUNT(*) AS cluster_size

@@ -793,3 +793,215 @@ def gram_contrast_oracle_sql(
         SELECT doc_id, score, CAST(rank AS BIGINT) AS rank
         FROM ranked WHERE rank <= {k} ORDER BY rank
     """
+
+
+# ---------------- Gopher quality rules (Rae et al. 2021, Appendix A) ----------------
+
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc Gopher quality-filter metrics and verdict (the published
+    MassiveWeb rules, Rae et al. 2021 Appendix A — the de-facto standard
+    pretraining text filter; also the core of RedPajama/Dolma's rule set).
+
+    Metrics (all exact integer counts; ratios are single double
+    divisions, bit-identical cross-engine):
+      n_words            whitespace tokens
+      mean_word_len      (n_chars - (n_words-1)) / n_words
+      symbol_word_ratio  (# occurrences of '#' + non-overlapping '...')
+                         / n_words
+      alpha_word_frac    words containing >=1 ascii letter / n_words
+      bullet_line_frac   lines starting '- ' or '* '
+      ellipsis_line_frac lines ending '...'
+      n_stop_hits        how many of the 8 Gopher stopwords appear
+      passes             the conjunction of the published thresholds:
+                         50 <= n_words <= 100000, 3 <= mean_word_len <= 10,
+                         symbol_word_ratio <= 0.1, bullet_line_frac <= 0.9,
+                         ellipsis_line_frac <= 0.3, alpha_word_frac >= 0.8,
+                         n_stop_hits >= 2
+
+    One scan-project inside whole-stage codegen; no shuffle, no UDF.
+    """
+    txt = F.col(text_col)
+    toks = _tokens(txt)
+    n_words = F.size(toks)
+    n_chars = F.length(txt)
+    mean_wl = (n_chars - (n_words - F.lit(1))) / n_words
+    n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    n_ellip = (F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))) / F.lit(3)
+    sym_ratio = (n_hash + n_ellip) / n_words
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_frac = alpha_words / n_words
+    lines = F.split(txt, "\n")
+    n_lines = F.size(lines)
+    bullet = F.size(
+        F.filter(lines, lambda l: l.startswith("- ") | l.startswith("* "))
+    )
+    ellip_l = F.size(F.filter(lines, lambda l: l.endswith("...")))
+    bullet_frac = bullet / n_lines
+    ellip_frac = ellip_l / n_lines
+    stop_hits = sum(
+        (F.array_contains(toks, w).cast("long") for w in GOPHER_STOPS),
+        F.lit(0),
+    )
+    passes = (
+        (n_words >= 50) & (n_words <= 100_000)
+        & (mean_wl >= 3.0) & (mean_wl <= 10.0)
+        & (sym_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ellip_frac <= 0.3)
+        & (alpha_frac >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return documents.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellip_frac.alias("ellipsis_line_frac"),
+        stop_hits.cast("long").alias("n_stop_hits"),
+        passes.alias("passes"),
+    ).orderBy("doc_id")
+
+
+def gopher_quality_oracle_sql() -> str:
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPS)
+    return f"""
+        WITH m AS (
+            SELECT doc_id,
+                   string_split(text, ' ') AS toks,
+                   string_split(text, chr(10)) AS lines,
+                   LENGTH(text) AS n_chars,
+                   LENGTH(text) - LENGTH(REPLACE(text, '#', '')) AS n_hash,
+                   (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) / 3 AS n_ellip
+            FROM documents
+        ), c AS (
+            SELECT doc_id,
+                   len(toks) AS n_words, n_chars, n_hash, n_ellip,
+                   len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS alpha_words,
+                   len(lines) AS n_lines,
+                   len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %')) AS bullet,
+                   len(list_filter(lines, l -> l LIKE '%...')) AS ellip_l,
+                   len(list_filter([{stops}], w -> list_contains(toks, w))) AS stop_hits
+            FROM m
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words AS mean_word_len,
+               (n_hash + n_ellip) / n_words AS symbol_word_ratio,
+               CAST(alpha_words AS DOUBLE) / n_words AS alpha_word_frac,
+               CAST(bullet AS DOUBLE) / n_lines AS bullet_line_frac,
+               CAST(ellip_l AS DOUBLE) / n_lines AS ellipsis_line_frac,
+               CAST(stop_hits AS BIGINT) AS n_stop_hits,
+               (n_words BETWEEN 50 AND 100000)
+                 AND (CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0)
+                 AND ((n_hash + n_ellip) / n_words <= 0.1)
+                 AND (CAST(bullet AS DOUBLE) / n_lines <= 0.9)
+                 AND (CAST(ellip_l AS DOUBLE) / n_lines <= 0.3)
+                 AND (CAST(alpha_words AS DOUBLE) / n_words >= 0.8)
+                 AND (stop_hits >= 2) AS passes
+        FROM c ORDER BY doc_id
+    """
+
+
+def vocab_stats(documents: DataFrame, top_k: int = 10, text_col: str = "text") -> DataFrame:
+    """Corpus-level vocabulary statistics (one row): total tokens N,
+    vocab size V, hapax count, type-token ratio V/N, hapax fraction, and
+    the probability mass of the top_k most frequent tokens — the
+    Zipf-head concentration every corpus report leads with.
+
+    One explode + one groupBy (map-side combinable) + a top-k over the
+    (tiny) vocabulary frame. All counts integer-exact; the three ratios
+    are single double divisions.
+    """
+    tok = documents.select(
+        F.explode(_tokens(F.col(text_col))).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # totals in one pass; the top-k head via sort-limit
+    # (TakeOrderedAndProject — per-partition top-k then merge, never a
+    # global sort or a partitionBy-less window over the whole vocabulary)
+    totals = vocab.agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum((F.col("cnt") == 1).cast("long")).alias("n_hapax"),
+    )
+    top = (
+        vocab.orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(top_k)
+        .agg(F.sum("cnt").alias("top_cnt"))
+    )
+    return (
+        totals.crossJoin(F.broadcast(top))
+        .select(
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("vocab_size").cast("long").alias("vocab_size"),
+            F.col("n_hapax").cast("long").alias("n_hapax"),
+            (F.col("vocab_size") / F.col("n_tokens")).alias("type_token_ratio"),
+            (F.col("n_hapax") / F.col("vocab_size")).alias("hapax_frac"),
+            (F.col("top_cnt") / F.col("n_tokens")).alias("topk_mass"),
+        )
+    )
+
+
+def vocab_stats_oracle_sql(top_k: int = 10) -> str:
+    return f"""
+        WITH tok AS (
+            SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+        ), vocab AS (
+            SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+        ), ranked AS (
+            SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rk
+            FROM vocab
+        )
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS vocab_size,
+               CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+               CAST(COUNT(*) AS DOUBLE) / SUM(cnt) AS type_token_ratio,
+               CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS hapax_frac,
+               CAST(SUM(CASE WHEN rk <= {top_k} THEN cnt ELSE 0 END) AS DOUBLE) / SUM(cnt) AS topk_mass
+        FROM ranked
+    """
+
+
+def domain_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source corpus accounting: doc count, exact-duplicate rate
+    (md5 text hash), char volume — the table a curation run reports per
+    crawl/domain to decide what to keep. One groupBy on source with
+    map-side-combinable aggregates (the distinct-hash count shuffles
+    (source, hash) pairs once)."""
+    return (
+        documents.select(
+            "source", F.md5(F.col(text_col)).alias("h"), F.length(F.col(text_col)).alias("nc")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("h").alias("n_unique"),
+            F.sum("nc").alias("total_chars"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_unique").cast("long").alias("n_unique"),
+            ((F.col("n_docs") - F.col("n_unique")) / F.col("n_docs")).alias("dup_frac"),
+            F.col("total_chars").cast("long").alias("total_chars"),
+            (F.col("total_chars") / F.col("n_docs")).alias("avg_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def domain_stats_oracle_sql() -> str:
+    return """
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+               CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*) AS dup_frac,
+               CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+               CAST(SUM(LENGTH(text)) AS DOUBLE) / COUNT(*) AS avg_chars
+        FROM documents GROUP BY source ORDER BY source
+    """

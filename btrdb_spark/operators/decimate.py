@@ -105,3 +105,104 @@ def decimate_minmax_oracle_sql(
         )
         SELECT DISTINCT uuid, time, value FROM ranked WHERE rlo = 1 OR rhi = 1
     """
+
+
+def lttb_downsample(points: DataFrame, pw: int = 42) -> DataFrame:
+    """LTTB-style visual downsampling: one representative point per
+    (uuid, 2^pw bucket) — the point with the largest triangle area
+    against the NEIGHBOR BUCKET MEANS (Steinarsson's
+    largest-triangle-three-buckets with fixed mean anchors instead of
+    the previously-selected point, which removes the sequential
+    dependence so every bucket selects in parallel — the standard
+    distributed adaptation).
+
+    Anchors are the decimal-exact (mean_time, mean_value) of the
+    previous/next bucket; area2 = |(ax-cx)*(v-ay) - (ax-t)*(cy-ay)|
+    (twice the triangle area, computed with one fixed IEEE op order).
+    Edge buckets (no previous or next neighbor) keep their earliest
+    point. Ties break to (time, value) ascending.
+
+    Plan: one groupBy for bucket means, one per-stream lag/lead window
+    over the (tiny) bucket-mean frame, one join back on (uuid, bucket),
+    one per-bucket rank window — both shuffles keyed (uuid[, bucket]),
+    no global sort.
+    """
+    from pyspark.sql import Window
+
+    width = 1 << pw
+    dec = "decimal(38,6)"
+    b = points.withColumn("bucket_start", bucket_start(F.col("time"), width))
+    means = (
+        b.groupBy("uuid", "bucket_start")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("time").cast(dec)).alias("ts"),
+            F.sum(F.col("value").cast(dec)).alias("vs"),
+        )
+        .select(
+            "uuid",
+            "bucket_start",
+            (F.col("ts").cast("double") / F.col("cnt")).alias("mt"),
+            (F.col("vs").cast("double") / F.col("cnt")).alias("mv"),
+        )
+    )
+    wn = Window.partitionBy("uuid").orderBy("bucket_start")
+    anchors = means.select(
+        "uuid",
+        "bucket_start",
+        F.lag("mt").over(wn).alias("ax"),
+        F.lag("mv").over(wn).alias("ay"),
+        F.lead("mt").over(wn).alias("cx"),
+        F.lead("mv").over(wn).alias("cy"),
+    )
+    j = b.join(anchors, ["uuid", "bucket_start"])
+    t = F.col("time").cast("double")
+    area2 = F.abs(
+        (F.col("ax") - F.col("cx")) * (F.col("value") - F.col("ay"))
+        - (F.col("ax") - t) * (F.col("cy") - F.col("ay"))
+    )
+    wr = Window.partitionBy("uuid", "bucket_start").orderBy(
+        F.desc_nulls_last("a2"), F.asc("time"), F.asc("value")
+    )
+    return (
+        j.withColumn("a2", area2)
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("uuid", "bucket_start", "time", "value")
+        .orderBy("uuid", "bucket_start")
+    )
+
+
+def lttb_oracle_sql(points_sql: str, pw: int = 42) -> str:
+    w = 1 << pw
+    return f"""
+        WITH b AS (
+            SELECT uuid, time, value,
+                   time - ((time % {w} + {w}) % {w}) AS bucket_start
+            FROM {points_sql} p
+        ), means AS (
+            SELECT uuid, bucket_start,
+                   CAST(SUM(CAST(time  AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mt,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mv
+            FROM b GROUP BY uuid, bucket_start
+        ), anchors AS (
+            SELECT uuid, bucket_start,
+                   LAG(mt)  OVER (PARTITION BY uuid ORDER BY bucket_start) AS ax,
+                   LAG(mv)  OVER (PARTITION BY uuid ORDER BY bucket_start) AS ay,
+                   LEAD(mt) OVER (PARTITION BY uuid ORDER BY bucket_start) AS cx,
+                   LEAD(mv) OVER (PARTITION BY uuid ORDER BY bucket_start) AS cy
+            FROM means
+        ), scored AS (
+            SELECT b.uuid, b.bucket_start, b.time, b.value,
+                   ABS((ax - cx) * (b.value - ay) - (ax - CAST(b.time AS DOUBLE)) * (cy - ay)) AS a2
+            FROM b JOIN anchors a ON b.uuid = a.uuid AND b.bucket_start = a.bucket_start
+        ), ranked AS (
+            SELECT uuid, bucket_start, time, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY uuid, bucket_start
+                       ORDER BY a2 DESC NULLS LAST, time ASC, value ASC) AS rn
+            FROM scored
+        )
+        SELECT uuid, bucket_start, time, value FROM ranked WHERE rn = 1
+        ORDER BY uuid, bucket_start
+    """

@@ -105,3 +105,43 @@ def nearest_all(
         out = df.groupBy("uuid").agg(pick)
         val = -F.col("p.nv")
     return out.select("uuid", F.col("p.time").alias("time"), val.alias("value")).orderBy("uuid")
+
+
+def snapshot(points: DataFrame, at: int, lookback: int | None = None) -> DataFrame:
+    """As-of snapshot of EVERY stream at time ``at``: each stream's
+    latest point with time <= at — the "current value of the whole
+    plant" dashboard query (the multi-stream generalization of J3
+    nearest-before; reference qtree.go FindNearestValue serves the
+    single-stream case).
+
+    ``lookback`` bounds how far back a stale stream may reach (and, on
+    the partitioned store, how many time_bucket directories the scan
+    touches — without it the scan cost is O(history), with it
+    O(lookback)). Ties on time break to the larger value (matching
+    nearest-before's determinism rule).
+
+    One shuffle on uuid (max_by struct — map-side combinable partial
+    aggregation, no window sort).
+    """
+    df = points.filter(F.col("time") <= F.lit(at))
+    if lookback is not None:
+        df = df.filter(F.col("time") > F.lit(at - lookback))
+    agg = df.groupBy("uuid").agg(
+        F.max(F.struct(F.col("time"), F.col("value"))).alias("p")
+    )
+    return agg.select(
+        "uuid", F.col("p.time").alias("time"), F.col("p.value").alias("value")
+    ).orderBy("uuid")
+
+
+def snapshot_oracle_sql(points_sql: str, at: int, lookback: int | None = None) -> str:
+    lb = f"AND time > {at - lookback}" if lookback is not None else ""
+    return f"""
+        WITH r AS (
+            SELECT uuid, time, value,
+                   ROW_NUMBER() OVER (PARTITION BY uuid
+                                      ORDER BY time DESC, value DESC) AS rn
+            FROM {points_sql} p WHERE time <= {at} {lb}
+        )
+        SELECT uuid, time, value FROM r WHERE rn = 1 ORDER BY uuid
+    """

@@ -899,3 +899,81 @@ def stream_availability_oracle_sql(
         FROM bounds b LEFT JOIN interior i ON i.uuid = b.uuid
         ORDER BY b.uuid
     """
+
+
+def counter_increase(points: DataFrame, pw: int = 45) -> DataFrame:
+    """Prometheus-style counter ``increase`` per 2^pw-ns bucket with
+    reset handling — the query every telemetry backend runs over
+    monotonic counters (requests served, bytes sent, packet totals from
+    a PMU's status counters):
+
+      delta  = value - lag(value) per stream in (time, value) order
+      reset  (delta < 0): the counter restarted; the observable increase
+             since the previous sample is the new value itself
+      increase attributed to the bucket containing the LATER sample
+
+    Output: (uuid, bucket_start, increase, n_resets, n_samples),
+    increase decimal-exact (decsum convention) cast double, per-stream
+    rate derivable as increase / bucket_seconds.
+
+    Plan: one lag window partitioned by uuid (the same shuffle the
+    groupBy reuses via partial aggregation), no global sort, integer
+    counts + one exact decimal sum.
+    """
+    from ..functions import decsum
+    from ..functions.timeops import bucket_start as _bs
+
+    w = Window.partitionBy("uuid").orderBy("time", "value")
+    lagged = points.select(
+        "uuid",
+        "time",
+        "value",
+        F.lag("value").over(w).alias("pv"),
+    ).filter(F.col("pv").isNotNull())
+    inc = F.when(
+        F.col("value") >= F.col("pv"), F.col("value") - F.col("pv")
+    ).otherwise(F.col("value"))
+    out = (
+        lagged.select(
+            "uuid",
+            _bs(F.col("time"), 1 << pw).alias("bucket_start"),
+            inc.alias("inc"),
+            (F.col("value") < F.col("pv")).cast("long").alias("is_reset"),
+        )
+        .groupBy("uuid", "bucket_start")
+        .agg(
+            *decsum.sum_aggs(F.col("inc")),
+            F.sum("is_reset").alias("n_resets"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+    return out.select(
+        "uuid",
+        "bucket_start",
+        decsum.vsum().cast("double").alias("increase"),
+        F.col("n_resets").cast("long").alias("n_resets"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+    ).orderBy("uuid", "bucket_start")
+
+
+def counter_increase_oracle_sql(points_sql: str, pw: int = 45) -> str:
+    w = 1 << pw
+    return f"""
+        WITH l AS (
+            SELECT uuid, time, value,
+                   LAG(value) OVER (PARTITION BY uuid ORDER BY time, value) AS pv
+            FROM {points_sql} p
+        ), d AS (
+            SELECT uuid,
+                   time - ((time % {w} + {w}) % {w}) AS bucket_start,
+                   CASE WHEN value >= pv THEN value - pv ELSE value END AS inc,
+                   CASE WHEN value < pv THEN 1 ELSE 0 END AS is_reset
+            FROM l WHERE pv IS NOT NULL
+        )
+        SELECT uuid, bucket_start,
+               CAST(SUM(CAST(inc AS DECIMAL(38,6))) AS DOUBLE) AS increase,
+               CAST(SUM(is_reset) AS BIGINT) AS n_resets,
+               CAST(COUNT(*) AS BIGINT) AS n_samples
+        FROM d GROUP BY uuid, bucket_start
+        ORDER BY uuid, bucket_start
+    """

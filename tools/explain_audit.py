@@ -42,6 +42,14 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "cosine_topk": (["BroadcastNestedLoopJoin"], ["BatchEvalPython"]),  # intended exact scan
     # decimation is ONE map-side-combinable groupBy (struct min/max), no window
     "decimate_minmax": (["partial_min", "partial_max"], ["Window", "CartesianProduct", "BatchEvalPython"]),
+    # r4 ops: pure codegen scan-project (gopher), keyed shuffles only
+    # (counter/lttb — every Window partitioned, no SinglePartition on the
+    # data path), snapshot = one map-side-combinable max_by groupBy
+    "gopher_quality": ([], ["BatchEvalPython", "Exchange hashpartitioning", "CartesianProduct"]),
+    "counter_increase": (["partial_sum"], ["Exchange SinglePartition", "BatchEvalPython", "CartesianProduct"]),
+    "stream_snapshot": (["partial_max"], ["Window", "BatchEvalPython", "CartesianProduct"]),
+    "lttb_downsample": (["partial_count"], ["Exchange SinglePartition", "BatchEvalPython", "CartesianProduct"]),
+    "domain_stats": (["partial_count"], ["Exchange SinglePartition", "BatchEvalPython", "CartesianProduct"]),
     # autocorr: the 3-row lag frame fans out via broadcast crossJoin (a
     # BNLJ by construction, like the resample grids); the bucket match
     # itself must stay an equi-join (BroadcastHashJoin on uuid+bucket)
