@@ -1081,6 +1081,13 @@ def q_decimate_minmax(spark: SparkSession, sf: str) -> DataFrame:
     return decimate.decimate_minmax(events_as_points(spark, sf), T0, T1, pw=42)
 
 
+def q_strip_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """The transform half of Lee et al. exact-substring dedup: tokens
+    covered by corpus-repeated k-grams removed, survivors rejoined
+    (functions/dedup.py strip_duplicate_spans)."""
+    return dedup.strip_duplicate_spans(load_table(spark, sf, "documents"), k=8)
+
+
 def q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher/MassiveWeb quality-filter rules (Rae et al. 2021 App. A):
     per-doc metrics + pass verdict, one codegen'd scan-project
@@ -1158,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         # r4 new entries (driver gate reaches ~50 rows; keep new work here)
         "ngram_containment_pairs_capped": q_ngram_containment_pairs_capped,
+        "strip_duplicate_spans": q_strip_duplicate_spans,
         "gopher_quality": q_gopher_quality,
         "vocab_stats": q_vocab_stats,
         "domain_stats": q_domain_stats,
@@ -1675,6 +1683,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["ngram_containment_pairs_capped"] = dedup.containment_oracle_sql(
         n=3, threshold=0.8, max_df=4
     )
+    oracles["strip_duplicate_spans"] = dedup.strip_spans_oracle_sql(k=8)
     oracles["gopher_quality"] = text.gopher_quality_oracle_sql()
     oracles["vocab_stats"] = text.vocab_stats_oracle_sql(top_k=10)
     oracles["domain_stats"] = text.domain_stats_oracle_sql()

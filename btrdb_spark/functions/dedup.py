@@ -917,3 +917,112 @@ def containment_oracle_sql(
            OR CAST(i.inter AS DOUBLE) / CAST(sb.n_shingles AS DOUBLE) >= {float(threshold)!r}
         ORDER BY doc_a, doc_b
     """
+
+
+def strip_duplicate_spans(
+    documents: DataFrame, k: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """The TRANSFORM half of Lee et al. 2022 exact-substring dedup:
+    remove every token position covered by a k-gram that occurs more
+    than once in the corpus, and re-join the survivors — what the paper
+    actually feeds to training after exact_substring_spans measures.
+
+    Output: (doc_id, n_tokens, kept_tokens, clean_text), clean_text ''
+    when a document is entirely duplicated text.
+
+    Plan shape: the same gram-hash shuffle as exact_substring_spans
+    finds covered positions; the rebuild is a posexplode of tokens, one
+    left-anti join against covered (doc_id, pos) longs, and a per-doc
+    sort_array(collect_list) — every shuffle keyed, work linear in
+    corpus tokens (never pairs). The reconstruction round-trips exactly
+    because tokenization is a single-space split: uncovered tokens
+    rejoined with ' ' reproduce the source text wherever nothing was
+    removed.
+    """
+    n = F.size(F.col("toks"))
+    toks = documents.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("toks")
+    ).select("doc_id", "toks", n.alias("n"))
+
+    pos_seq = F.when(
+        F.col("n") >= k, F.sequence(F.lit(1), F.col("n") - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    occ = toks.select(
+        "doc_id", F.explode(pos_seq).alias("pos"), "toks"
+    ).select(
+        "doc_id",
+        "pos",
+        F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), k))).alias("gh"),
+    )
+    dup = occ.groupBy("gh").agg(F.count(F.lit(1)).alias("cnt")).filter(F.col("cnt") > 1)
+    cov = (
+        occ.join(dup.select("gh"), "gh")
+        .select("doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("p"))
+        .distinct()
+    )
+    tok_pos = toks.select(
+        "doc_id", F.posexplode(F.col("toks")).alias("i0", "tok")
+    ).select("doc_id", (F.col("i0") + 1).alias("p"), "tok")
+    kept = (
+        tok_pos.join(cov, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("kept_tokens"),
+            F.array_sort(F.collect_list(F.struct("p", "tok"))).alias("parts"),
+        )
+        .select(
+            "doc_id",
+            "kept_tokens",
+            F.concat_ws(" ", F.transform(F.col("parts"), lambda s: s["tok"])).alias("clean_text"),
+        )
+    )
+    return (
+        toks.select("doc_id", "n")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias("kept_tokens"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def strip_spans_oracle_sql(k: int = 8) -> str:
+    """DuckDB mirror of strip_duplicate_spans (literal-gram join, same
+    coverage set, string_agg rebuild in position order)."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t,
+                   len(string_split(text, ' ')) AS n
+            FROM documents
+        ), occ AS (
+            SELECT doc_id, gs.i AS pos,
+                   array_to_string(t[gs.i : gs.i + {k - 1}], ' ') AS gram
+            FROM toks, unnest(range(1, n - {k} + 2)) gs(i)
+        ), dup AS (
+            SELECT gram FROM occ GROUP BY gram HAVING COUNT(*) > 1
+        ), cov AS (
+            SELECT DISTINCT o.doc_id, ps.p
+            FROM occ o JOIN dup d USING (gram),
+                 unnest(range(o.pos, o.pos + {k})) ps(p)
+        ), tok_pos AS (
+            SELECT doc_id, gs.i AS p, t[gs.i] AS tok
+            FROM toks, unnest(range(1, n + 1)) gs(i)
+        ), kept AS (
+            SELECT tp.doc_id,
+                   COUNT(*) AS kept_tokens,
+                   string_agg(tp.tok, ' ' ORDER BY tp.p) AS clean_text
+            FROM tok_pos tp LEFT JOIN cov c
+              ON tp.doc_id = c.doc_id AND tp.p = c.p
+            WHERE c.p IS NULL
+            GROUP BY tp.doc_id
+        )
+        SELECT t.doc_id,
+               CAST(t.n AS BIGINT) AS n_tokens,
+               CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+               COALESCE(k.clean_text, '') AS clean_text
+        FROM toks t LEFT JOIN kept k USING (doc_id)
+        ORDER BY doc_id
+    """

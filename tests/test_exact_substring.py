@@ -96,3 +96,25 @@ def test_containment_max_df_drops_boilerplate_shingle(spark):
     capped0 = dedup.ngram_containment_pairs(docs, n=3, threshold=0.0, max_df=2).collect()
     pairs0 = {(r["doc_a"], r["doc_b"]) for r in capped0}
     assert (2, 3) not in pairs0 and (3, 4) not in pairs0 and (2, 4) not in pairs0
+
+
+def test_strip_spans_removes_shared_run_keeps_rest(spark):
+    shared = "a b c d"  # k=4 gram repeated across docs
+    docs = _docs(spark, [f"x y {shared} z", f"p {shared} q r"])
+    out = {r["doc_id"]: r for r in dedup.strip_duplicate_spans(docs, k=4).collect()}
+    assert out[0]["clean_text"] == "x y z"
+    assert out[1]["clean_text"] == "p q r"
+    assert out[0]["kept_tokens"] == 3 and out[0]["n_tokens"] == 7
+
+
+def test_strip_spans_untouched_doc_roundtrips(spark):
+    docs = _docs(spark, ["a b c d e", "f g h i j"])
+    out = {r["doc_id"]: r for r in dedup.strip_duplicate_spans(docs, k=3).collect()}
+    assert out[0]["clean_text"] == "a b c d e"
+    assert out[1]["clean_text"] == "f g h i j"
+
+
+def test_strip_spans_fully_duplicated_doc_empties(spark):
+    docs = _docs(spark, ["a b c", "a b c"])
+    out = dedup.strip_duplicate_spans(docs, k=3).collect()
+    assert all(r["clean_text"] == "" and r["kept_tokens"] == 0 for r in out)
