@@ -1081,6 +1081,23 @@ def q_decimate_minmax(spark: SparkSession, sf: str) -> DataFrame:
     return decimate.decimate_minmax(events_as_points(spark, sf), T0, T1, pw=42)
 
 
+def q_token_freq_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-frequency fluency proxy (CCNet shape, LM-free): mean
+    corpus count of each doc's tokens + rare-token fraction
+    (functions/text.py token_freq_quality)."""
+    return text.token_freq_quality(load_table(spark, sf, "documents"), min_cnt=2)
+
+
+def q_lag_correlations(spark: SparkSession, sf: str) -> DataFrame:
+    """Lead-lag finder: Pearson of bucket means with stream B shifted
+    by -2..2 buckets (operators/correlate.py lag_correlations)."""
+    from btrdb_spark.operators import correlate
+
+    return correlate.lag_correlations(
+        events_as_points(spark, sf), pw=45, max_lag=2, min_overlap=8
+    )
+
+
 def q_strip_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
     """The transform half of Lee et al. exact-substring dedup: tokens
     covered by corpus-repeated k-grams removed, survivors rejoined
@@ -1166,6 +1183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4 new entries (driver gate reaches ~50 rows; keep new work here)
         "ngram_containment_pairs_capped": q_ngram_containment_pairs_capped,
         "strip_duplicate_spans": q_strip_duplicate_spans,
+        "token_freq_quality": q_token_freq_quality,
+        "lag_correlations": q_lag_correlations,
         "gopher_quality": q_gopher_quality,
         "vocab_stats": q_vocab_stats,
         "domain_stats": q_domain_stats,
@@ -1684,6 +1703,12 @@ def oracle_sql() -> dict[str, str]:
         n=3, threshold=0.8, max_df=4
     )
     oracles["strip_duplicate_spans"] = dedup.strip_spans_oracle_sql(k=8)
+    oracles["token_freq_quality"] = text.token_freq_quality_oracle_sql(min_cnt=2)
+    from btrdb_spark.operators import correlate as _corr_ops
+
+    oracles["lag_correlations"] = _corr_ops.lag_correlations_oracle_sql(
+        PTS, pw=45, max_lag=2, min_overlap=8
+    )
     oracles["gopher_quality"] = text.gopher_quality_oracle_sql()
     oracles["vocab_stats"] = text.vocab_stats_oracle_sql(top_k=10)
     oracles["domain_stats"] = text.domain_stats_oracle_sql()

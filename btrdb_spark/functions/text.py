@@ -1005,3 +1005,63 @@ def domain_stats_oracle_sql() -> str:
                CAST(SUM(LENGTH(text)) AS DOUBLE) / COUNT(*) AS avg_chars
         FROM documents GROUP BY source ORDER BY source
     """
+
+
+def token_freq_quality(
+    documents: DataFrame, min_cnt: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-frequency fluency proxy (the CCNet idea without the LM):
+    score each doc by how common its tokens are in THIS corpus — docs
+    full of corpus-rare tokens are gibberish/boilerplate candidates.
+
+    Output: (doc_id, n_tokens, mean_token_count, rare_token_frac) where
+    mean_token_count = mean over the doc's token OCCURRENCES of each
+    token's corpus count, and rare_token_frac = fraction with corpus
+    count < min_cnt. Integer sums, two single double divisions —
+    bit-identical cross-engine. (A production deployment swaps the
+    corpus unigram table for a KenLM perplexity; the plan shape —
+    token-keyed join of occurrences against a count table, one doc-side
+    aggregate — is identical.)
+
+    Plan: one token explode + groupBy for the vocabulary, one keyed join
+    occurrences->vocab on token, one groupBy doc. Both shuffles keyed by
+    token/doc; AQE handles hot-token skew.
+    """
+    occ = documents.select(
+        "doc_id", F.explode(_tokens(F.col(text_col))).alias("token")
+    )
+    vocab = occ.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        occ.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").alias("s"),
+            F.sum((F.col("cnt") < min_cnt).cast("long")).alias("rare"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("s") / F.col("n_tokens")).alias("mean_token_count"),
+            (F.col("rare") / F.col("n_tokens")).alias("rare_token_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def token_freq_quality_oracle_sql(min_cnt: int = 2) -> str:
+    return f"""
+        WITH occ AS (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+            FROM documents
+        ), vocab AS (
+            SELECT token, COUNT(*) AS cnt FROM occ GROUP BY token
+        )
+        SELECT o.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(v.cnt) AS DOUBLE) / COUNT(*) AS mean_token_count,
+               CAST(SUM(CASE WHEN v.cnt < {min_cnt} THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS rare_token_frac
+        FROM occ o JOIN vocab v USING (token)
+        GROUP BY o.doc_id ORDER BY o.doc_id
+    """

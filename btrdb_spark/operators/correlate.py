@@ -123,13 +123,19 @@ def correlations_from_bucket_means(m: DataFrame, min_overlap: int = 8) -> DataFr
         b,
         (F.col("bucket") == F.col("bucket_b")) & (F.col("uuid_a") < F.col("uuid_b")),
     )
-    # product sums on primitive longs (the decsum convention): each int64
-    # product splits into hi = floor(p / 2^30), lo in [0, 2^30), summed as
-    # longs and reassembled exactly in decimal AFTER the aggregation —
-    # decimal(38,0) sum buffers here cost BigDecimal churn on millions of
-    # pair rows (measured >2x on the whole query). Capacity: |p| < 2.8e17
-    # at the 2^20 mean quantization, so hi sums overflow only past ~3e10
-    # shared buckets per pair — far beyond any real overlap.
+    return _pearson_from_pairs(paired, ["uuid_a", "uuid_b"], min_overlap)
+
+
+def _pearson_from_pairs(paired: DataFrame, keys: list[str], min_overlap: int) -> DataFrame:
+    """Shared Pearson tail over a (keys..., xa, xb) pair frame.
+
+    Product sums on primitive longs (the decsum convention): each int64
+    product splits into hi = floor(p / 2^30), lo in [0, 2^30), summed as
+    longs and reassembled exactly in decimal AFTER the aggregation —
+    decimal(38,0) sum buffers here cost BigDecimal churn on millions of
+    pair rows (measured >2x on the whole query). Capacity: |p| < 2.8e17
+    at the 2^20 mean quantization, so hi sums overflow only past ~3e10
+    shared buckets per pair — far beyond any real overlap."""
     from ..functions.timeops import floor_div
 
     _B = 1 << 30
@@ -139,7 +145,7 @@ def correlations_from_bucket_means(m: DataFrame, min_overlap: int = 8) -> DataFr
         lo = prod - hi * F.lit(_B)
         return [F.sum(hi).alias(f"{name}_hi"), F.sum(lo).alias(f"{name}_lo")]
 
-    stats = paired.groupBy("uuid_a", "uuid_b").agg(
+    stats = paired.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("xa").alias("sx"),
         F.sum("xb").alias("sy"),
@@ -167,13 +173,101 @@ def correlations_from_bucket_means(m: DataFrame, min_overlap: int = 8) -> DataFr
         stats.filter(F.col("n") >= min_overlap)
         .filter((varx > 0) & (vary > 0))
         .select(
-            "uuid_a", "uuid_b", F.col("n").cast("long").alias("n_buckets"),
+            *keys, F.col("n").cast("long").alias("n_buckets"),
             corr.alias("corr"),
         )
         # no ORDER BY: the output is pair-keyed and tiny, callers sort if
         # they present it; a trailing global sort costs a range-partition
         # sampling pass that re-executes the join
     )
+
+
+def lag_correlations(
+    points: DataFrame,
+    pw: int = 42,
+    max_lag: int = 3,
+    min_overlap: int = 8,
+) -> DataFrame:
+    """Lead-lag finder: Pearson correlation of per-bucket means where
+    stream B is shifted by ``lag`` buckets, for every lag in
+    [-max_lag, max_lag] — positive corr at positive lag means A LEADS B
+    by that many buckets (the cross-sensor causality probe run after
+    stream_correlations flags a related pair; standard PMU/telemetry
+    diagnostics).
+
+    Output: (uuid_a, uuid_b, lag, n_buckets, corr), uuid_a < uuid_b.
+    Exact arithmetic identical to stream_correlations (quantized means,
+    split-long product sums); the lag fan-out is a (2*max_lag+1)-way
+    explode on the probe side of the bucket equi-join, so the join stays
+    keyed and the work scales linearly in the lag window.
+    """
+    width = 1 << pw
+    from ..functions import decsum
+
+    m = (
+        points.withColumn("bucket", bucket_start(F.col("time"), width))
+        .groupBy("uuid", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"), *decsum.sum_aggs(F.col("value")))
+        .select(
+            "uuid",
+            "bucket",
+            F.floor(
+                (decsum.vsum().cast("double") / F.col("cnt")) * F.lit(_Q)
+            ).cast("long").alias("mq"),
+        )
+    )
+    m = m.localCheckpoint()
+    m = m.repartition(m.sparkSession.sparkContext.defaultParallelism)
+    lags = F.array(*[F.lit(l) for l in range(-max_lag, max_lag + 1)])
+    a = m.select(F.col("uuid").alias("uuid_a"), "bucket", F.col("mq").alias("xa"))
+    b = m.select(
+        F.col("uuid").alias("uuid_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("mq").alias("xb"),
+    ).select(
+        "uuid_b", "bucket_b", "xb", F.explode(lags).alias("lag")
+    ).withColumn("lag", F.col("lag").cast("long"))
+    paired = a.join(
+        b,
+        (F.col("bucket") == F.col("bucket_b") - F.col("lag") * F.lit(width))
+        & (F.col("uuid_a") < F.col("uuid_b")),
+    )
+    return _pearson_from_pairs(paired, ["uuid_a", "uuid_b", "lag"], min_overlap)
+
+
+def lag_correlations_oracle_sql(
+    points_sql: str, pw: int = 42, max_lag: int = 3, min_overlap: int = 8
+) -> str:
+    width = 1 << pw
+    return f"""
+        WITH m AS (
+            SELECT uuid,
+                   (time // {width}) * {width} AS bucket,
+                   CAST(FLOOR((CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)) * {_Q!r}) AS BIGINT) AS mq
+            FROM {points_sql} p GROUP BY 1, 2
+        ), paired AS (
+            SELECT a.uuid AS uuid_a, b.uuid AS uuid_b, l.lag AS lag,
+                   a.mq AS xa, b.mq AS xb
+            FROM m a
+            JOIN (SELECT generate_series AS lag
+                  FROM generate_series({-max_lag}, {max_lag})) l ON TRUE
+            JOIN m b ON a.bucket = b.bucket - l.lag * {width} AND a.uuid < b.uuid
+        ), stats AS (
+            SELECT uuid_a, uuid_b, lag, COUNT(*) AS n,
+                   SUM(xa) AS sx, SUM(xb) AS sy,
+                   SUM(xa * xb) AS sxy, SUM(xa * xa) AS sxx, SUM(xb * xb) AS syy
+            FROM paired GROUP BY 1, 2, 3
+        )
+        SELECT uuid_a, uuid_b, CAST(lag AS BIGINT) AS lag,
+               CAST(n AS BIGINT) AS n_buckets,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+        FROM stats
+        WHERE n >= {min_overlap}
+          AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+          AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+    """
 
 
 def correlations_oracle_sql(points_sql: str, pw: int = 42, min_overlap: int = 8) -> str:

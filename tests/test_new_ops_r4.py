@@ -116,3 +116,33 @@ def test_lttb_picks_extreme_point_and_edge_buckets(spark):
     assert out[32]["time"] == 32        # edge bucket -> earliest
     # one representative per bucket
     assert sorted(out) == [0, 16, 32]
+
+
+def test_token_freq_quality_flags_rare_token_docs(spark):
+    docs = _docs(spark, ["the cat sat", "the cat ran", "zq xv jk"])
+    out = {r["doc_id"]: r for r in text.token_freq_quality(docs, min_cnt=2).collect()}
+    # 'the'/'cat' appear twice; doc 2 is all hapax
+    assert out[2]["rare_token_frac"] == 1.0
+    assert out[0]["rare_token_frac"] == 1 / 3  # 'sat' is rare
+    assert out[0]["mean_token_count"] == (2 + 2 + 1) / 3
+
+
+def test_lag_correlations_finds_the_lead(spark):
+    """Stream b is stream a delayed by exactly one bucket: the corr at
+    lag=+1 must be 1.0 (a leads b) and beat every other lag."""
+    import math
+
+    from btrdb_spark.operators import correlate
+
+    w = 1 << 4
+    vals = [1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0, 7.0, 0.0, 6.0, 2.5, 8.5]
+    rows = [("a", i * w + 1, v) for i, v in enumerate(vals)]
+    rows += [("b", (i + 1) * w + 1, v) for i, v in enumerate(vals)]  # delayed
+    out = {
+        r["lag"]: r["corr"]
+        for r in correlate.lag_correlations(
+            _pts(spark, rows), pw=4, max_lag=2, min_overlap=4
+        ).collect()
+    }
+    assert math.isclose(out[1], 1.0, abs_tol=1e-9)
+    assert all(out[1] >= out[l] for l in out)
