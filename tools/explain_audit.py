@@ -28,6 +28,8 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     "windows_1h_hybrid": (["partial_count"], ["CartesianProduct", "BatchEvalPython"]),
     "segment_revenue": (["BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython"]),
     "tpch_q1": (["partial_sum", "LessThanOrEqual(l_shipdate"], ["BatchEvalPython"]),
+    "tpch_q6": (["partial_sum", "GreaterThanOrEqual(l_shipdate"], ["BatchEvalPython", "Exchange hashpartitioning"]),
+    "tpch_q5": (["partial_sum", "BroadcastHashJoin"], ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"]),
     "csv_windows": (["partial_max"], ["BatchEvalPython"]),
     "csv_windows_arb": (["partial_max"], ["CartesianProduct", "BatchEvalPython"]),
     "ann_lsh_topk": (["BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython"]),
