@@ -73,6 +73,14 @@ def main():
         "lang_id": lambda: text.lang_id(docs).count(),
         "text_quality": lambda: text.quality_stats(docs).count(),
         "pipeline_funnel": lambda: pipeline.pipeline_funnel(docs).count(),
+        # round-4 ops
+        "gopher_quality": lambda: text.gopher_quality(docs).count(),
+        "token_freq_quality": lambda: text.token_freq_quality(docs).count(),
+        "domain_stats": lambda: text.domain_stats(docs).count(),
+        "strip_duplicate_spans": lambda: dedup.strip_duplicate_spans(docs, k=8).count(),
+        "containment_capped": lambda: dedup.ngram_containment_pairs(
+            docs, n=3, threshold=0.8, max_df=8
+        ).count(),
     }
     print(f"corpus: {N} docs")
     for name, fn in probes.items():
