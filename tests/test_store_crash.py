@@ -140,3 +140,25 @@ def test_publish_is_pointer_flip_and_gc_spares_live(tmp_path):
     store.publish(base, "tbl", g2)
     victims = store.gc_generations(base, "tbl", keep=1)
     assert g0 in victims and os.path.exists(g2) and store.resolve(base, "tbl") == g2
+
+
+def test_compact_crash_preserves_table_manifest_backend(spark, tmp_path, monkeypatch):
+    """Same superblock contract on the no-rename object-store backend: a
+    crash at the put-if-absent commit leaves the old generation live."""
+    eng = BTrDBEngine(
+        spark, str(tmp_path / "db"), flush_threshold=10_000,
+        store_backend=store.ManifestLogStore(),
+    )
+    u = eng.create_stream("c/crash2")
+    for b in range(3):
+        eng.insert(u, [(b * 100 + i, float(i)) for i in range(20)], sync=True)
+    before = eng.raw_values(u, 0, 10**9).collect()
+    monkeypatch.setattr(
+        store.ManifestLogStore, "publish", lambda *a, **k: (_ for _ in ()).throw(Boom())
+    )
+    with pytest.raises(Boom):
+        eng.compact_points()
+    assert eng.raw_values(u, 0, 10**9).collect() == before
+    monkeypatch.undo()
+    eng.compact_points()
+    assert eng.raw_values(u, 0, 10**9).collect() == before
