@@ -1140,6 +1140,21 @@ def q_decimate_minmax(spark: SparkSession, sf: str) -> DataFrame:
     return decimate.decimate_minmax(events_as_points(spark, sf), T0, T1, pw=42)
 
 
+def q_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
+    """Open/high/low/close candlestick bars per 2^45 bucket — one
+    struct-argmin/argmax groupBy (operators/windows.py ohlc_bars)."""
+    return win_ops.ohlc_bars(events_as_points(spark, sf), pw=45)
+
+
+def q_sliding_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling distinct active users: 6h windows every 1h over the first
+    week (functions/events.py sliding_distinct_users)."""
+    return events_fn.sliding_distinct_users(
+        events_with_time_ns(spark, sf), width=6 * HOUR, hop=HOUR,
+        start=T0, end=T0 + 7 * DAY,
+    )
+
+
 def q_token_freq_quality(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-frequency fluency proxy (CCNet shape, LM-free): mean
     corpus count of each doc's tokens + rare-token fraction
@@ -1249,6 +1264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_correlations": q_lag_correlations,
         "tpch_q6": q_tpch_q6,
         "tpch_q5": q_tpch_q5,
+        "ohlc_bars": q_ohlc_bars,
+        "sliding_distinct_users": q_sliding_distinct_users,
         "gopher_quality": q_gopher_quality,
         "vocab_stats": q_vocab_stats,
         "domain_stats": q_domain_stats,
@@ -1792,6 +1809,10 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["strip_duplicate_spans"] = dedup.strip_spans_oracle_sql(k=8)
     oracles["token_freq_quality"] = text.token_freq_quality_oracle_sql(min_cnt=2)
+    oracles["ohlc_bars"] = win_ops.ohlc_oracle_sql(PTS, pw=45)
+    oracles["sliding_distinct_users"] = events_fn.sliding_distinct_users_oracle_sql(
+        width=6 * HOUR, hop=HOUR, start=T0, end=T0 + 7 * DAY
+    )
     from btrdb_spark.operators import correlate as _corr_ops
 
     oracles["lag_correlations"] = _corr_ops.lag_correlations_oracle_sql(

@@ -193,3 +193,64 @@ FUNNEL_ORACLE = """
            ANY_VALUE(first_purchase) AS first_purchase
     FROM s3 GROUP BY user_id ORDER BY uuid
 """
+
+
+def sliding_distinct_users(
+    events_ns: DataFrame, width: int, hop: int, start: int, end: int
+) -> DataFrame:
+    """Distinct active users per sliding window [w, w+width) every
+    ``hop`` ns — the rolling-DAU/MAU query of every product dashboard.
+
+    Each event lands in at most width/hop windows (bounded explode of the
+    window starts containing it — the windows_sliding shape), then ONE
+    countDistinct groupBy; no self-join, no per-window rescan. At scale
+    the explode factor is the window/hop ratio — a constant.
+
+    Output: (window_start, n_users, n_events), ordered.
+    """
+    k = width // hop
+    # window starts covering time t: hop-aligned starts in (t-width, t]
+    last = F.col("time_ns") - ((F.col("time_ns") % hop + hop) % hop)
+    starts = F.sequence(last - F.lit((k - 1) * hop), last, F.lit(hop))
+    win = (
+        events_ns.filter(
+            (F.col("time_ns") >= F.lit(start)) & (F.col("time_ns") < F.lit(end))
+        )
+        .select(F.col("user_id"), F.explode(starts).alias("window_start"))
+        .filter(
+            (F.col("window_start") >= F.lit(start))
+            & (F.col("window_start") + F.lit(width) <= F.lit(end))
+        )
+        .groupBy("window_start")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return win.select(
+        "window_start",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_events").cast("long").alias("n_events"),
+    ).orderBy("window_start")
+
+
+def sliding_distinct_users_oracle_sql(
+    width: int, hop: int, start: int, end: int
+) -> str:
+    k = width // hop
+    return f"""
+        WITH e AS (
+            SELECT user_id, epoch_ns(ts) AS t FROM events
+            WHERE epoch_ns(ts) >= {start} AND epoch_ns(ts) < {end}
+        ), w AS (
+            SELECT user_id,
+                   (t - ((t % {hop} + {hop}) % {hop})) - s.i * {hop} AS window_start
+            FROM e, unnest(range(0, {k})) s(i)
+        )
+        SELECT window_start,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM w
+        WHERE window_start >= {start} AND window_start + {width} <= {end}
+        GROUP BY window_start ORDER BY window_start
+    """

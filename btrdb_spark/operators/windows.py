@@ -227,3 +227,65 @@ def windows_sliding_oracle_sql(
                COUNT(*) AS cnt, MIN(value) AS vmin, {mean_sql} AS vmean, MAX(value) AS vmax
         FROM ks GROUP BY uuid, k ORDER BY uuid, window_start
     """
+
+
+def ohlc_bars(points: DataFrame, pw: int = 45) -> DataFrame:
+    """Open/high/low/close bars per (uuid, 2^pw bucket) — the candlestick
+    aggregation every monitoring and market-data stack runs; also the
+    lossless-envelope sibling of decimate_minmax (open/close preserve the
+    bucket's boundary behavior, high/low its extremes).
+
+    Deterministic tie rules: open = value of the EARLIEST (time, value)
+    point, close = value of the LATEST (time, value) point, ties on time
+    break by value inside the struct order. One map-side-combinable
+    groupBy (min/max over structs), no window sort anywhere.
+    """
+    from ..functions.timeops import bucket_start as _bs
+
+    width = 1 << pw
+    agg = (
+        points.withColumn("bucket_start", _bs(F.col("time"), width))
+        .groupBy("uuid", "bucket_start")
+        .agg(
+            F.min(F.struct(F.col("time"), F.col("value"))).alias("first"),
+            F.max(F.struct(F.col("time"), F.col("value"))).alias("last"),
+            F.min("value").alias("low"),
+            F.max("value").alias("high"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    return agg.select(
+        "uuid",
+        "bucket_start",
+        F.col("first.value").alias("open"),
+        "high",
+        "low",
+        F.col("last.value").alias("close"),
+        F.col("cnt").cast("long").alias("cnt"),
+    ).orderBy("uuid", "bucket_start")
+
+
+def ohlc_oracle_sql(points_sql: str, pw: int = 45) -> str:
+    w = 1 << pw
+    return f"""
+        WITH b AS (
+            SELECT uuid, time, value,
+                   time - ((time % {w} + {w}) % {w}) AS bucket_start
+            FROM {points_sql} p
+        ), r AS (
+            SELECT uuid, bucket_start, time, value,
+                   ROW_NUMBER() OVER (PARTITION BY uuid, bucket_start
+                                      ORDER BY time ASC, value ASC) AS rf,
+                   ROW_NUMBER() OVER (PARTITION BY uuid, bucket_start
+                                      ORDER BY time DESC, value DESC) AS rl
+            FROM b
+        )
+        SELECT uuid, bucket_start,
+               MIN(CASE WHEN rf = 1 THEN value END) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               MIN(CASE WHEN rl = 1 THEN value END) AS close,
+               COUNT(*) AS cnt
+        FROM r GROUP BY uuid, bucket_start
+        ORDER BY uuid, bucket_start
+    """

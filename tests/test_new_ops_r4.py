@@ -146,3 +146,31 @@ def test_lag_correlations_finds_the_lead(spark):
     }
     assert math.isclose(out[1], 1.0, abs_tol=1e-9)
     assert all(out[1] >= out[l] for l in out)
+
+
+def test_ohlc_open_close_tie_rules(spark):
+    from btrdb_spark.operators import windows as win
+
+    # two points share the earliest time -> open is the SMALLER value;
+    # two share the latest -> close is the LARGER (struct order)
+    pts = _pts(spark, [("u", 0, 5.0), ("u", 0, 2.0), ("u", 9, 7.0), ("u", 9, 3.0)])
+    r = win.ohlc_bars(pts, pw=4).collect()[0]
+    assert (r["open"], r["high"], r["low"], r["close"], r["cnt"]) == (2.0, 7.0, 2.0, 7.0, 4)
+
+
+def test_sliding_distinct_users_counts_windows(spark):
+    from btrdb_spark.functions import events as ev
+
+    rows = [(1, 100, 0.0, "view"), (2, 150, 0.0, "view"), (1, 250, 0.0, "view")]
+    df = spark.createDataFrame(
+        [(i, u, t, v, et) for i, (u, t, v, et) in enumerate(rows)],
+        "event_id long, user_id long, time_ns long, value double, event_type string",
+    )
+    # width 200, hop 100, span [0, 400): windows 0,100 (200-start window
+    # would end at 400 == end, allowed: start+width <= end -> 0,100,200
+    out = {r["window_start"]: r for r in ev.sliding_distinct_users(
+        df, width=200, hop=100, start=0, end=400
+    ).collect()}
+    assert out[100]["n_users"] == 2 and out[100]["n_events"] == 3
+    assert out[0]["n_users"] == 2 and out[0]["n_events"] == 2
+    assert out[200]["n_users"] == 1  # only the t=250 event
