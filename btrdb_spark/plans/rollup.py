@@ -404,6 +404,23 @@ class RollupLadder:
         for i, pw in enumerate(self.levels):
             if i > 0:
                 partial = coarsen(partial, self.levels[i - 1], pw)
+                if i == 1 and len(self.levels) > 2:
+                    # Materialize at the SECOND level, the first fold that
+                    # genuinely reduces: lazy lineage would re-scan and
+                    # re-aggregate the raw batch once per level (k batch
+                    # aggs for a k-level ladder), while checkpointing the
+                    # FINEST partial is no better when that level is
+                    # degenerate (2^20 ns buckets hold ~1 point on dense
+                    # telemetry, so partial-0 is batch-sized — measured
+                    # 33s to materialize vs 25s to recompute). Level 1 is
+                    # 64x coarser; its partial is small for any realistic
+                    # rate, and every coarser level folds from it.
+                    # Measured: 24.6s -> 16.9s on the 7-level 20M probe
+                    # (the floor is the level-0 write itself, which on
+                    # dense data is batch-sized by definition — choose a
+                    # coarser finest level for such rates; bench and the
+                    # engine probes use levels=(30,)).
+                    partial = partial.localCheckpoint()
             if epoch is not None:
                 done = self.committed_epoch(pw)
                 if done is not None and done >= epoch:
