@@ -1140,6 +1140,24 @@ def q_decimate_minmax(spark: SparkSession, sf: str) -> DataFrame:
     return decimate.decimate_minmax(events_as_points(spark, sf), T0, T1, pw=42)
 
 
+def q_embedding_norm_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label L2-norm sanity stats over the embeddings table
+    (functions/similarity.py embedding_norm_stats)."""
+    return similarity.embedding_norm_stats(load_table(spark, sf, "embeddings"))
+
+
+def q_lang_mismatch(spark: SparkSession, sf: str) -> DataFrame:
+    """Docs whose predicted language disagrees with the labeled lang
+    column (functions/text.py lang_mismatch)."""
+    return text.lang_mismatch(load_table(spark, sf, "documents"))
+
+
+def q_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stream Fano factor of 2^45-bucket event counts
+    (operators/resample.py burstiness)."""
+    return rs_ops.burstiness(events_as_points(spark, sf), pw=45)
+
+
 def q_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
     """Open/high/low/close candlestick bars per 2^45 bucket — one
     struct-argmin/argmax groupBy (operators/windows.py ohlc_bars)."""
@@ -1266,6 +1284,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "ohlc_bars": q_ohlc_bars,
         "sliding_distinct_users": q_sliding_distinct_users,
+        "embedding_norm_stats": q_embedding_norm_stats,
+        "lang_mismatch": q_lang_mismatch,
+        "burstiness": q_burstiness,
         "gopher_quality": q_gopher_quality,
         "vocab_stats": q_vocab_stats,
         "domain_stats": q_domain_stats,
@@ -1810,6 +1831,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["strip_duplicate_spans"] = dedup.strip_spans_oracle_sql(k=8)
     oracles["token_freq_quality"] = text.token_freq_quality_oracle_sql(min_cnt=2)
     oracles["ohlc_bars"] = win_ops.ohlc_oracle_sql(PTS, pw=45)
+    oracles["embedding_norm_stats"] = similarity.EMBEDDING_NORM_ORACLE
+    oracles["lang_mismatch"] = text.lang_mismatch_oracle_sql()
+    oracles["burstiness"] = rs_ops.burstiness_oracle_sql(PTS, pw=45)
     oracles["sliding_distinct_users"] = events_fn.sliding_distinct_users_oracle_sql(
         width=6 * HOUR, hop=HOUR, start=T0, end=T0 + 7 * DAY
     )

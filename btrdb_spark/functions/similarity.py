@@ -1663,3 +1663,49 @@ def ann_ivfpq_residual_oracle_sql(
         SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score
         FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
     """
+
+
+def embedding_norm_stats(vectors: DataFrame, label_col: str = "label") -> DataFrame:
+    """Per-label embedding L2-norm statistics — the first sanity check on
+    any embedding table (collapsed or exploding norms flag a bad encoder
+    run, truncation, or mixed checkpoints before ANY similarity search is
+    trusted).
+
+    Output: (label, n_vectors, norm_min, norm_mean, norm_max), the mean
+    decimal-exact (norm values are bit-identical to the oracle's
+    sqrt(list_dot_product) — the same contract cosine_topk relies on).
+    One map-side-combinable groupBy; no shuffle beyond the label key.
+    """
+    norms = vectors.select(
+        F.col(label_col).alias("label"), _norm(F.col("embedding")).alias("nrm")
+    )
+    agg = norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("nrm").alias("norm_min"),
+        (
+            F.sum(F.col("nrm").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("norm_mean"),
+        F.max("nrm").alias("norm_max"),
+    )
+    return agg.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        "norm_min", "norm_mean", "norm_max",
+    ).orderBy("label")
+
+
+EMBEDDING_NORM_ORACLE = """
+    WITH n AS (
+        SELECT label,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           MIN(nrm) AS norm_min,
+           CAST(SUM(CAST(nrm AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS norm_mean,
+           MAX(nrm) AS norm_max
+    FROM n GROUP BY label ORDER BY label
+"""

@@ -1065,3 +1065,31 @@ def token_freq_quality_oracle_sql(min_cnt: int = 2) -> str:
         FROM occ o JOIN vocab v USING (token)
         GROUP BY o.doc_id ORDER BY o.doc_id
     """
+
+
+def lang_mismatch(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Curation QC: docs whose lexicon-predicted language disagrees with
+    the table's labeled ``lang`` — mislabeled upstream metadata is a
+    classic corpus defect (wrong-language docs poison per-language
+    mixtures). Output: (doc_id, lang, pred_lang, pred_hits) for the
+    disagreeing docs only. Composes lang_id's codegen'd scan with one
+    filter — still no shuffle."""
+    pred = lang_id(documents, text_col=text_col)
+    return (
+        documents.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .filter(F.col("lang") != F.col("pred_lang"))
+        .select("doc_id", "lang", "pred_lang", "pred_hits")
+        .orderBy("doc_id")
+    )
+
+
+def lang_mismatch_oracle_sql() -> str:
+    inner = _lang_id_oracle()
+    return f"""
+        WITH pred AS ({inner})
+        SELECT d.doc_id, d.lang, p.pred_lang, p.pred_hits
+        FROM documents d JOIN pred p USING (doc_id)
+        WHERE d.lang <> p.pred_lang
+        ORDER BY d.doc_id
+    """

@@ -977,3 +977,65 @@ def counter_increase_oracle_sql(points_sql: str, pw: int = 45) -> str:
         FROM d GROUP BY uuid, bucket_start
         ORDER BY uuid, bucket_start
     """
+
+
+def burstiness(points: DataFrame, pw: int = 45) -> DataFrame:
+    """Per-stream traffic burstiness: the Fano factor (variance-to-mean
+    ratio) of per-2^pw-bucket event counts — ~1 for Poisson arrivals,
+    >>1 for bursty telemetry; the dispersion screen run before capacity
+    planning or anomaly thresholds.
+
+    Exact arithmetic: bucket counts are integers; with k populated
+    buckets, mean m = S/k and the population variance is
+    (k*SS - S^2) / k^2 — all integer sums, assembled in one fixed double
+    expression, so the output is bit-identical cross-engine.
+
+    Note the statistic is over POPULATED buckets (empty buckets are
+    absent from the rollup shape, matching the ladder's semantics).
+    Two map-side-combinable groupBys, both keyed by uuid.
+    """
+    from ..functions.timeops import bucket_start as _bs
+
+    cnts = (
+        points.withColumn("b", _bs(F.col("time"), 1 << pw))
+        .groupBy("uuid", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = cnts.groupBy("uuid").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    k = F.col("k").cast("double")
+    s = F.col("s").cast("double")
+    ss = F.col("ss").cast("double")
+    mean = s / k
+    var = (k * ss - s * s) / (k * k)
+    return agg.select(
+        "uuid",
+        F.col("k").cast("long").alias("n_buckets"),
+        F.col("s").cast("long").alias("n_points"),
+        mean.alias("mean_per_bucket"),
+        (var / mean).alias("fano"),
+    ).orderBy("uuid")
+
+
+def burstiness_oracle_sql(points_sql: str, pw: int = 45) -> str:
+    w = 1 << pw
+    return f"""
+        WITH cnts AS (
+            SELECT uuid, time - ((time % {w} + {w}) % {w}) AS b, COUNT(*) AS c
+            FROM {points_sql} p GROUP BY 1, 2
+        ), agg AS (
+            SELECT uuid, COUNT(*) AS k, SUM(c) AS s, SUM(c * c) AS ss
+            FROM cnts GROUP BY uuid
+        )
+        SELECT uuid,
+               CAST(k AS BIGINT) AS n_buckets,
+               CAST(s AS BIGINT) AS n_points,
+               CAST(s AS DOUBLE) / CAST(k AS DOUBLE) AS mean_per_bucket,
+               ((CAST(k AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)))
+               / (CAST(s AS DOUBLE) / CAST(k AS DOUBLE)) AS fano
+        FROM agg ORDER BY uuid
+    """

@@ -174,3 +174,42 @@ def test_sliding_distinct_users_counts_windows(spark):
     assert out[100]["n_users"] == 2 and out[100]["n_events"] == 3
     assert out[0]["n_users"] == 2 and out[0]["n_events"] == 2
     assert out[200]["n_users"] == 1  # only the t=250 event
+
+
+def test_burstiness_poisson_vs_bursty(spark):
+    from btrdb_spark.operators import resample as rs2
+
+    # uniform 1/bucket -> fano 0 (constant counts); bursty stream -> high
+    uni = [("u", i * 16, 1.0) for i in range(8)]
+    burst = [("b", 0 + j, 1.0) for j in range(8)] + [("b", 16 * 7, 1.0)]
+    out = {r["uuid"]: r for r in rs2.burstiness(_pts(spark, uni + burst), pw=4).collect()}
+    assert out["u"]["fano"] == 0.0
+    assert out["b"]["fano"] > 1.0
+    assert out["b"]["n_points"] == 9
+
+
+def test_lang_mismatch_flags_wrong_label(spark):
+    rows = [
+        (0, "the quick brown fox and the lazy dog with them", "en"),
+        (1, "el perro y el gato en la casa de los niños", "en"),  # mislabeled
+    ]
+    df = spark.createDataFrame(
+        [(i, t, l, "s", len(t)) for (i, t, l) in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = text.lang_mismatch(df).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    assert out[0]["pred_lang"] == "es" and out[0]["lang"] == "en"
+
+
+def test_embedding_norm_stats_exact(spark):
+    from btrdb_spark.functions import similarity as sim
+
+    df = spark.createDataFrame(
+        [(0, [3.0, 4.0], 1), (1, [6.0, 8.0], 1), (2, [0.0, 2.0], 2)],
+        "vec_id long, embedding array<double>, label long",
+    )
+    out = {r["label"]: r for r in sim.embedding_norm_stats(df).collect()}
+    assert out[1]["norm_min"] == 5.0 and out[1]["norm_max"] == 10.0
+    assert out[1]["norm_mean"] == 7.5
+    assert out[2]["norm_mean"] == 2.0
