@@ -50,7 +50,7 @@ def props_extract_stats(events_ns: DataFrame) -> DataFrame:
 PROPS_EXTRACT_ORACLE = """
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(k) AS sum_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
            MIN(k) AS min_k,
            MAX(k) AS max_k,
            CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
@@ -208,15 +208,24 @@ def sliding_distinct_users(
 
     Output: (window_start, n_users, n_events), ordered.
     """
-    k = width // hop
-    # window starts covering time t: hop-aligned starts in (t-width, t]
+    # window starts covering time t: hop-aligned starts in (t-width, t].
+    # That's ceil(width/hop) candidates (floor undercounts when hop does
+    # not divide width — ADVICE r4: width=10, hop=4 dropped the earliest
+    # covering window); the covering filter below trims the one candidate
+    # that can fall at or before t-width.
+    k = -(-width // hop)
     last = F.col("time_ns") - ((F.col("time_ns") % hop + hop) % hop)
     starts = F.sequence(last - F.lit((k - 1) * hop), last, F.lit(hop))
     win = (
         events_ns.filter(
             (F.col("time_ns") >= F.lit(start)) & (F.col("time_ns") < F.lit(end))
         )
-        .select(F.col("user_id"), F.explode(starts).alias("window_start"))
+        .select(
+            F.col("user_id"),
+            F.col("time_ns"),
+            F.explode(starts).alias("window_start"),
+        )
+        .filter(F.col("window_start") + F.lit(width) > F.col("time_ns"))
         .filter(
             (F.col("window_start") >= F.lit(start))
             & (F.col("window_start") + F.lit(width) <= F.lit(end))
@@ -237,13 +246,13 @@ def sliding_distinct_users(
 def sliding_distinct_users_oracle_sql(
     width: int, hop: int, start: int, end: int
 ) -> str:
-    k = width // hop
+    k = -(-width // hop)  # ceil: every covering window, even when hop % width
     return f"""
         WITH e AS (
             SELECT user_id, epoch_ns(ts) AS t FROM events
             WHERE epoch_ns(ts) >= {start} AND epoch_ns(ts) < {end}
         ), w AS (
-            SELECT user_id,
+            SELECT user_id, t,
                    (t - ((t % {hop} + {hop}) % {hop})) - s.i * {hop} AS window_start
             FROM e, unnest(range(0, {k})) s(i)
         )
@@ -251,6 +260,7 @@ def sliding_distinct_users_oracle_sql(
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
                CAST(COUNT(*) AS BIGINT) AS n_events
         FROM w
-        WHERE window_start >= {start} AND window_start + {width} <= {end}
+        WHERE window_start + {width} > t
+          AND window_start >= {start} AND window_start + {width} <= {end}
         GROUP BY window_start ORDER BY window_start
     """

@@ -242,7 +242,7 @@ def mad_outliers_oracle_sql(points_sql: str, k: float = 3.0) -> str:
         )
         SELECT d.uuid, d.med, mad.mad,
                COUNT(*) AS n,
-               SUM(CASE WHEN d.adev > {float(k)!r} * mad.mad THEN 1 ELSE 0 END) AS n_outliers,
+               CAST(SUM(CASE WHEN d.adev > {float(k)!r} * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
                CAST(SUM(CASE WHEN d.adev > {float(k)!r} * mad.mad THEN 1 ELSE 0 END) AS DOUBLE)
                    / COUNT(*) AS outlier_frac
         FROM d JOIN mad ON d.uuid = mad.uuid

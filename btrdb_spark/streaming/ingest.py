@@ -39,6 +39,16 @@ from pyspark.sql import functions as F
 from ..engine import BTrDBEngine
 from ..plans.rollup import RollupLadder
 
+# Streaming rows live in their own seq namespace. engine.insert() stamps
+# seq from the per-stream buffered minor counter (engine.py:489 — small
+# ints 0,1,2,...), which would collide with small micro-batch epoch ids:
+# a first-time batch whose epoch_id matched any buffered insert seq would
+# be treated as a replay and silently dropped from the hot table. The
+# offset is far above any reachable minor (minor < flush_threshold +
+# MAX_INSERT_SIZE << 2^61) and far below int64 overflow for any
+# realistic epoch count.
+STREAM_SEQ_BASE = 1 << 61
+
 
 def attach_ingest(
     stream_df: DataFrame,
@@ -93,10 +103,17 @@ def make_batch_processor(
     directly testable (tests/test_streaming_ladder_chaos.py drives it
     with crafted epochs and injected kills).
 
-    Exactly-once across replays:
-    - hot table: rows carry seq=epoch_id; a replayed epoch whose rows
-      already landed is detected with one pruned existence probe and
-      skipped (closes the re-append window the r2 sink documented);
+    Exactly-once across replays (scoped: assumes the parquet append
+    itself is all-or-nothing — Spark's job-level commit protocol on a
+    normal run. A hard kill INSIDE the append job can leave a partially
+    visible append that the existence probe then pins; closing that
+    residual window takes a transactional table format, per the module
+    docstring):
+    - hot table: rows carry seq=STREAM_SEQ_BASE+epoch_id (a namespace
+      disjoint from insert()'s minor-counter seqs, so mixed insert()+
+      streaming traffic can't fake a replay); a replayed epoch whose
+      rows already landed is detected with one pruned existence probe
+      over the batch's own uuids and skipped;
     - ladder: ingest_batch(epoch=...) guards each level with an atomic
       per-level epoch watermark (plans/rollup.py) — a kill between the
       hot append and the ladder merge, or between any two level appends,
@@ -112,14 +129,21 @@ def make_batch_processor(
         marker = os.path.join(marker_dir, f"{epoch_id}.done")
         if os.path.exists(marker):
             return  # crashed-then-replayed epoch: data commit already done
+        seq = STREAM_SEQ_BASE + epoch_id
         batch = batch.select(
             "uuid",
             F.col("time").cast("long"),
             F.col("value").cast("double"),
-            F.lit(epoch_id).cast("long").alias("seq"),
+            F.lit(seq).cast("long").alias("seq"),
         )
+        touched = [r["uuid"] for r in batch.select("uuid").distinct().collect()]
         hot_done = (
-            engine.hot.filter(F.col("seq") == epoch_id).limit(1).count() > 0
+            engine.hot.filter(
+                F.col("uuid").isin(touched) & (F.col("seq") == seq)
+            )
+            .limit(1)
+            .count()
+            > 0
         )
         if not hot_done:
             engine.append_hot(batch)
@@ -140,7 +164,6 @@ def make_batch_processor(
                 os.unlink(os.path.join(marker_dir, fn))
         # size-triggered flush per stream (pqm.go:568-600); only streams
         # present in THIS batch can have crossed the threshold
-        touched = [r["uuid"] for r in batch.select("uuid").distinct().collect()]
         counts = (
             engine.hot.filter(F.col("uuid").isin(touched))
             .groupBy("uuid")

@@ -78,6 +78,28 @@ def test_never_certified_entries_lead_the_gate_order():
     )
 
 
+def test_local_gate_comparator_is_dtype_strict():
+    """Regression (VERDICT r4 #3): the local gate compared cells with
+    Python equality, where 123.0 == 123, so DuckDB's HUGEINT->float64
+    SUM columns passed locally while the driver's hash failed them.
+    The comparator must now distinguish int from float both per-cell
+    and per-column-dtype."""
+    import pandas as pd
+
+    sys.path.insert(0, "/root/repo/tools")
+    import check_correctness as cc
+
+    spark_df = pd.DataFrame({"n": [123, 4]})  # int64
+    oracle_df = pd.DataFrame({"n": [123.0, 4.0]})  # float64 (HUGEINT path)
+    scols, sdts, srows = cc.frame_key(spark_df)
+    ocols, odts, orows = cc.frame_key(oracle_df)
+    assert scols == ocols
+    assert sdts != odts, "dtype classes must differ (int vs float)"
+    assert srows != orows, "cells 123 vs 123.0 must NOT compare equal"
+    # equal frames still compare equal
+    assert cc.frame_key(oracle_df.copy()) == (ocols, odts, orows)
+
+
 @pytest.mark.skipif(
     os.environ.get("RUN_FULL_GATE") != "1",
     reason="full 112-query oracle gate (~3 min); set RUN_FULL_GATE=1",

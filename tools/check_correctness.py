@@ -24,18 +24,41 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm_cell(v):
+    """Type-strict normalization mirroring the driver's hash: an int cell
+    and a float cell NEVER compare equal (the driver formats cells before
+    hashing, so Spark long 123 vs oracle float 123.0 is a hash mismatch —
+    e.g. DuckDB SUM(BIGINT) returning HUGEINT lands in pandas as float64).
+    Python equality (123 == 123.0) hid exactly that defect for two rounds.
+    """
+    import numpy as np
+
     if v is None:
         return None
-    if isinstance(v, float):
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
             return "NaN"
-        return v
+        return ("f", float(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
     return v
 
 
+def dtype_class(dt) -> str:
+    s = str(dt)
+    if s.lower().startswith(("int", "uint")):
+        return "int"
+    if s.lower().startswith("float"):
+        return "float"
+    return "other"
+
+
 def frame_key(df):
-    """pandas DataFrame -> (colnames sorted, multiset of normalized rows)."""
+    """pandas DataFrame -> (colnames sorted, per-col dtype classes,
+    multiset of normalized rows)."""
     cols = sorted(df.columns)
+    dclasses = [dtype_class(df[c].dtype) for c in cols]
     rows = sorted(
         (
             tuple(norm_cell(v) for v in row)
@@ -43,7 +66,7 @@ def frame_key(df):
         ),
         key=repr,  # mixed None/str/float cells aren't mutually orderable
     )
-    return cols, rows
+    return cols, dclasses, rows
 
 
 def main() -> int:
@@ -78,11 +101,18 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: oracle error: {ex}")
             continue
-        scols, srows = frame_key(sdf)
-        ocols, orows = frame_key(odf)
+        scols, sdts, srows = frame_key(sdf)
+        ocols, odts, orows = frame_key(odf)
         status = []
         if scols != ocols:
             status.append(f"schema spark={scols} oracle={ocols}")
+        elif sdts != odts:
+            bad = [
+                f"{c}: spark={a} oracle={b}"
+                for c, a, b in zip(scols, sdts, odts)
+                if a != b
+            ]
+            status.append(f"dtype class mismatch ({'; '.join(bad)})")
         if len(srows) != len(orows):
             status.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         elif scols == ocols and srows != orows:
