@@ -172,9 +172,12 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    # sizes is O(N_docs): an unconditional broadcast would OOM the driver
+    # at corpus scale. Plain equi-joins — AQE picks broadcast-hash when
+    # the relation is actually small, shuffle-hash otherwise.
     out = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
         .filter(F.col("jaccard") >= F.lit(threshold))
     )
@@ -233,8 +236,8 @@ def minhash_lsh_pairs(
             .agg(F.min("doc_id").alias("doc_id"), F.first(text_col).alias(text_col))
             .drop("_th")
         )
-    # doc-sized; consumed by band_rows + both broadcast sides -> cache so
-    # the shingle+hash pipeline runs once, not three times
+    # doc-sized; consumed by band_rows + both scoring join sides -> cache
+    # so the shingle+hash pipeline runs once, not three times
     sigs = minhash_signatures(documents, n, num_hashes, text_col).cache()
     # one row per (doc, band): hash of that band's signature slice
     band_rows = sigs.select(
@@ -266,13 +269,15 @@ def minhash_lsh_pairs(
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
-    # signature table is doc-sized -> broadcast twice, est = component match rate
+    # signature table is O(N_docs) — never force-broadcast it (driver/
+    # executor OOM at corpus scale). Plain equi-joins; AQE broadcasts
+    # when the table is genuinely small. est = component match rate.
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     matches = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
     est = (
-        cand.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select("doc_a", "doc_b", (matches / F.lit(num_hashes)).alias("est_jaccard"))
     )
     return est.select("doc_a", "doc_b", "est_jaccard").orderBy("doc_a", "doc_b")
@@ -852,9 +857,11 @@ def ngram_containment_pairs(
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
     cab = F.col("inter").cast("double") / F.col("na").cast("double")
     cba = F.col("inter").cast("double") / F.col("nb").cast("double")
+    # sizes is O(N_docs) — no forced broadcast (AQE decides); see
+    # ngram_jaccard_pairs for the rationale
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn("cont_a_in_b", cab)
         .withColumn("cont_b_in_a", cba)
         .filter(

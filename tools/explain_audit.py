@@ -313,9 +313,26 @@ def main() -> int:
     if any("_tb" not in seg[:400] for seg in data_windows):
         bad.append("distill_stamp_seq: row_number Window missing _tb partition spec")
 
+    # Dedup pair scoring must NOT force-broadcast the signature/sizes
+    # relations (VERDICT r4 #4): they are O(N_docs), so an explicit
+    # F.broadcast hint is a driver/executor OOM at corpus scale. AQE may
+    # still pick broadcast at runtime when the relation is actually small
+    # — what we forbid is the unconditional hint in the logical plan.
+    from btrdb_spark.functions import dedup as dd
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(0)
+    for nm, df in [
+        ("ngram_jaccard_pairs", dd.ngram_jaccard_pairs(docs)),
+        ("ngram_containment_pairs", dd.ngram_containment_pairs(docs)),
+        ("minhash_lsh_pairs", dd.minhash_lsh_pairs(docs)),
+    ]:
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        if "strategy=broadcast" in analyzed:
+            bad.append(f"{nm}: explicit broadcast hint on a doc-sized relation")
+
     for b in bad:
         print("VIOLATION", b)
-    print(f"{len(bad)} violations across {len(RULES) + 2} audited plans")
+    print(f"{len(bad)} violations across {len(RULES) + 5} audited plans")
     return 1 if bad else 0
 
 
