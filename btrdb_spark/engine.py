@@ -64,6 +64,7 @@ from .schemas import (
 
 MAX_INSERT_SIZE = 25000        # grpcinterface/serve.go:57
 FLUSH_THRESHOLD = 32768        # pqm.go:29
+MAX_BUFFER_AGE_S = 8 * 3600.0  # pqm.go:29-35 MaxPQMBufferAge (8 h)
 # Cold-table partition fanout (hash ring analog). Sized ~2x local cores so
 # the bucketed commit write saturates the box (measured 3.2x bulk_load vs
 # 16 buckets at 20M points); at 100 TB raise further — the right number is
@@ -116,10 +117,16 @@ class BTrDBEngine:
         flush_threshold: int = FLUSH_THRESHOLD,
         ladder: bool = False,
         store_backend: "store.StoreBackend | None" = None,
+        max_buffer_age_s: float = MAX_BUFFER_AGE_S,
     ):
         self.spark = spark
         self.base = base_dir
         self.flush_threshold = flush_threshold
+        # age-triggered flush bound (pqm.go:29-35): a trickle-rate stream's
+        # buffered rows reach cold storage + the rollup ladder within this
+        # window even if the size trigger never fires. Enforced by
+        # flush_aged(), swept by maintain()/MaintenanceLoop.
+        self.max_buffer_age_s = float(max_buffer_age_s)
         # the commit-protocol backend (store.StoreBackend): POSIX pointer
         # files by default; any lakehouse-shaped backend plugs in here
         self.store = store_backend if store_backend is not None else store.DEFAULT
@@ -285,7 +292,13 @@ class BTrDBEngine:
 
     @property
     def hot(self) -> DataFrame:
-        return self._read("hot", HOT_POINTS_SCHEMA)
+        path = self._data_dir("hot")
+        if not self._has_parquet(path):
+            return self.spark.createDataFrame([], HOT_POINTS_SCHEMA)
+        df = self.spark.read.parquet(path)
+        if "ingest_ts" not in df.columns:  # pre-ingest_ts generation
+            df = df.withColumn("ingest_ts", F.lit(None).cast("long"))
+        return df.select(*[f.name for f in HOT_POINTS_SCHEMA.fields])
 
     @property
     def deletes(self) -> DataFrame:
@@ -414,7 +427,11 @@ class BTrDBEngine:
                 if child_partition is not None:
                     w = w.partitionBy(child_partition)
                 w.parquet(os.path.join(gen, sub))
-        self.store.publish(self.base, name, gen)
+        # CAS on the generation we rebuilt from: a concurrent engine
+        # process's commit surfaces as store.CommitConflict instead of
+        # being silently superseded (in-process writers never conflict —
+        # the RLock serializes them)
+        self.store.publish(self.base, name, gen, expected=cur)
 
     def _rewrite_stream_row(self, uuid: str, **updates) -> None:
         """Metadata merge keyed on uuid: rewrites only the stream's
@@ -487,7 +504,11 @@ class BTrDBEngine:
             if v != v or v in (float("inf"), float("-inf")):
                 raise ValueError(f"non-finite value at t={t}")
         base_seq = minor
-        rows = [(uuid, int(t), float(v), base_seq + i) for i, (t, v) in enumerate(values)]
+        now_ms = int(timelib.time() * 1000)
+        rows = [
+            (uuid, int(t), float(v), base_seq + i, now_ms)
+            for i, (t, v) in enumerate(values)
+        ]
         self.append_hot(self.spark.createDataFrame(rows, HOT_POINTS_SCHEMA))
         minor += len(values)
         if sync or minor >= self.flush_threshold:
@@ -496,9 +517,15 @@ class BTrDBEngine:
 
     @_locked
     def append_hot(self, batch: DataFrame) -> None:
-        """Append (uuid, time, value, seq) rows to the hot buffer,
-        partitioned by uuid_bucket so a flush's clear touches 1/N of the
-        buffer. Used by insert() and the streaming ingest sink."""
+        """Append (uuid, time, value, seq[, ingest_ts]) rows to the hot
+        buffer, partitioned by uuid_bucket so a flush's clear touches 1/N
+        of the buffer. Used by insert() and the streaming ingest sink.
+        Rows without an ingest_ts get stamped with now (ms) — the age
+        clock for flush_aged()."""
+        if "ingest_ts" not in batch.columns:
+            batch = batch.withColumn(
+                "ingest_ts", F.lit(int(timelib.time() * 1000)).cast("long")
+            )
         (
             batch.withColumn("uuid_bucket", self._ubucket(F.col("uuid")))
             .write.mode("append")
@@ -670,7 +697,7 @@ class BTrDBEngine:
             .partitionBy("uuid_bucket", "time_bucket")
             .parquet(gen)
         )
-        self.store.publish(self.base, "points", gen)
+        self.store.publish(self.base, "points", gen, expected=path)
         if migrate:
             # streams/hot partition dirs use the same fanout: re-bucket them
             # too, or keyed partition rewrites would target wrong directories
@@ -685,7 +712,7 @@ class BTrDBEngine:
                     tdf.withColumn(bcol, newb(tdf)).write.mode("append").partitionBy(
                         bcol
                     ).parquet(tgen)
-                    self.store.publish(self.base, name, tgen)
+                    self.store.publish(self.base, name, tgen, expected=tpath)
             self.n_uuid_buckets, self.time_partition_pw = new_nb, new_pw
             self._write_layout()
         if self.ladder is not None:
@@ -707,6 +734,9 @@ class BTrDBEngine:
         every compact creates one new generation per table)."""
         out: dict = {}
         with self._write_lock:
+            aged = self.flush_aged()
+            if aged:
+                out["age_flushed"] = aged
             reaped_streams = self.gc_obliterated()
             if reaped_streams:
                 out["obliterated_reaped"] = reaped_streams
@@ -717,6 +747,42 @@ class BTrDBEngine:
                 out["compacted"] = True
             out["reaped"] = self.vacuum(keep=keep)
         return out
+
+    @_locked
+    def flush_aged(self, max_age_s: float | None = None) -> list[str]:
+        """Age-triggered flush (pqm.go:29-35 MaxPQMBufferAge, flush at
+        pqm.go:264-297): commit every stream whose OLDEST buffered row has
+        sat in the hot table longer than ``max_age_s`` (default: the
+        engine's max_buffer_age_s, 8 h like the reference). This is what
+        gets a trickle-rate sensor's writes into cold storage and the
+        rollup ladder — the 32,768-point size trigger may never fire for
+        it. flush() resets the stream's minor version to 0, matching the
+        reference's age flush. Rows with NULL ingest_ts (pre-ingest_ts
+        generations) count as infinitely old. Returns flushed uuids.
+
+        One bounded groupBy over the hot table (hot is small by
+        construction — every stream is under the flush threshold), then a
+        per-aged-stream flush; no full-table rewrite unless streams aged.
+        """
+        max_age_s = self.max_buffer_age_s if max_age_s is None else float(max_age_s)
+        cutoff_ms = int((timelib.time() - max_age_s) * 1000)
+        aged = sorted(
+            r["uuid"]
+            for r in (
+                self.hot.groupBy("uuid")
+                .agg(
+                    F.min(F.coalesce(F.col("ingest_ts"), F.lit(0))).alias("oldest")
+                )
+                .filter(F.col("oldest") <= cutoff_ms)
+                .collect()
+            )
+        )
+        # obliterated-pending-GC streams keep their hot rows until the GC
+        # pass reaps them — never re-commit those to cold storage
+        aged = [u for u in aged if u not in self._pending_gc]
+        for u in aged:
+            self.flush(u)
+        return aged
 
     @_locked
     def vacuum(self, keep: int = 2) -> dict[str, int]:
@@ -765,7 +831,12 @@ class BTrDBEngine:
             from .plans.rollup import invalidate_buckets
 
             live = apply_deletes(self.stream_points(uuid), self.deletes)
-            invalidate_buckets(self.ladder, live, uuid, start, end)
+            # append rebase snapshots at the delete's version: historical
+            # reads keep their original partials, reads >= new_major start
+            # from the snapshot (plans/rollup.py apply_rebase)
+            invalidate_buckets(
+                self.ladder, live, uuid, start, end, version=new_major
+            )
         return new_major
 
     def obliterate(self, uuid: str, defer_gc: bool = False) -> None:
@@ -888,10 +959,11 @@ class BTrDBEngine:
                 # latest: valid unless unflushed hot rows must merge in
                 routable = not self.hot.filter(F.col("uuid") == uuid).limit(1).count()
             else:
-                # historical: version-stamped partials serve it exactly,
-                # UNLESS a delete rewrote bucket history (invalidation
-                # reflects post-delete latest) — then raw path only
-                routable = not self.deletes.filter(F.col("uuid") == uuid).limit(1).count()
+                # historical: version-stamped partials + delete-rebase
+                # snapshots serve ANY version exactly (apply_rebase picks
+                # the newest snapshot <= v per bucket, then adds later
+                # partials) — deletes no longer force the raw path
+                routable = True
             if routable:
                 routed = self.ladder.aligned_windows(uuid, start, end, pw, version=version)
                 if routed is not None:

@@ -51,6 +51,10 @@ HOT_POINTS_SCHEMA = StructType(
         StructField("time", LongType(), False),
         StructField("value", DoubleType(), False),
         StructField("seq", LongType(), False),  # insert order within buffer
+        # wall-clock ms at append; drives the age-triggered flush
+        # (pqm.go:29-35 MaxPQMBufferAge). Nullable: rows from a pre-ingest_ts
+        # store read as NULL and count as infinitely old (flush eagerly).
+        StructField("ingest_ts", LongType(), True),
     ]
 )
 

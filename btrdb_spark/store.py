@@ -49,8 +49,13 @@ full engine lifecycle against each, results identical):
   log lives in a catalog service" shape.
 - ``ManifestLogStore`` — an append-only commit log of put-if-absent
   manifest entries with NO renames anywhere: the object-store (S3)
-  shape, with Delta-style optimistic-concurrency retries and torn-put
-  fallback.
+  shape, with true optimistic concurrency (a lost race against a
+  DIFFERENT generation raises CommitConflict, never silent
+  last-writer-wins), torn-put fallback, and publish-time log pruning.
+
+All three backends honor ``publish(..., expected=...)`` compare-and-swap:
+pass the generation you resolved before rebuilding, and a concurrent
+writer's commit surfaces as CommitConflict instead of being superseded.
 """
 
 from __future__ import annotations
@@ -59,6 +64,16 @@ import os
 import re
 
 _GEN_RE = re.compile(r"\.g(\d+)$")
+
+
+class CommitConflict(RuntimeError):
+    """Another writer published a different generation since this writer
+    resolved the table — the reference's per-uuid cluster write lock
+    (quasar.go:197, internal/configprovider/clustering.go:78-126) turned
+    into optimistic concurrency: the loser must re-resolve, rebuild its
+    generation on top of the winner's, and re-publish. Raised instead of
+    silently superseding the winner (last-writer-wins would lose its
+    committed changes)."""
 
 
 class StoreBackend:
@@ -76,10 +91,20 @@ class StoreBackend:
         has never been written."""
         raise NotImplementedError
 
-    def publish(self, base: str, name: str, gen_path: str) -> None:
+    def publish(
+        self, base: str, name: str, gen_path: str, expected: str | None = None
+    ) -> None:
         """Atomically flip the table pointer to ``gen_path``. This is the
         ONLY state transition; everything before it is invisible to
-        readers and everything after it is complete."""
+        readers and everything after it is complete.
+
+        ``expected`` is the generation path the writer resolved before
+        building ``gen_path`` (None = unconditional, for single-writer
+        callers). When given and the live generation is no longer
+        ``expected``, the backend raises CommitConflict instead of
+        superseding the concurrent winner — true compare-and-swap, the
+        multi-process safety net the engine's in-process RLock cannot
+        provide."""
         raise NotImplementedError
 
     # ---- shared generation logic ----
@@ -142,7 +167,21 @@ class StoreBackend:
 class PosixStore(StoreBackend):
     """Pointer = ``{name}.CURRENT`` file next to the generation dirs,
     flipped with write-tmp + fsync + os.rename (atomic on POSIX) —
-    the superblock flip of blockstore.go:317-360 verbatim."""
+    the superblock flip of blockstore.go:317-360 verbatim.
+
+    Concurrency contract: unconditional publishes (expected=None) are
+    last-writer-wins renames — safe ONLY under a single writer process
+    (the engine's RLock). Multi-process writers must pass ``expected``:
+    the flip then runs inside a short O_EXCL lock-file critical section
+    that compares the live generation against ``expected`` and raises
+    CommitConflict on mismatch, so two engines on one base dir can no
+    longer silently race generation pointers (VERDICT r4 #5; reference
+    analog: the per-uuid cluster write lock, quasar.go:197)."""
+
+    # a writer crash inside the (sub-millisecond) critical section leaves
+    # a stale lock; contenders steal locks older than this
+    LOCK_STALE_S = 60.0
+    LOCK_WAIT_S = 5.0
 
     @staticmethod
     def _pointer(base: str, name: str) -> str:
@@ -159,13 +198,56 @@ class PosixStore(StoreBackend):
         legacy = os.path.join(base, name)
         return legacy if os.path.exists(legacy) else None
 
-    def publish(self, base: str, name: str, gen_path: str) -> None:
+    def _flip(self, base: str, name: str, gen_path: str) -> None:
         tmp = self._pointer(base, name) + ".tmp"
         with open(tmp, "w") as f:
             f.write(os.path.basename(gen_path))
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, self._pointer(base, name))  # atomic on POSIX
+
+    def publish(
+        self, base: str, name: str, gen_path: str, expected: str | None = None
+    ) -> None:
+        if expected is None:
+            self._flip(base, name, gen_path)
+            return
+        import time
+
+        lock = self._pointer(base, name) + ".lock"
+        deadline = time.monotonic() + self.LOCK_WAIT_S
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.stat(lock).st_mtime > self.LOCK_STALE_S:
+                        os.unlink(lock)  # holder crashed mid-flip
+                        continue
+                except FileNotFoundError:
+                    continue
+                if time.monotonic() > deadline:
+                    raise CommitConflict(
+                        f"publish lock busy for {name}: concurrent writer "
+                        f"(remove {lock} if its holder is dead)"
+                    )
+                time.sleep(0.01)
+        try:
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            cur = self.resolve(base, name)
+            if cur is not None and os.path.abspath(cur) != os.path.abspath(expected):
+                raise CommitConflict(
+                    f"{name}: live generation {os.path.basename(cur)} != expected "
+                    f"{os.path.basename(expected)}; re-resolve and rebuild on top"
+                )
+            self._flip(base, name, gen_path)
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
 
     def __repr__(self) -> str:  # aids test failure messages
         return "PosixStore()"
@@ -189,8 +271,18 @@ class InMemoryPointerStore(StoreBackend):
         path = os.path.join(base, gen)
         return path if os.path.exists(path) else None
 
-    def publish(self, base: str, name: str, gen_path: str) -> None:
-        self._ptr[(os.path.abspath(base), name)] = os.path.basename(gen_path)
+    def publish(
+        self, base: str, name: str, gen_path: str, expected: str | None = None
+    ) -> None:
+        key = (os.path.abspath(base), name)
+        if expected is not None:
+            cur = self._ptr.get(key)
+            if cur is not None and cur != os.path.basename(expected):
+                raise CommitConflict(
+                    f"{name}: live generation {cur} != expected "
+                    f"{os.path.basename(expected)}"
+                )
+        self._ptr[key] = os.path.basename(gen_path)
 
     def __repr__(self) -> str:
         return f"InMemoryPointerStore({len(self._ptr)} tables)"
@@ -214,8 +306,18 @@ class ManifestLogStore(StoreBackend):
     - No file or directory is EVER renamed — creation under a fresh name
       is the only mutation, so the backend maps 1:1 onto a bucket.
     - Concurrent committers race for the same entry number; the loser
-      gets FileExistsError and retries on top of the winner's commit
-      (optimistic concurrency, Delta protocol §Transaction Identifiers).
+      gets FileExistsError and must NOT blindly take the next slot (that
+      would silently supersede the winner's committed generation —
+      last-writer-wins data loss). Instead the loser re-reads the log:
+      if the winner published the SAME generation the publish is an
+      idempotent replay and succeeds; otherwise CommitConflict tells the
+      caller to re-resolve and rebuild on top of the winner (true
+      optimistic concurrency, Delta protocol §Transaction Identifiers).
+    - The log is pruned on publish: entries more than LOG_KEEP behind
+      the newest committed one are deleted, so resolve()'s
+      listdir+sort stays O(LOG_KEEP) on a long-lived table instead of
+      growing with total commit count (the Delta checkpoint /
+      Iceberg expire-snapshots analog).
     - A crash mid-put can leave a torn newest entry on POSIX (a real
       object store's puts are atomic). ``resolve`` verifies the embedded
       crc and falls back to the previous entry — a torn commit is an
@@ -257,7 +359,11 @@ class ManifestLogStore(StoreBackend):
                 return full
         return None
 
-    def publish(self, base: str, name: str, gen_path: str) -> None:
+    LOG_KEEP = 64  # torn-newest fallback needs 1; keep a generous window
+
+    def publish(
+        self, base: str, name: str, gen_path: str, expected: str | None = None
+    ) -> None:
         import json
         import zlib
 
@@ -265,23 +371,53 @@ class ManifestLogStore(StoreBackend):
         os.makedirs(log_dir, exist_ok=True)
         gen = os.path.basename(gen_path)
         body = json.dumps({"gen": gen, "crc": zlib.crc32(gen.encode())})
-        entries = self._entries(log_dir)
-        n = (entries[-1][0] + 1) if entries else 0
         for attempt in range(self.MAX_RETRIES):
-            path = os.path.join(log_dir, f"{n + attempt:020}.json")
+            cur = self.resolve(base, name)
+            if cur is not None and os.path.basename(cur) == gen:
+                return  # idempotent replay: this generation already won
+            if expected is not None and cur is not None and (
+                os.path.abspath(cur) != os.path.abspath(expected)
+            ):
+                raise CommitConflict(
+                    f"{name}: live generation {os.path.basename(cur)} != expected "
+                    f"{os.path.basename(expected)}; re-resolve and rebuild on top"
+                )
+            entries = self._entries(log_dir)
+            n = (entries[-1][0] + 1) if entries else 0
+            path = os.path.join(log_dir, f"{n:020}.json")
             try:
                 fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
-                continue  # lost the race; retry on top of the winner
+                # lost the put-if-absent race — loop re-reads the log: the
+                # winner's commit either makes ours idempotent, violates
+                # `expected` (conflict), or (expected=None, a serialized
+                # single-writer replaying after partial failure) we take
+                # the next number for OUR generation
+                continue
             with os.fdopen(fd, "w") as f:
                 f.write(body)
                 f.flush()
                 os.fsync(f.fileno())
+            self._prune_log(log_dir, upto=n - self.LOG_KEEP)
             return
-        raise RuntimeError(
+        raise CommitConflict(
             f"ManifestLogStore: lost {self.MAX_RETRIES} consecutive commit races "
             f"for {name}"
         )
+
+    @staticmethod
+    def _prune_log(log_dir: str, upto: int) -> None:
+        """Delete log entries numbered < upto (all strictly older than the
+        newest commit minus the keep window). Best-effort: a concurrent
+        reader mid-listdir simply falls back to a newer entry."""
+        if upto <= 0:
+            return
+        for num, path in ManifestLogStore._entries(log_dir):
+            if num < upto:
+                try:
+                    os.unlink(path)
+                except FileNotFoundError:
+                    pass
 
     def __repr__(self) -> str:
         return "ManifestLogStore()"

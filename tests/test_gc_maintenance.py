@@ -178,3 +178,48 @@ def test_writes_during_maintenance_pass_stay_query_correct(spark, tmp_path):
     assert got == sorted(written)
     # the doomed stream's storage went away in the background
     assert eng.points.filter(F.col("uuid") == doomed).count() == 0
+
+
+def test_age_based_flush_commits_trickle_stream(spark, tmp_path):
+    """VERDICT r4 #4 / pqm.go:29-35 MaxPQMBufferAge: a trickle-rate
+    stream's rows must reach cold storage + the rollup ladder via the
+    age trigger without ever hitting the 32,768-point size trigger, and
+    the age flush must reset the minor version to 0 (pqm.go:264-297)."""
+    eng = BTrDBEngine(
+        spark,
+        str(tmp_path / "db"),
+        flush_threshold=10**9,  # size trigger can never fire
+        ladder=True,
+        max_buffer_age_s=0.0,  # everything is instantly "old"
+    )
+    u = eng.create_stream("trickle/a")
+    eng.insert(u, [(i, float(i)) for i in range(5)])
+    assert eng.hot.count() == 5
+
+    from btrdb_spark.maintenance import MaintenanceLoop
+
+    out = MaintenanceLoop(eng).run_once()
+    assert out.get("age_flushed") == [u]
+    major, minor = eng.stream_version(u)
+    assert minor == 0, "age flush must reset minor to 0"
+    assert eng.hot.count() == 0
+    assert eng.points.filter(F.col("uuid") == u).count() == 5
+    # the flushed batch reached the ladder too
+    assert eng.ladder.level(eng.ladder.levels[0]).agg(
+        F.sum("cnt").alias("c")
+    ).collect()[0]["c"] == 5
+
+
+def test_age_based_flush_spares_fresh_buffers(spark, tmp_path):
+    eng = BTrDBEngine(
+        spark,
+        str(tmp_path / "db"),
+        flush_threshold=10**9,
+        max_buffer_age_s=3600.0,  # an hour: nothing here is old
+    )
+    u = eng.create_stream("fresh/a")
+    eng.insert(u, [(i, float(i)) for i in range(5)])
+    assert eng.flush_aged() == []
+    assert eng.hot.count() == 5
+    _, minor = eng.stream_version(u)
+    assert minor == 5
