@@ -153,6 +153,46 @@ def q_aligned_windows_at_version_via_rollup(spark: SparkSession, sf: str) -> Dat
     return ru.stats_from_rollup(r20, 20, 36, None, T0, T1, version=12)
 
 
+def q_aligned_windows_at_version_after_delete_via_rollup(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """V1 x V3 x A1 from the ladder AFTER deletes (VERDICT r4 #7): the
+    simulated ladder holds the version-stamped additive partials PLUS the
+    rebase snapshots a DeleteRange appends (plans/rollup.py
+    rebase_snapshot_rows — complete post-delete bucket content at the
+    delete's version), and stats_from_rollup at read version 14 resolves
+    them with apply_rebase. Exactly what engine.aligned_windows(version=v)
+    reads for a deleted stream — no raw-path fallback."""
+    pts = events_as_points(spark, sf)
+    dels = _deletes_df(spark)
+    pw = 20
+    width = 1 << pw
+    ladder_rows = ru.rollup_points(pts, pw, versioned=True).withColumn(
+        "rebase", F.lit(False)
+    )
+    for u, ds, de, dv in [
+        ("7", T0 + 10 * DAY, T0 + 15 * DAY, 13),
+        ("12", T0 + 2 * DAY, T0 + 4 * DAY, 12),
+    ]:
+        lo = (ds // width) * width
+        hi = ((de - 1) // width + 1) * width
+        scoped = pts.filter(
+            (F.col("uuid") == u) & (F.col("time") >= lo) & (F.col("time") < hi)
+        )
+        existing = ladder_rows.filter(
+            (F.col("uuid") == u)
+            & (F.col("bucket_start") >= lo)
+            & (F.col("bucket_start") < hi)
+        )
+        live = raw_ops.apply_deletes(
+            raw_ops.at_version(scoped, dv), dels, version=dv
+        )
+        ladder_rows = ladder_rows.unionByName(
+            ru.rebase_snapshot_rows(existing, live, pw, dv)
+        )
+    return ru.stats_from_rollup(ladder_rows, pw, 36, None, T0, T1, version=14)
+
+
 def q_windows_1h_hybrid(spark: SparkSession, sf: str) -> DataFrame:
     """A2 via the hybrid plan: interior 2^38-buckets from the rollup,
     edge buckets from raw points — exact for the non-power-of-two 1h width.
@@ -1259,10 +1299,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only the first 50 of 78 were certified; those 28 lead here. New
     # queries should be inserted near the top for the same reason.
     return {
-        # r4 slots 1-12: the 11 entries no driver round has ever certified
-        # (r2/r3 gates stopped at 50 rows before reaching them) plus
-        # value_mad_outliers, the one red r3 row (oracle retyped to the
-        # CAST(... AS DOUBLE)/COUNT convention this round).
+        # r5 head: new/never-certified entries first, then the two rows
+        # that were driver-red in r3/r4 (oracle HUGEINT typing, now CAST
+        # AS BIGINT) so the gate re-certifies them immediately.
+        "aligned_windows_at_version_after_delete_via_rollup": q_aligned_windows_at_version_after_delete_via_rollup,
         "value_mad_outliers": q_value_mad_outliers,
         "pack_token_shards": q_pack_token_shards,
         "mixture_sample": q_mixture_sample,
@@ -1463,6 +1503,22 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2 ORDER BY 1, 2
     """
     oracles["windows_1h_hybrid"] = oracles["windows_1h"]
+    # ladder read at version 14 with both deletes visible: the rebase
+    # snapshots + surviving partials must equal the raw at-version
+    # delete-filtered aggregation
+    oracles["aligned_windows_at_version_after_delete_via_rollup"] = f"""
+        SELECT p.uuid, p.time - ((p.time % {w36} + {w36}) % {w36}) AS bucket_start,
+               COUNT(*) AS cnt, MIN(p.value) AS vmin, {MEAN_SQL} AS vmean, MAX(p.value) AS vmax
+        FROM {PTS} p
+        WHERE p.version <= 14
+          AND p.time >= {T0 - (T0 % w36 + w36) % w36} AND p.time < {T1 - (T1 % w36 + w36) % w36}
+          AND NOT EXISTS (
+            SELECT 1 FROM {DELETES_SQL} d
+            WHERE d.del_version <= 14 AND d.uuid = p.uuid
+              AND p.time >= d.del_start AND p.time < d.del_end
+              AND p.version <= d.del_version)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
 
     oracles["sessionize"] = f"""
         WITH s AS (

@@ -87,8 +87,11 @@ def rollup_points(points: DataFrame, pw: int, versioned: bool = False) -> DataFr
 def combine(rollup: DataFrame) -> DataFrame:
     """Fold partial rollup rows per bucket — the OpReduce combine. A
     `version` column, when present, stays a grouping key (compaction must
-    not erase version granularity or historical reads lose their source)."""
+    not erase version granularity or historical reads lose their source);
+    likewise `rebase` (a snapshot row must never merge into additive
+    partials)."""
     keys = ["uuid", "bucket_start"] + (["version"] if "version" in rollup.columns else [])
+    keys += ["rebase"] if "rebase" in rollup.columns else []
     return rollup.groupBy(*keys).agg(
         F.sum("cnt").alias("cnt"),
         F.min("vmin").alias("vmin"),
@@ -103,6 +106,50 @@ def coarsen(rollup: DataFrame, from_pw: int, to_pw: int) -> DataFrame:
     width = 1 << to_pw
     return combine(
         rollup.withColumn("bucket_start", bucket_start(F.col("bucket_start"), width))
+    )
+
+
+def apply_rebase(df: DataFrame, version: int | None = None) -> DataFrame:
+    """Resolve delete-rebase snapshots at read version ``version`` (None =
+    latest).
+
+    A DeleteRange at version d appends one REBASE snapshot row per
+    touched bucket (the complete post-delete bucket content, stamped
+    version=d, rebase=true) and PRESERVES the older additive partials —
+    the per-version invalidation that keeps query-at-version rollup-fast
+    after deletes (the CGeneration analog, blocktypes.go:97-112). The
+    effective rows at version v for a bucket are: its newest rebase
+    snapshot with version <= v (if any) plus every additive partial after
+    it up to v. Pre-delete reads (v < d) still see the original partials
+    — nothing was erased.
+
+    The per-bucket max is over the (already uuid/range-filtered) rollup
+    slice and joins back on (uuid, bucket_start) — rollup-sized keyed
+    work, never point-sized.
+    """
+    if "version" not in df.columns:
+        return df
+    if version is not None:
+        df = df.filter(F.col("version") <= F.lit(version))
+    if "rebase" not in df.columns:
+        return df
+    rb = (
+        df.filter(F.col("rebase"))
+        .groupBy("uuid", "bucket_start")
+        .agg(F.max("version").alias("_rb"))
+    )
+    return (
+        df.join(rb, ["uuid", "bucket_start"], "left")
+        .filter(
+            F.col("_rb").isNull()
+            | (F.col("version") > F.col("_rb"))
+            | ((F.col("version") == F.col("_rb")) & F.col("rebase"))
+        )
+        .drop("_rb")
+        # a cnt=0 snapshot (bucket emptied by the delete) has done its job
+        # once it wins the rebase race — drop it so downstream vmean
+        # divisions and window combines never see a zero-count partial
+        .filter(F.col("cnt") > 0)
     )
 
 
@@ -129,16 +176,14 @@ def stats_from_rollup(
     snap_s = start - (start % width + width) % width
     snap_e = end - (end % width + width) % width
     df = rollup
-    if version is not None:
-        df = df.filter(F.col("version") <= F.lit(version))
-    if "version" in df.columns:
-        # version granularity served its purpose; combine across commits
-        df = df.drop("version")
     if uuid is not None:
         df = df.filter(F.col("uuid") == F.lit(uuid))
     # level buckets tile query buckets exactly (level_pw <= pw), so the
     # bucket-level filter is equivalent to the point-level one
     df = df.filter((F.col("bucket_start") >= F.lit(snap_s)) & (F.col("bucket_start") < F.lit(snap_e)))
+    df = apply_rebase(df, version)
+    # version/rebase granularity served its purpose; combine across commits
+    df = df.drop("version", "rebase")
     out = coarsen(df, level_pw, pw)
     return out.select(
         "uuid",
@@ -347,9 +392,12 @@ class RollupLadder:
             return self.spark.createDataFrame(
                 [],
                 f"uuid string, bucket_start long, version long, cnt long, "
-                f"vmin double, vmax double, vsum {DEC}",
+                f"vmin double, vmax double, vsum {DEC}, rebase boolean",
             )
-        return self.spark.read.parquet(path)
+        df = self.spark.read.parquet(path)
+        if "rebase" not in df.columns:  # pre-rebase generation
+            df = df.withColumn("rebase", F.lit(False))
+        return df
 
     # ---- streaming exactly-once bookkeeping (pqm.go:152-188 analog) ----
 
@@ -400,7 +448,9 @@ class RollupLadder:
             batch_points = batch_points.withColumn(
                 "version", F.lit(1 << 62).cast("long")
             )
-        partial = rollup_points(batch_points, self.levels[0], versioned=True)
+        partial = rollup_points(batch_points, self.levels[0], versioned=True).withColumn(
+            "rebase", F.lit(False)
+        )
         for i, pw in enumerate(self.levels):
             if i > 0:
                 partial = coarsen(partial, self.levels[i - 1], pw)
@@ -471,41 +521,94 @@ class RollupLadder:
         lvl = route_level_width(width, self.levels)
         if lvl is None:
             return None
+        def latest(pw_lvl: int) -> DataFrame:
+            # resolve delete-rebase snapshots at latest before the
+            # version-blind window combines
+            return apply_rebase(self.level(pw_lvl)).drop("version", "rebase")
+
         if depth is not None:
             lvl_d = route_level(max(depth, self.levels[0]), self.levels) or self.levels[0]
             return windows_approx_from_rollup(
-                self.level(min(lvl_d, lvl)), min(lvl_d, lvl), start, end, width, uuid
+                latest(min(lvl_d, lvl)), min(lvl_d, lvl), start, end, width, uuid
             )
-        return windows_from_rollup(self.level(lvl), lvl, points, uuid, start, end, width)
+        return windows_from_rollup(latest(lvl), lvl, points, uuid, start, end, width)
 
 
-def invalidate_buckets(ladder: RollupLadder, points: DataFrame, uuid: str, start: int, end: int) -> None:
-    """Recompute ladder buckets overlapping [start, end) for one stream —
+def rebase_snapshot_rows(
+    existing_partials: DataFrame, live_points: DataFrame, pw: int, version: int
+) -> DataFrame:
+    """The rebase snapshot a DeleteRange appends at level pw: one row per
+    previously-populated bucket (buckets = the distinct keys of
+    ``existing_partials``, NEVER an enumeration of the time range), each
+    holding the complete post-delete bucket content of ``live_points``
+    stamped (version, rebase=true); buckets the delete emptied become
+    cnt=0 placeholders that hide their stale partials from reads at or
+    after ``version`` (apply_rebase)."""
+    existing = existing_partials.select("uuid", "bucket_start").distinct()
+    snap = rollup_points(live_points, pw, versioned=False)
+    return existing.join(snap, ["uuid", "bucket_start"], "left").select(
+        "uuid",
+        "bucket_start",
+        F.lit(int(version)).cast("long").alias("version"),
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+        F.col("vmin"),
+        F.col("vmax"),
+        F.coalesce(F.col("vsum"), F.lit(0).cast(DEC)).alias("vsum"),
+        F.lit(True).alias("rebase"),
+    )
+
+
+def invalidate_buckets(
+    ladder: RollupLadder,
+    points: DataFrame,
+    uuid: str,
+    start: int,
+    end: int,
+    version: int | None = None,
+) -> None:
+    """Invalidate ladder buckets overlapping [start, end) for one stream —
     the DeleteRange maintenance path (SURVEY.md §7 watch-list #5).
 
-    Rewrites only the touched buckets at each level: delete their partial
-    rows, re-aggregate them from (already delete-filtered) points.
+    ``version`` (the delete's commit version — the CGeneration analog):
+    APPEND one rebase snapshot row per previously-populated touched
+    bucket, holding the complete post-delete bucket content stamped
+    (version, rebase=true); buckets left empty get a cnt=0 placeholder so
+    reads at or after ``version`` stop seeing their stale partials. The
+    older additive partials are PRESERVED, which is what keeps
+    query-at-version rollup-fast after deletes (VERDICT r4 #7): a read at
+    v < version still combines the original partials; a read at
+    v >= version starts from the snapshot (plans/rollup.py apply_rebase).
+    O(touched buckets) appended rows per level, no level rewrite at all.
+
+    ``version=None`` is the legacy latest-collapse: replace the touched
+    buckets with a latest-state recomputation (destroys per-version
+    history for them).
     """
     for pw in ladder.levels:
         width = 1 << pw
         lo = start - (start % width + width) % width
         hi = end - (end % width + width) % width + width
-        keep = ladder.level(pw).filter(
-            ~(
-                (F.col("uuid") == uuid)
-                & (F.col("bucket_start") >= F.lit(lo))
-                & (F.col("bucket_start") < F.lit(hi))
-            )
+        in_range = (
+            (F.col("uuid") == uuid)
+            & (F.col("bucket_start") >= F.lit(lo))
+            & (F.col("bucket_start") < F.lit(hi))
         )
         src = points.filter(
             (F.col("uuid") == uuid)
             & (F.col("time") >= F.lit(lo))
             & (F.col("time") < F.lit(hi))
         )
+        if version is not None:
+            existing = ladder.level(pw).filter(in_range)
+            full = rebase_snapshot_rows(existing, src, pw, version)
+            full.write.mode("append").parquet(
+                ladder.store.current_dir(ladder.base, ladder._name(pw), create=True)
+            )
+            continue
+        keep = ladder.level(pw).filter(~in_range)
         if "version" not in src.columns:
             src = src.withColumn("version", F.lit(1 << 62).cast("long"))
-        # NOTE: recomputation reflects the post-delete LATEST state; the
-        # engine disables version-routed ladder reads for streams with
-        # tombstones (historical versions fall back to the raw path)
-        recomputed = rollup_points(src, pw, versioned=True)
+        recomputed = rollup_points(src, pw, versioned=True).withColumn(
+            "rebase", F.lit(False)
+        )
         ladder.rewrite_level(pw, lambda df: keep.unionByName(recomputed))

@@ -94,8 +94,8 @@ def test_bulk_load_roundtrip(spark, make_points, tmp_path):
 
 def test_ladder_serves_historical_versions(spark, tmp_path):
     """Version-stamped partials: aligned_windows at an old version routed
-    through the ladder equals the raw at-version path; deletes disable the
-    versioned route but answers stay correct via fallback."""
+    through the ladder equals the raw at-version path; after a delete the
+    rebase snapshots keep EVERY version ladder-served and exact."""
     from pyspark.sql import functions as F
 
     from btrdb_spark.engine import BTrDBEngine
@@ -121,14 +121,20 @@ def test_ladder_serves_historical_versions(spark, tmp_path):
         # the routed plan must come from the ladder: it reads rollup
         # columns (vsum), never the raw points schema
         assert "vsum" in got._jdf.queryExecution().toString()
-    # after a delete, versioned reads must fall back (and stay correct)
-    eng.delete_range(u, 0, 10**7)
-    got11 = eng.aligned_windows(u, 0, 1 << 32, pw=20, version=11)
-    want11 = raw_aw(
-        eng.points_pruned(u), u, 0, 1 << 32, pw=20, version=11, deletes=eng.deletes
-    )
-    assert key(got11) == key(want11)
-    assert "vsum" not in got11._jdf.queryExecution().toString()
+    # after a delete, versioned reads STAY rollup-routed (VERDICT r4 #7):
+    # the delete appends rebase snapshots at its version, pre-delete
+    # partials survive, so every historical version is still exact AND
+    # ladder-served
+    dver = eng.delete_range(u, 0, 10**7)  # wipes batch 0 entirely
+    for v in (10, 11, 12, dver):
+        gotv = eng.aligned_windows(u, 0, 1 << 32, pw=20, version=v)
+        wantv = raw_aw(
+            eng.points_pruned(u), u, 0, 1 << 32, pw=20, version=v, deletes=eng.deletes
+        )
+        assert key(gotv) == key(wantv), f"post-delete version {v}"
+        assert "vsum" in gotv._jdf.queryExecution().toString(), (
+            f"version {v} must still read the ladder after a delete"
+        )
     # latest still routed (invalidation refreshed the ladder)
     latest = eng.aligned_windows(u, 0, 1 << 32, pw=20)
     want_latest = raw_aw(
@@ -166,3 +172,37 @@ def test_engine_windows_routes_hybrid(spark, tmp_path):
     tot_a = sum(r["cnt"] for r in approx.collect())
     tot_e = sum(r["cnt"] for r in want.collect())
     assert tot_e <= tot_a <= tot_e + 2
+
+
+def test_ladder_versions_after_partial_delete_and_reinsert(spark, tmp_path):
+    """Rebase-snapshot invalidation, the hard cases: a delete covering
+    PART of a bucket, then fresh inserts into the deleted range. Every
+    version (pre-delete, at-delete, post-reinsert) must match the raw
+    at-version path and keep reading the ladder."""
+    from btrdb_spark.engine import BTrDBEngine
+    from btrdb_spark.operators.windows import aligned_windows as raw_aw
+
+    eng = BTrDBEngine(spark, str(tmp_path / "rbs"), ladder=True)
+    u = eng.create_stream("rb/a")
+    eng.insert(u, [(i * 10**4, float(i)) for i in range(500)])
+    eng.flush(u)  # version 10
+    # delete the middle of the range: cuts buckets mid-way at fine levels
+    d1 = eng.delete_range(u, 123 * 10**4, 321 * 10**4)  # version 11
+    # re-insert INTO the deleted range (visible again: version > delete)
+    eng.insert(u, [(200 * 10**4 + i * 10**3, -float(i)) for i in range(50)])
+    eng.flush(u)  # version 12
+    d2 = eng.delete_range(u, 0, 50 * 10**4)  # second delete, version 13
+
+    def key(df):
+        return {
+            (r["uuid"], r["bucket_start"]): (r["cnt"], r["vmin"], r["vmean"], r["vmax"])
+            for r in df.collect()
+        }
+
+    for v in (10, d1, 12, d2, None):
+        got = eng.aligned_windows(u, 0, 1 << 32, pw=20, version=v)
+        want = raw_aw(
+            eng.points_pruned(u), u, 0, 1 << 32, pw=20, version=v, deletes=eng.deletes
+        )
+        assert key(got) == key(want), f"version {v}"
+        assert "vsum" in got._jdf.queryExecution().toString(), f"version {v} not ladder-served"
