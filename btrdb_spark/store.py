@@ -223,7 +223,23 @@ class PosixStore(StoreBackend):
             except FileExistsError:
                 try:
                     if time.time() - os.stat(lock).st_mtime > self.LOCK_STALE_S:
-                        os.unlink(lock)  # holder crashed mid-flip
+                        # Steal by ATOMIC RENAME to a unique name: exactly
+                        # one contender's rename succeeds (the other gets
+                        # FileNotFoundError), so two contenders acting on
+                        # the same stale stat can never unlink each
+                        # other's fresh locks and both enter the critical
+                        # section (ADVICE r5 #2 — unlink-then-recreate
+                        # allowed a double acquisition).
+                        stolen = f"{lock}.stale.{os.getpid()}.{time.monotonic_ns()}"
+                        try:
+                            os.rename(lock, stolen)
+                        except FileNotFoundError:
+                            pass  # another contender stole it first
+                        else:
+                            try:
+                                os.unlink(stolen)
+                            except FileNotFoundError:
+                                pass
                         continue
                 except FileNotFoundError:
                     continue
@@ -341,18 +357,35 @@ class ManifestLogStore(StoreBackend):
                 out.append((int(stem), os.path.join(log_dir, fn)))
         return sorted(out)
 
-    def resolve(self, base: str, name: str) -> str | None:
+    @staticmethod
+    def _read_entry(path: str) -> str | None:
+        """Generation basename a log entry commits, or None if torn."""
         import json
         import zlib
 
+        try:
+            with open(path) as f:
+                body = json.load(f)
+            gen = body["gen"]
+            if body.get("crc") != zlib.crc32(gen.encode()):
+                return None  # torn put -> uncommitted
+            return gen
+        except (ValueError, KeyError, TypeError, OSError):
+            return None
+
+    def _highest_valid(self, log_dir: str) -> tuple[int, str] | None:
+        """(entry number, generation basename) of the newest well-formed
+        log entry — the commit the log currently names."""
+        for n, path in reversed(self._entries(log_dir)):
+            gen = self._read_entry(path)
+            if gen is not None:
+                return n, gen
+        return None
+
+    def resolve(self, base: str, name: str) -> str | None:
         for _n, path in reversed(self._entries(self._log_dir(base, name))):
-            try:
-                with open(path) as f:
-                    body = json.load(f)
-                gen = body["gen"]
-                if body.get("crc") != zlib.crc32(gen.encode()):
-                    continue  # torn put -> uncommitted, fall back
-            except (ValueError, KeyError, OSError):
+            gen = self._read_entry(path)
+            if gen is None:
                 continue
             full = os.path.join(base, gen)
             if os.path.exists(full):
@@ -371,35 +404,69 @@ class ManifestLogStore(StoreBackend):
         os.makedirs(log_dir, exist_ok=True)
         gen = os.path.basename(gen_path)
         body = json.dumps({"gen": gen, "crc": zlib.crc32(gen.encode())})
-        for attempt in range(self.MAX_RETRIES):
-            cur = self.resolve(base, name)
-            if cur is not None and os.path.basename(cur) == gen:
-                return  # idempotent replay: this generation already won
-            if expected is not None and cur is not None and (
-                os.path.abspath(cur) != os.path.abspath(expected)
-            ):
-                raise CommitConflict(
-                    f"{name}: live generation {os.path.basename(cur)} != expected "
-                    f"{os.path.basename(expected)}; re-resolve and rebuild on top"
-                )
-            entries = self._entries(log_dir)
-            n = (entries[-1][0] + 1) if entries else 0
+
+        def _claim(n: int) -> bool:
             path = os.path.join(log_dir, f"{n:020}.json")
             try:
                 fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
-                # lost the put-if-absent race — loop re-reads the log: the
-                # winner's commit either makes ours idempotent, violates
-                # `expected` (conflict), or (expected=None, a serialized
-                # single-writer replaying after partial failure) we take
-                # the next number for OUR generation
-                continue
+                return False
             with os.fdopen(fd, "w") as f:
                 f.write(body)
                 f.flush()
                 os.fsync(f.fileno())
             self._prune_log(log_dir, upto=n - self.LOG_KEEP)
-            return
+            return True
+
+        if expected is not None:
+            # The COMMIT NUMBER is the CAS token (Delta-style, ADVICE r5
+            # #1): verify `expected` is the newest valid entry, then claim
+            # the slot IMMEDIATELY after it. The expected-check and the
+            # slot claim are one atomic unit because any writer that
+            # committed between them necessarily took that exact slot —
+            # our O_EXCL create then fails and we report the conflict
+            # instead of silently superseding. The slot number is NEVER
+            # recomputed from the current log tail.
+            head = self._highest_valid(log_dir)
+            if head is not None and head[1] == gen:
+                return  # idempotent replay: this generation already won
+            if head is not None and os.path.basename(expected) != head[1]:
+                raise CommitConflict(
+                    f"{name}: live generation {head[1]} != expected "
+                    f"{os.path.basename(expected)}; re-resolve and rebuild on top"
+                )
+            slot = (head[0] + 1) if head is not None else 0
+            for _ in range(self.MAX_RETRIES):
+                if _claim(slot):
+                    return
+                # slot taken since our read: a VALID entry there is a
+                # concurrent commit (idempotent if it names our gen,
+                # conflict otherwise); a torn entry is a crashed claimer —
+                # permanently uncommitted, step over it
+                other = self._read_entry(os.path.join(log_dir, f"{slot:020}.json"))
+                if other is not None:
+                    if other == gen:
+                        return
+                    raise CommitConflict(
+                        f"{name}: slot {slot} committed {other} concurrently; "
+                        f"re-resolve and rebuild on top"
+                    )
+                slot += 1
+            raise CommitConflict(
+                f"ManifestLogStore: {self.MAX_RETRIES} torn entries above "
+                f"slot for {name}"
+            )
+
+        # expected=None: unconditional publish (single-writer replay /
+        # first publish) — last-writer-wins by contract, so recomputing
+        # the next slot from the tail is correct here
+        for _ in range(self.MAX_RETRIES):
+            head = self._highest_valid(log_dir)
+            if head is not None and head[1] == gen:
+                return  # idempotent replay
+            entries = self._entries(log_dir)
+            if _claim((entries[-1][0] + 1) if entries else 0):
+                return
         raise CommitConflict(
             f"ManifestLogStore: lost {self.MAX_RETRIES} consecutive commit races "
             f"for {name}"

@@ -37,14 +37,41 @@ def test_route_and_match_after_flush(engine):
     assert _key(got) == _key(_raw_answer(engine, u, 26))
 
 
-def test_fallback_when_buffered(engine):
+def test_hot_merge_when_buffered(engine):
+    """A5/A6: a stream with unflushed rows is STILL ladder-served — the
+    committed interior comes from rollup partials, the buffer as an
+    O(buffer) overlay partial, combined count-weighted (merger.go:126-208).
+    The plan must not rescan the cold points table."""
     u = engine.create_stream("lad/b")
     engine.insert(u, [(1 << 20, 1.0)], sync=True)
     engine.insert(u, [(1 << 21, 2.0)])  # buffered, ladder not updated
     got = engine.aligned_windows(u, 0, 1 << 30, pw=22)
-    plan = got._jdf.queryExecution().executedPlan().toString()
-    assert "vsum" not in plan  # raw path with hot overlay
+    assert "vsum" in got._jdf.queryExecution().toString()  # ladder partials feed the combine
+    files = got.inputFiles()
+    assert not any("points.g" in f for f in files)  # no cold rescan
     assert _key(got) == _key(_raw_answer(engine, u, 22))
+
+
+def test_hot_merge_large_buffer_exact(engine):
+    """30k buffered rows (just under the default threshold): the merged
+    ladder+overlay answer is value-identical to the raw-path answer, and
+    the plan reads the hot table but never the cold points table."""
+    u = engine.create_stream("lad/hm")
+    committed = [(i * (1 << 18), float(i % 89)) for i in range(4000)]
+    engine.insert(u, committed[:2000], sync=True)
+    engine.insert(u, committed[2000:], sync=True)
+    # buffer 30k rows overlapping AND extending the committed range,
+    # including duplicate timestamps (merge must be additive, not replace)
+    buffered = [(i * (1 << 16) + 7, float((i * 13) % 101)) for i in range(30000)]
+    for lo in range(0, 30000, 10000):
+        engine.insert(u, buffered[lo:lo + 10000])
+    got = engine.aligned_windows(u, -(1 << 45), 1 << 61, pw=26)
+    assert "vsum" in got._jdf.queryExecution().toString()
+    files = got.inputFiles()
+    assert not any("points.g" in f for f in files), "hot-merge must not rescan cold points"
+    assert any("/hot.g" in f for f in files), "overlay must come from the hot table"
+    assert any("/agg_" in f for f in files), "interior must come from the ladder"
+    assert _key(got) == _key(_raw_answer(engine, u, 26))
 
 
 def test_fallback_below_ladder(engine):

@@ -89,6 +89,85 @@ def test_posix_stale_lock_is_stolen(tmp_path):
     assert not os.path.exists(lock)
 
 
+def test_manifest_interleaved_commit_conflicts(tmp_path, monkeypatch):
+    """ADVICE r5 #1: writer B passes the expected-check, then writer C
+    commits, then B claims its slot — B must hit CommitConflict (the slot
+    number is the CAS token), never silently supersede C."""
+    s = ManifestLogStore()
+    base = str(tmp_path)
+    g0 = _mkgen(base, "t", 0)
+    s.publish(base, "t", g0)
+    gc, gb = _mkgen(base, "t", 1), _mkgen(base, "t", 2)
+
+    orig = s._highest_valid
+    fired = {"done": False}
+
+    def interleave(log_dir):
+        head = orig(log_dir)
+        if not fired["done"]:
+            fired["done"] = True
+            # C commits BETWEEN B's expected-check read and B's slot claim
+            ManifestLogStore().publish(base, "t", gc, expected=g0)
+        return head
+
+    monkeypatch.setattr(s, "_highest_valid", interleave)
+    with pytest.raises(CommitConflict):
+        s.publish(base, "t", gb, expected=g0)
+    assert s.resolve(base, "t") == gc, "the interleaved winner's commit survives"
+
+
+def test_manifest_cas_steps_over_torn_entry(tmp_path):
+    """A torn (crashed-claimer) entry above the head is permanently
+    uncommitted: a CAS publish steps over it instead of conflicting."""
+    s = ManifestLogStore()
+    base = str(tmp_path)
+    g0 = _mkgen(base, "t", 0)
+    s.publish(base, "t", g0)
+    log_dir = os.path.join(base, "t._log")
+    with open(os.path.join(log_dir, f"{1:020}.json"), "w") as f:
+        f.write('{"gen": "t.g9", "crc"')  # torn put
+    g1 = _mkgen(base, "t", 1)
+    s.publish(base, "t", g1, expected=g0)
+    assert s.resolve(base, "t") == g1
+
+
+def test_posix_stale_steal_single_winner(tmp_path):
+    """ADVICE r5 #2: N contenders all see the same stale lock; the atomic
+    rename steal admits exactly ONE into the critical section — exactly one
+    CAS publish succeeds, every other raises CommitConflict."""
+    import threading
+
+    s = PosixStore()
+    base = str(tmp_path)
+    g0 = _mkgen(base, "t", 0)
+    s.publish(base, "t", g0)
+    lock = os.path.join(base, "t.CURRENT.lock")
+    with open(lock, "w") as f:
+        f.write("99999")  # dead holder
+    old = time.time() - PosixStore.LOCK_STALE_S - 10
+    os.utime(lock, (old, old))
+
+    gens = [_mkgen(base, "t", i + 1) for i in range(6)]
+    results: list[str] = []
+    res_lock = threading.Lock()
+
+    def contend(gen):
+        try:
+            PosixStore().publish(base, "t", gen, expected=g0)
+            with res_lock:
+                results.append(gen)
+        except CommitConflict:
+            pass
+
+    threads = [threading.Thread(target=contend, args=(g,)) for g in gens]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 1, f"exactly one steal may win, got {results}"
+    assert s.resolve(base, "t") == results[0]
+
+
 def test_two_engines_conflicting_rewrite_fails_loud(spark, tmp_path, monkeypatch):
     """Two engine processes on one base dir (simulated with two backend
     instances): engine 1 resolves the points table, engine 2 commits a
