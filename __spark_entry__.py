@@ -207,6 +207,48 @@ def q_windows_1h_hybrid(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_windows_1h_hybrid_after_delete(spark: SparkSession, sf: str) -> DataFrame:
+    """A2 x V3: the hybrid windows plan for DELETED streams (VERDICT r5
+    ask #5 — the vestigial raw-path guard is gone). The simulated ladder
+    carries version-stamped additive partials plus the rebase snapshots a
+    DeleteRange appends (plans/rollup.py rebase_snapshot_rows); apply_rebase
+    at latest resolves them, interior buckets come from the resolved
+    rollup, edge buckets from the delete-filtered raw scan — exactly what
+    engine.windows now serves for a stream with tombstones."""
+    pts = events_as_points(spark, sf)
+    dels = _deletes_df(spark)
+    lvl = ru.route_level_width(HOUR)
+    width = 1 << lvl
+    ladder_rows = ru.rollup_points(pts, lvl, versioned=True).withColumn(
+        "rebase", F.lit(False)
+    )
+    for u, ds, de, dv in [
+        ("7", T0 + 10 * DAY, T0 + 15 * DAY, 13),
+        ("12", T0 + 2 * DAY, T0 + 4 * DAY, 12),
+    ]:
+        lo = (ds // width) * width
+        hi = ((de - 1) // width + 1) * width
+        scoped = pts.filter(
+            (F.col("uuid") == u) & (F.col("time") >= lo) & (F.col("time") < hi)
+        )
+        existing = ladder_rows.filter(
+            (F.col("uuid") == u)
+            & (F.col("bucket_start") >= lo)
+            & (F.col("bucket_start") < hi)
+        )
+        live = raw_ops.apply_deletes(
+            raw_ops.at_version(scoped, dv), dels, version=dv
+        )
+        ladder_rows = ladder_rows.unionByName(
+            ru.rebase_snapshot_rows(existing, live, lvl, dv)
+        )
+    resolved = ru.apply_rebase(ladder_rows).drop("version", "rebase")
+    live_pts = raw_ops.apply_deletes(pts, dels)
+    return ru.windows_from_rollup(
+        resolved, lvl, live_pts, None, T0, T0 + 7 * DAY, HOUR
+    )
+
+
 def q_windows_sliding(spark: SparkSession, sf: str) -> DataFrame:
     """Overlapping 6h windows every 1h (bounded explode + one groupBy)."""
     return win_ops.windows_sliding(
@@ -1299,6 +1341,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only the first 50 of 78 were certified; those 28 lead here. New
     # queries should be inserted near the top for the same reason.
     return {
+        # r6 head: the new hybrid-windows-after-delete row leads so the
+        # driver's gate window certifies it immediately.
+        "windows_1h_hybrid_after_delete": q_windows_1h_hybrid_after_delete,
         # r5 head: new/never-certified entries first, then the two rows
         # that were driver-red in r3/r4 (oracle HUGEINT typing, now CAST
         # AS BIGINT) so the gate re-certifies them immediately.
@@ -1503,6 +1548,30 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2 ORDER BY 1, 2
     """
     oracles["windows_1h_hybrid"] = oracles["windows_1h"]
+    # hybrid windows over a DELETED stream set: same hole-emitting hourly
+    # frame, points filtered by every tombstone visible at latest
+    oracles["windows_1h_hybrid_after_delete"] = f"""
+        WITH inr AS (
+            SELECT * FROM {PTS} p WHERE time >= {T0} AND time < {T0 + 7 * DAY}
+              AND NOT EXISTS (
+                SELECT 1 FROM {DELETES_SQL} d
+                WHERE d.uuid = p.uuid
+                  AND p.time >= d.del_start AND p.time < d.del_end
+                  AND p.version <= d.del_version)
+        ), agg AS (
+            SELECT uuid, (time - {T0}) // {HOUR} AS widx,
+                   COUNT(*) AS cnt, MIN(value) AS vmin, {MEAN_SQL} AS vmean, MAX(value) AS vmax
+            FROM inr GROUP BY 1, 2
+        ), us AS (SELECT DISTINCT uuid FROM inr),
+        frame AS (
+            SELECT us.uuid, gs.generate_series AS widx
+            FROM us CROSS JOIN generate_series(0, {n_1h - 1}) gs
+        )
+        SELECT frame.uuid, CAST({T0} + frame.widx * {HOUR} AS BIGINT) AS window_start,
+               COALESCE(agg.cnt, 0) AS cnt, agg.vmin, agg.vmean, agg.vmax
+        FROM frame LEFT JOIN agg ON frame.uuid = agg.uuid AND frame.widx = agg.widx
+        ORDER BY 1, 2
+    """
     # ladder read at version 14 with both deletes visible: the rebase
     # snapshots + surviving partials must equal the raw at-version
     # delete-filtered aggregation

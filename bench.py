@@ -107,23 +107,31 @@ def main() -> None:
         # time-sorted cold storage AND maintains the rollup ladder
         from btrdb_spark.engine import BTrDBEngine
 
-        # best-of-2: the commit path is sensitive to page-cache writeback
-        # stalls on this box (identical runs vary >3x); min reflects the
-        # operator's real cost, not the kernel's dirty-page backlog
-        ingest_s = float("inf")
-        for i in range(4):
+        # Rep-until-agreement (VERDICT r5 wrong #3 — best-of-4 published a
+        # 3x phantom regression two rounds running): keep measuring until
+        # the two FASTEST reps agree within 20% (then the min is a real
+        # operator cost, not one lucky writeback window), cap 7 reps. The
+        # per-rep times + agreement flag go into the JSON so a noisy box
+        # is distinguishable from a code regression in the artifact itself.
+        ingest_reps: list[float] = []
+        for i in range(7):
             # drain the page-cache backlog before each rep: the previous
             # rep's 20M-point write (or the caller's prior churn) otherwise
-            # stalls ALL reps and best-of-N still reads a 7x-low figure
-            # (observed 1.05M vs 9.0M pts/s on a settled box); 4 reps x 3s
-            # settle buys more chances to catch a clean writeback window
+            # stalls ALL reps (observed 1.05M vs 9.0M pts/s on a settled box)
             os.sync()
             time.sleep(3)
             eng = BTrDBEngine(spark, f"{tmp}/eng{i}", ladder=True)
             eng.ladder.levels = (30,)
             t0 = time.time()
             eng.bulk_load(pts.select("uuid", "time", "value"))
-            ingest_s = min(ingest_s, time.time() - t0)
+            ingest_reps.append(time.time() - t0)
+            if i >= 1:
+                lo1, lo2 = sorted(ingest_reps)[:2]
+                if lo2 <= lo1 * 1.2:
+                    break
+        ingest_s = min(ingest_reps)
+        lo = sorted(ingest_reps)[:2]
+        ingest_stable = len(lo) >= 2 and lo[1] <= lo[0] * 1.2
         ladder = eng.ladder
         ladder_s = best_of(
             lambda: ladder.aligned_windows(None, -(1 << 62), 1 << 62, 36)
@@ -272,6 +280,8 @@ def main() -> None:
             "n_points": n_points,
             "raw_delivery_points_per_sec": round(n_points / raw_scan_s),
             "ingest_commit_points_per_sec": round(n_points / ingest_s),
+            "ingest_rep_seconds": [round(s, 2) for s in ingest_reps],
+            "ingest_stable": ingest_stable,
             "stat_rawscan_points_per_sec": round(n_points / stat_s),
             "stat_via_rollup_points_per_sec": round(n_points / ladder_s),
             "stat_via_rollup_sec": round(ladder_s, 3),
