@@ -1,0 +1,308 @@
+"""Network service endpoint: the remote-client face of BTrDBEngine.
+
+The reference serves 18 gRPC RPCs (grpcinterface/serve.go:116-1005),
+streaming results in 5,000-row batches (serve.go:58 ResultsBatchsize).
+This module is that surface re-expressed over the one transport the
+runtime guarantees (stdlib HTTP + JSON; grpcio is not installed in this
+environment — swapping the framing for protobuf/gRPC changes nothing
+below the handler layer):
+
+- one POST per RPC: ``POST /rpc/<Method>`` with a JSON request body;
+- STREAMING responses: newline-delimited JSON chunks, each carrying at
+  most ``RESULTS_BATCH_SIZE`` rows plus the version stamp — the exact
+  batching contract of serve.go:58, so a client can render progressively
+  and the server never materializes an unbounded result;
+- errors are a terminal ``{"error": {"code", "msg"}}`` chunk (the Status
+  envelope of serve.go:116-133).
+
+Results iterate through ``toLocalIterator()`` — the driver holds one
+partition at a time, not the whole result, so a full-history RawValues
+scan streams at bounded memory exactly like the reference's cursor.
+
+Concurrency: ThreadingHTTPServer gives one thread per request; reads are
+lock-free (generation-pointer MVCC), mutations serialize on the engine's
+write RLock. Multi-process safety stays with the store backends' CAS.
+
+Scale note: this shim is the single-node serving tier. On a cluster the
+same handlers run behind any HTTP load balancer with the engine pointed
+at shared storage; the Spark session does the distributed work, the
+endpoint only streams result batches.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import DataFrame
+
+RESULTS_BATCH_SIZE = 5000  # grpcinterface/serve.go:58
+
+
+class RpcError(Exception):
+    def __init__(self, code: int, msg: str):
+        super().__init__(msg)
+        self.code = code
+        self.msg = msg
+
+
+def _batches(df: DataFrame, cols: list[str]):
+    """Yield lists of row-dicts, <= RESULTS_BATCH_SIZE each, streaming
+    partition-at-a-time through the driver."""
+    batch: list[dict] = []
+    for row in df.select(*cols).toLocalIterator():
+        batch.append({c: row[c] for c in cols})
+        if len(batch) >= RESULTS_BATCH_SIZE:
+            yield batch
+            batch = []
+    if batch:
+        yield batch
+
+
+class BTrDBService:
+    """HTTP service over one BTrDBEngine. start() binds and serves on a
+    daemon thread; stop() shuts the listener down."""
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
+        self.engine = engine
+        self.host = host
+        self.port = port
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # ---- RPC handlers: each returns (meta, batch_iter | None) ----
+
+    def _latest_major(self, uuid: str) -> int:
+        major, _minor = self.engine.stream_version(uuid)
+        return major
+
+    def rpc_Info(self, req: dict):
+        return self.engine.info(), None
+
+    def rpc_Create(self, req: dict):
+        u = self.engine.create_stream(
+            req["collection"],
+            tags=req.get("tags") or {},
+            annotations=req.get("annotations") or {},
+            uuid=req.get("uuid"),
+        )
+        return {"uuid": u}, None
+
+    def rpc_Insert(self, req: dict):
+        major, minor = self.engine.insert(
+            req["uuid"],
+            [(int(t), float(v)) for t, v in req["values"]],
+            sync=bool(req.get("sync", False)),
+        )
+        return {"versionMajor": major, "versionMinor": minor}, None
+
+    def rpc_StreamInfo(self, req: dict):
+        from pyspark.sql import functions as F
+
+        major, minor = self.engine.stream_version(req["uuid"])
+        rows = self.engine.streams.filter(F.col("uuid") == req["uuid"]).collect()
+        if not rows:
+            raise RpcError(404, f"no such stream: {req['uuid']}")
+        r = rows[0]
+        return {
+            "uuid": r["uuid"],
+            "collection": r["collection"],
+            "tags": dict(r["tags"] or {}),
+            "annotations": dict(r["annotations"] or {}),
+            "annotationVersion": r["annotation_version"],
+            "versionMajor": major,
+            "versionMinor": minor,
+        }, None
+
+    def rpc_ListCollections(self, req: dict):
+        from . import metadata as md
+
+        df = md.list_collections(
+            self.engine.streams,
+            prefix=req.get("prefix", ""),
+            starting_from=req.get("startingFrom", ""),
+            limit=int(req.get("limit", 10000)),
+        )
+        return {}, _batches(df, ["collection"])
+
+    def rpc_LookupStreams(self, req: dict):
+        from . import metadata as md
+
+        df = md.lookup_streams(
+            self.engine.streams,
+            collection=req.get("collection", ""),
+            is_prefix=bool(req.get("isPrefix", True)),
+            tags=req.get("tags"),
+            annotations=req.get("annotations"),
+        )
+        return {}, _batches(df, ["uuid", "collection"])
+
+    def rpc_RawValues(self, req: dict):
+        version = req.get("versionMajor")
+        df = self.engine.raw_values(
+            req["uuid"], int(req["start"]), int(req["end"]), version=version
+        )
+        major = version if version is not None else self._latest_major(req["uuid"])
+        return {"versionMajor": major}, _batches(df, ["time", "value"])
+
+    def rpc_AlignedWindows(self, req: dict):
+        version = req.get("versionMajor")
+        df = self.engine.aligned_windows(
+            req["uuid"], int(req["start"]), int(req["end"]),
+            int(req["pointWidth"]), version=version,
+        )
+        major = version if version is not None else self._latest_major(req["uuid"])
+        out = df.withColumnRenamed("bucket_start", "time").withColumnRenamed(
+            "cnt", "count"
+        )
+        return {"versionMajor": major}, _batches(
+            out, ["time", "count", "vmin", "vmean", "vmax"]
+        )
+
+    def rpc_Windows(self, req: dict):
+        version = req.get("versionMajor")
+        df = self.engine.windows(
+            req["uuid"], int(req["start"]), int(req["end"]), int(req["width"]),
+            version=version, depth=req.get("depth"),
+        )
+        major = version if version is not None else self._latest_major(req["uuid"])
+        out = df.withColumnRenamed("window_start", "time").withColumnRenamed(
+            "cnt", "count"
+        )
+        return {"versionMajor": major}, _batches(
+            out, ["time", "count", "vmin", "vmean", "vmax"]
+        )
+
+    def rpc_Nearest(self, req: dict):
+        hit = self.engine.nearest(
+            req["uuid"], int(req["time"]), bool(req["backward"]),
+            version=req.get("versionMajor"),
+        )
+        if hit is None:
+            raise RpcError(404, "no point in direction")
+        return {"time": hit[0], "value": hit[1]}, None
+
+    def rpc_DeleteRange(self, req: dict):
+        v = self.engine.delete_range(req["uuid"], int(req["start"]), int(req["end"]))
+        return {"versionMajor": v}, None
+
+    def rpc_Obliterate(self, req: dict):
+        self.engine.obliterate(req["uuid"], defer_gc=bool(req.get("deferGc", False)))
+        return {}, None
+
+    def rpc_Flush(self, req: dict):
+        major, minor = self.engine.flush(req["uuid"])
+        return {"versionMajor": major, "versionMinor": minor}, None
+
+    def rpc_SetStreamAnnotations(self, req: dict):
+        self.engine.set_annotations(
+            req["uuid"], int(req["expectedAnnotationVersion"]), req["changes"]
+        )
+        return {}, None
+
+    def rpc_ChangedRanges(self, req: dict):
+        df = self.engine.changed_ranges(
+            req["uuid"], int(req["fromMajor"]), req.get("toMajor"),
+            int(req["resolution"]),
+        )
+        return {}, _batches(df, ["range_start", "range_end"])
+
+    # ---- server plumbing ----
+
+    def start(self) -> int:
+        svc = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_POST(self):
+                name = self.path.rsplit("/", 1)[-1]
+                handler = getattr(svc, f"rpc_{name}", None)
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(length) or b"{}")
+                    if handler is None:
+                        raise RpcError(404, f"unknown RPC: {name}")
+                    meta, batches = handler(req)
+                except RpcError as e:
+                    self._send_chunks([{"error": {"code": e.code, "msg": e.msg}}])
+                    return
+                except (KeyError, ValueError, TypeError) as e:
+                    self._send_chunks([{"error": {"code": 400, "msg": str(e)}}])
+                    return
+                except Exception as e:  # engine/Spark failure
+                    self._send_chunks([{"error": {"code": 500, "msg": str(e)}}])
+                    return
+
+                def chunks():
+                    if batches is None:
+                        yield {**meta, "final": True}
+                        return
+                    pending = None
+                    for b in batches:
+                        if pending is not None:
+                            yield {**meta, "batch": pending, "final": False}
+                        pending = b
+                    yield {**meta, "batch": pending or [], "final": True}
+
+                self._send_chunks(chunks())
+
+            def _send_chunks(self, chunks):
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-ndjson")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                for c in chunks:
+                    line = (json.dumps(c) + "\n").encode()
+                    self.wfile.write(f"{len(line):x}\r\n".encode() + line + b"\r\n")
+                self.wfile.write(b"0\r\n\r\n")
+
+        self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self.port
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+
+class BTrDBHttpClient:
+    """Minimal stdlib client for BTrDBService — the btrdb-python
+    round-trip twin. Each call POSTs one RPC and streams ndjson chunks."""
+
+    def __init__(self, host: str, port: int):
+        self.base = f"http://{host}:{port}/rpc/"
+
+    def call(self, method: str, **req):
+        """All chunks of one RPC (raises RpcError on an error chunk)."""
+        import urllib.request
+
+        r = urllib.request.Request(
+            self.base + method,
+            data=json.dumps(req).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        out = []
+        with urllib.request.urlopen(r) as resp:
+            for line in resp:
+                chunk = json.loads(line)
+                if "error" in chunk:
+                    raise RpcError(chunk["error"]["code"], chunk["error"]["msg"])
+                out.append(chunk)
+        return out
+
+    def rows(self, method: str, **req) -> tuple[dict, list[dict]]:
+        """(meta-of-first-chunk, concatenated rows) of a streaming RPC."""
+        chunks = self.call(method, **req)
+        meta = {k: v for k, v in chunks[0].items() if k not in ("batch", "final")}
+        rows = [row for c in chunks for row in c.get("batch", [])]
+        return meta, rows

@@ -1,0 +1,126 @@
+"""Network endpoint round-trip (VERDICT r5 ask #6): a client on localhost
+drives Create/Insert/RawValues/AlignedWindows/Windows/DeleteRange through
+the HTTP service and gets byte-equal answers to the in-process engine,
+with the reference's 5,000-row response batching (serve.go:58)."""
+
+from __future__ import annotations
+
+import pytest
+
+from btrdb_spark.engine import BTrDBEngine
+from btrdb_spark.service import RESULTS_BATCH_SIZE, BTrDBHttpClient, BTrDBService, RpcError
+
+
+@pytest.fixture()
+def served(spark, tmp_path):
+    eng = BTrDBEngine(spark, str(tmp_path / "svc"), flush_threshold=10**9, ladder=True)
+    svc = BTrDBService(eng)
+    port = svc.start()
+    yield eng, BTrDBHttpClient("127.0.0.1", port)
+    svc.stop()
+
+
+def test_full_rpc_roundtrip(served):
+    eng, cli = served
+    u = cli.call("Create", collection="svc/a", tags={"unit": "kw"})[0]["uuid"]
+
+    # insert 12k points across chunks (25k RPC cap mirrors serve.go:57)
+    pts = [(i * 10**6, float(i % 251)) for i in range(12000)]
+    for lo in range(0, len(pts), 10000):
+        res = cli.call("Insert", uuid=u, values=pts[lo : lo + 10000])[0]
+    cli.call("Flush", uuid=u)
+
+    info = cli.call("StreamInfo", uuid=u)[0]
+    assert info["collection"] == "svc/a" and info["tags"] == {"unit": "kw"}
+    assert info["versionMajor"] == 10 and info["versionMinor"] == 0
+
+    # RawValues: >2 batches of <=5000, time-ordered, version-stamped
+    chunks = cli.call("RawValues", uuid=u, start=0, end=2**62)
+    assert all(len(c["batch"]) <= RESULTS_BATCH_SIZE for c in chunks)
+    assert sum(len(c["batch"]) for c in chunks) == 12000
+    assert len(chunks) >= 3 and chunks[-1]["final"] and not chunks[0]["final"]
+    assert chunks[0]["versionMajor"] == 10
+    rows = [r for c in chunks for r in c["batch"]]
+    assert [r["time"] for r in rows] == [t for t, _ in pts]
+
+    # AlignedWindows equals the in-process engine exactly
+    _meta, got = cli.rows("AlignedWindows", uuid=u, start=0, end=2**62, pointWidth=30)
+    want = {
+        r["bucket_start"]: (r["cnt"], r["vmin"], r["vmean"], r["vmax"])
+        for r in eng.aligned_windows(u, 0, 2**62, 30).collect()
+    }
+    assert {r["time"]: (r["count"], r["vmin"], r["vmean"], r["vmax"]) for r in got} == want
+
+    # Windows (arbitrary width) round-trips too; the end is rounded DOWN
+    # to a whole window (quasar.go:322-324): 17 x 0.7s windows cover
+    # [0, 11.9e9) -> 11900 of the 12000 points
+    _meta, win = cli.rows("Windows", uuid=u, start=0, end=12000 * 10**6, width=7 * 10**8)
+    assert len(win) == 17
+    assert sum(r["count"] for r in win) == 11900
+
+    # Nearest both directions
+    assert cli.call("Nearest", uuid=u, time=5 * 10**6 + 1, backward=True)[0]["time"] == 5 * 10**6
+    assert cli.call("Nearest", uuid=u, time=5 * 10**6 + 1, backward=False)[0]["time"] == 6 * 10**6
+
+    # DeleteRange bumps the version; post-delete reads shrink
+    dv = cli.call("DeleteRange", uuid=u, start=0, end=6000 * 10**6)[0]["versionMajor"]
+    assert dv == 11
+    _meta, rows2 = cli.rows("RawValues", uuid=u, start=0, end=2**62)
+    assert len(rows2) == 6000
+    # at-version read still sees the pre-delete history
+    _meta, rows10 = cli.rows("RawValues", uuid=u, start=0, end=2**62, versionMajor=10)
+    assert len(rows10) == 12000
+
+    # ChangedRanges between the two versions covers the deleted span
+    _meta, ch = cli.rows("ChangedRanges", uuid=u, fromMajor=10, toMajor=11, resolution=30)
+    assert ch and ch[0]["range_start"] <= 0 and ch[-1]["range_end"] >= 6000 * 10**6
+
+    # metadata plane
+    _meta, cols = cli.rows("ListCollections", prefix="svc")
+    assert [c["collection"] for c in cols] == ["svc/a"]
+    _meta, found = cli.rows("LookupStreams", collection="svc", isPrefix=True)
+    assert [s["uuid"] for s in found] == [u]
+
+    # annotations CAS
+    cli.call("SetStreamAnnotations", uuid=u, expectedAnnotationVersion=1, changes={"owner": "t1"})
+    assert cli.call("StreamInfo", uuid=u)[0]["annotations"] == {"owner": "t1"}
+
+    assert cli.call("Info")[0]["engine"] == "btrdb_spark"
+
+
+def test_rpc_errors_surface_as_status(served):
+    _eng, cli = served
+    with pytest.raises(RpcError) as e:
+        cli.call("RawValues", uuid="no-such-uuid", start=0, end=1)
+    assert e.value.code in (400, 404, 500)
+    with pytest.raises(RpcError) as e2:
+        cli.call("NoSuchMethod")
+    assert e2.value.code == 404
+    # oversized insert rejected like serve.go:57
+    u = cli.call("Create", collection="svc/err")[0]["uuid"]
+    with pytest.raises(RpcError):
+        cli.call("Insert", uuid=u, values=[(i, 1.0) for i in range(25001)])
+
+
+def test_concurrent_readers(served):
+    """ThreadingHTTPServer: parallel RawValues from several client threads
+    all stream consistent results (reads are MVCC, lock-free)."""
+    import threading
+
+    _eng, cli = served
+    u = cli.call("Create", collection="svc/c")[0]["uuid"]
+    cli.call("Insert", uuid=u, values=[(i, float(i)) for i in range(2000)], sync=True)
+    out: list[int] = []
+    lock = threading.Lock()
+
+    def read():
+        _m, rows = cli.rows("RawValues", uuid=u, start=0, end=10**9)
+        with lock:
+            out.append(len(rows))
+
+    threads = [threading.Thread(target=read) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert out == [2000, 2000, 2000, 2000]
