@@ -166,10 +166,21 @@ def q_aligned_windows_at_version_after_delete_via_rollup(
     pts = events_as_points(spark, sf)
     dels = _deletes_df(spark)
     pw = 20
+    ladder_rows = _simulated_ladder_with_rebase(spark, pts, dels, pw)
+    return ru.stats_from_rollup(ladder_rows, pw, 36, None, T0, T1, version=14)
+
+
+def _simulated_ladder_with_rebase(spark, pts, dels, pw: int):
+    """Versioned level-pw partials + the rebase snapshots both fixture
+    deletes would append. ``existing`` comes from the BASE slice, not the
+    growing union: snapshot buckets are always a subset of base buckets
+    (and the two fixture deletes hit different streams), so the lineage
+    stays flat instead of quadratic in the number of deletes."""
     width = 1 << pw
-    ladder_rows = ru.rollup_points(pts, pw, versioned=True).withColumn(
+    base = ru.rollup_points(pts, pw, versioned=True).withColumn(
         "rebase", F.lit(False)
     )
+    out = base
     for u, ds, de, dv in [
         ("7", T0 + 10 * DAY, T0 + 15 * DAY, 13),
         ("12", T0 + 2 * DAY, T0 + 4 * DAY, 12),
@@ -179,7 +190,7 @@ def q_aligned_windows_at_version_after_delete_via_rollup(
         scoped = pts.filter(
             (F.col("uuid") == u) & (F.col("time") >= lo) & (F.col("time") < hi)
         )
-        existing = ladder_rows.filter(
+        existing = base.filter(
             (F.col("uuid") == u)
             & (F.col("bucket_start") >= lo)
             & (F.col("bucket_start") < hi)
@@ -187,10 +198,8 @@ def q_aligned_windows_at_version_after_delete_via_rollup(
         live = raw_ops.apply_deletes(
             raw_ops.at_version(scoped, dv), dels, version=dv
         )
-        ladder_rows = ladder_rows.unionByName(
-            ru.rebase_snapshot_rows(existing, live, pw, dv)
-        )
-    return ru.stats_from_rollup(ladder_rows, pw, 36, None, T0, T1, version=14)
+        out = out.unionByName(ru.rebase_snapshot_rows(existing, live, pw, dv))
+    return out
 
 
 def q_windows_1h_hybrid(spark: SparkSession, sf: str) -> DataFrame:
@@ -205,6 +214,42 @@ def q_windows_1h_hybrid(spark: SparkSession, sf: str) -> DataFrame:
     return ru.windows_from_rollup(
         ru.rollup_points(pts, lvl), lvl, pts, None, T0, T0 + 7 * DAY, HOUR
     )
+
+
+def q_daily_distinct_kmv(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-day approximate distinct users via the bottom-k (KMV / Theta)
+    sketch — k=64 smallest 60-bit hashes per day, estimate
+    (k-1)*2^60/kth_min (functions/sketches.py). Bit-exact vs the DuckDB
+    mirror: integer hashes, one IEEE division."""
+    from btrdb_spark.functions import sketches
+    from btrdb_spark.functions.timeops import floor_div
+
+    pts = events_as_points(spark, sf).select(
+        floor_div(F.col("time") - F.lit(T0), F.lit(DAY)).alias("day"), "uuid"
+    )
+    return sketches.distinct_kmv(pts, ["day"], "uuid", k=64)
+
+
+def q_distinct_kmv_merged(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch MERGE law, driver-proven: per-day bottom-k sketches fold
+    into one global estimate (O(days*k) merge, no raw rescan); the oracle
+    computes the global sketch DIRECTLY from the raw keys — equality of
+    the two is exactly bottom-k(∪ shards) == bottom-k(∪ shard sketches)."""
+    from btrdb_spark.functions import sketches
+    from btrdb_spark.functions.timeops import floor_div
+
+    pts = events_as_points(spark, sf).select(
+        floor_div(F.col("time") - F.lit(T0), F.lit(DAY)).alias("day"), "uuid"
+    )
+    return sketches.distinct_kmv_merged(pts, ["day"], "uuid", k=100)
+
+
+def q_token_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus heavy-hitters from a count-min sketch (d=4 x w=1024 int64
+    cells, mergeable cell-wise); top-50 tokens by CMS estimate."""
+    from btrdb_spark.functions import sketches
+
+    return sketches.cms_heavy_hitters(load_table(spark, sf, "documents"), topk=50)
 
 
 def q_aligned_windows_hot_merge(spark: SparkSession, sf: str) -> DataFrame:
@@ -244,30 +289,13 @@ def q_windows_1h_hybrid_after_delete(spark: SparkSession, sf: str) -> DataFrame:
     pts = events_as_points(spark, sf)
     dels = _deletes_df(spark)
     lvl = ru.route_level_width(HOUR)
-    width = 1 << lvl
-    ladder_rows = ru.rollup_points(pts, lvl, versioned=True).withColumn(
-        "rebase", F.lit(False)
+    ladder_rows = _simulated_ladder_with_rebase(spark, pts, dels, lvl)
+    # slice to the window range BEFORE the resolution join (per-bucket
+    # resolution is independent) — mirrors ladder.windows' latest()
+    ladder_rows = ladder_rows.filter(
+        (F.col("bucket_start") >= T0 - (1 << lvl))
+        & (F.col("bucket_start") < T0 + 7 * DAY)
     )
-    for u, ds, de, dv in [
-        ("7", T0 + 10 * DAY, T0 + 15 * DAY, 13),
-        ("12", T0 + 2 * DAY, T0 + 4 * DAY, 12),
-    ]:
-        lo = (ds // width) * width
-        hi = ((de - 1) // width + 1) * width
-        scoped = pts.filter(
-            (F.col("uuid") == u) & (F.col("time") >= lo) & (F.col("time") < hi)
-        )
-        existing = ladder_rows.filter(
-            (F.col("uuid") == u)
-            & (F.col("bucket_start") >= lo)
-            & (F.col("bucket_start") < hi)
-        )
-        live = raw_ops.apply_deletes(
-            raw_ops.at_version(scoped, dv), dels, version=dv
-        )
-        ladder_rows = ladder_rows.unionByName(
-            ru.rebase_snapshot_rows(existing, live, lvl, dv)
-        )
     resolved = ru.apply_rebase(ladder_rows).drop("version", "rebase")
     live_pts = raw_ops.apply_deletes(pts, dels)
     return ru.windows_from_rollup(
@@ -1371,6 +1399,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # them immediately.
         "windows_1h_hybrid_after_delete": q_windows_1h_hybrid_after_delete,
         "aligned_windows_hot_merge": q_aligned_windows_hot_merge,
+        "daily_distinct_kmv": q_daily_distinct_kmv,
+        "distinct_kmv_merged": q_distinct_kmv_merged,
+        "token_heavy_hitters": q_token_heavy_hitters,
         # r5 head: new/never-certified entries first, then the two rows
         # that were driver-red in r3/r4 (oracle HUGEINT typing, now CAST
         # AS BIGINT) so the gate re-certifies them immediately.
@@ -1568,6 +1599,14 @@ def oracle_sql() -> dict[str, str]:
     oracles["aligned_windows_via_rollup"] = oracles["aligned_windows"]
     # ladder + hot-overlay combine == plain aggregation over ALL rows
     oracles["aligned_windows_hot_merge"] = oracles["aligned_windows"]
+
+    from btrdb_spark.functions import sketches as _sk
+
+    _day_pts = f"(SELECT (time - {T0}) // {DAY} AS day, uuid FROM {PTS} p)"
+    oracles["daily_distinct_kmv"] = _sk.distinct_kmv_sql(_day_pts, ["day"], "uuid", k=64)
+    # DIRECT global sketch == Spark's per-day-sketch MERGE (the merge law)
+    oracles["distinct_kmv_merged"] = _sk.distinct_kmv_merged_sql(_day_pts, "uuid", k=100)
+    oracles["token_heavy_hitters"] = _sk.cms_heavy_hitters_sql("documents", "text", topk=50)
     oracles["aligned_windows_at_version_via_rollup"] = f"""
         SELECT uuid, time - ((time % {w36} + {w36}) % {w36}) AS bucket_start,
                COUNT(*) AS cnt, MIN(value) AS vmin, {MEAN_SQL} AS vmean, MAX(value) AS vmax

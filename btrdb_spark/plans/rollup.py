@@ -651,10 +651,21 @@ class RollupLadder:
         def latest(pw_lvl: int) -> DataFrame:
             # resolve delete-rebase snapshots at latest before the
             # version-blind window combines; a sidecar-free level (or a
-            # caller-attested delete-free stream) plans no join at all
-            return apply_rebase(self.read_level(pw_lvl, include_rebase)).drop(
-                "version", "rebase"
+            # caller-attested delete-free stream) plans no join at all.
+            # The uuid/range slice is applied BEFORE the resolution join
+            # so its groupBy+join run over the queried slice only —
+            # per-bucket resolution is independent, and relying on the
+            # optimizer to push filters through the join is not a plan
+            # we want to depend on at 100 TB.
+            w = 1 << pw_lvl
+            df = self.read_level(pw_lvl, include_rebase)
+            if uuid is not None:
+                df = df.filter(F.col("uuid") == F.lit(uuid))
+            df = df.filter(
+                (F.col("bucket_start") >= F.lit(start - w))
+                & (F.col("bucket_start") < F.lit(end))
             )
+            return apply_rebase(df).drop("version", "rebase")
 
         if depth is not None:
             lvl_d = route_level(max(depth, self.levels[0]), self.levels) or self.levels[0]
