@@ -252,6 +252,42 @@ def q_token_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     return sketches.cms_heavy_hitters(load_table(spark, sf, "documents"), topk=50)
 
 
+def q_distinct_hll_by_flag(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-returnflag approximate distinct orderkeys via HyperLogLog —
+    constant 512-register sketches, integer registers from length(bin(w))
+    (no float log2), ONE IEEE division per group. Bit-exact vs the DuckDB
+    mirror (functions/sketches.py distinct_hll)."""
+    from btrdb_spark.functions import sketches
+
+    return sketches.distinct_hll(
+        load_table(spark, sf, "lineitem"), ["l_returnflag"], "l_orderkey", b=9
+    )
+
+
+def q_distinct_hll_merged(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL MERGE law, driver-proven: per-linenumber-shard register tables
+    fold by element-wise MAX into one global estimate (O(shards*512)
+    merge, no raw rescan); the oracle sketches the raw keys DIRECTLY —
+    equality of the two is exactly the HLL merge law on real data."""
+    from btrdb_spark.functions import sketches
+
+    return sketches.distinct_hll_merged(
+        load_table(spark, sf, "lineitem"), ["l_linenumber"], "l_orderkey", b=9
+    )
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Decontamination via a Bloom filter (fixed-size broadcast probe —
+    the eval-set side stops scaling with suite size): same eval fixture
+    as ngram_contamination (doc_id < 5), k=5 double-hashed positions in
+    2^15 bits packed 60/word. The oracle builds the SAME filter, so
+    Spark and DuckDB agree bit-for-bit including any false positives."""
+    from btrdb_spark.functions import sketches
+
+    docs = load_table(spark, sf, "documents")
+    return sketches.bloom_decontaminate(docs, docs.filter(F.col("doc_id") < 5), n=8)
+
+
 def q_aligned_windows_hot_merge(spark: SparkSession, sf: str) -> DataFrame:
     """A5/A6 (VERDICT r5 ask #4): AlignedWindows for a stream set with
     BUFFERED rows, without a cold rescan — committed history (version <=
@@ -1397,6 +1433,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r6 head: new rows lead so the driver's gate window certifies
         # them immediately.
+        "distinct_hll_by_flag": q_distinct_hll_by_flag,
+        "distinct_hll_merged": q_distinct_hll_merged,
+        "bloom_decontaminate": q_bloom_decontaminate,
         "windows_1h_hybrid_after_delete": q_windows_1h_hybrid_after_delete,
         "aligned_windows_hot_merge": q_aligned_windows_hot_merge,
         "daily_distinct_kmv": q_daily_distinct_kmv,
@@ -1603,6 +1642,13 @@ def oracle_sql() -> dict[str, str]:
     from btrdb_spark.functions import sketches as _sk
 
     _day_pts = f"(SELECT (time - {T0}) // {DAY} AS day, uuid FROM {PTS} p)"
+    oracles["distinct_hll_by_flag"] = _sk.distinct_hll_sql(
+        "lineitem", ["l_returnflag"], "l_orderkey", b=9
+    )
+    oracles["distinct_hll_merged"] = _sk.distinct_hll_merged_sql(
+        "lineitem", "l_orderkey", b=9
+    )
+    oracles["bloom_decontaminate"] = _sk.bloom_decontaminate_sql("doc_id < 5", n=8)
     oracles["daily_distinct_kmv"] = _sk.distinct_kmv_sql(_day_pts, ["day"], "uuid", k=64)
     # DIRECT global sketch == Spark's per-day-sketch MERGE (the merge law)
     oracles["distinct_kmv_merged"] = _sk.distinct_kmv_merged_sql(_day_pts, "uuid", k=100)

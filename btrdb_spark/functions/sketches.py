@@ -222,6 +222,318 @@ def cms_heavy_hitters(
     )
 
 
+def _hll_params(b: int) -> tuple[int, int, int, int, float]:
+    """(m, K, rmax, mask, A) for register-prefix width ``b``.
+
+    m = 2^b registers; the top b hash bits pick the register, the low
+    K = 60-b bits feed the leading-zero rank rho in 1..rmax (rmax = K+1
+    when the low bits are all zero). A is the raw-estimator numerator
+    alpha_m * m^2 * 2^rmax folded to ONE double literal so each engine
+    performs exactly one IEEE division."""
+    m = 1 << b
+    K = H_BITS - b
+    rmax = K + 1
+    mask = (1 << K) - 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return m, K, rmax, mask, alpha * m * m * float(1 << rmax)
+
+
+def distinct_hll(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    b: int = 9,
+) -> DataFrame:
+    """Per-group approximate distinct count via HyperLogLog (Flajolet et
+    al. 2007) — CONSTANT sketch size (2^b registers) regardless of
+    cardinality, where KMV keeps k hashes. The two are complementary:
+    KMV is exact below k (use it for small groups), HLL's raw estimator
+    shines once groups exceed ~2.5*m distinct keys.
+
+    Output: (group_cols..., est_hll double, zero_registers long).
+
+    Everything except the single final division is INTEGER work, so the
+    oracle matches bit-for-bit: rho comes from length(bin(w)) (minimal
+    binary repr, identical in Spark and DuckDB — no float log2), and the
+    register sum SUM(2^-M) is scaled by 2^rmax into an exact int64
+    (max 2^b * 2^rmax = 2^61 at b=9). The standard small-range linear-
+    counting branch is deliberately OMITTED: it needs ln(), whose last
+    ulp is libm-dependent across engines — small groups should route to
+    distinct_kmv instead (documented contract, not a gap).
+
+    Scale shape: one partial-aggregated groupBy to (group, register) —
+    at most m rows per group survive the map side — then a per-group
+    fold. Registers are the mergeable artifact (element-wise MAX).
+    """
+    m, K, rmax, mask, A = _hll_params(b)
+    h = hash60(F.col(key_col).cast("string"))
+    w = h.bitwiseAND(F.lit(mask))
+    rho = F.when(w == 0, F.lit(rmax)).otherwise(F.lit(rmax) - F.length(F.bin(w)))
+    regs = (
+        df.select(*group_cols, F.shiftright(h, K).alias("bucket"), rho.alias("mreg"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("mreg").alias("mreg"))
+    )
+    agg = regs.groupBy(*group_cols).agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({rmax} - mreg AS INT))")
+        ).alias("s_present"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    s = F.col("s_present") + (F.lit(m) - F.col("nb")) * F.lit(1 << rmax)
+    return agg.select(
+        *group_cols,
+        (F.lit(A) / s.cast("double")).alias("est_hll"),
+        (F.lit(m) - F.col("nb")).cast("long").alias("zero_registers"),
+    ).orderBy(*group_cols)
+
+
+def _hll_regs_sql(from_sql: str, group_exprs: list[str], key_expr: str, b: int) -> str:
+    """Shared oracle CTE body: (group..., bucket, mreg) register table."""
+    _, K, rmax, mask, _ = _hll_params(b)
+    g = ", ".join(group_exprs) + ", " if group_exprs else ""
+    gb = ", ".join(str(i + 1) for i in range(len(group_exprs) + 1))
+    h = _hash60_sql(f"CAST({key_expr} AS VARCHAR)")
+    return f"""
+        SELECT {g}(h >> {K}) AS bucket,
+               MAX(CASE WHEN (h & {mask}) = 0 THEN {rmax}
+                        ELSE {rmax} - length(bin(h & {mask})) END) AS mreg
+        FROM (SELECT {g}{h} AS h FROM {from_sql}) hs
+        GROUP BY {gb}
+    """
+
+
+def distinct_hll_sql(
+    from_sql: str, group_cols: list[str], key_expr: str, b: int = 9
+) -> str:
+    """DuckDB mirror of distinct_hll (same integer registers, same single
+    division literal)."""
+    m, _, rmax, _, A = _hll_params(b)
+    g = ", ".join(group_cols)
+    return f"""
+        WITH regs AS ({_hll_regs_sql(from_sql, group_cols, key_expr, b)}),
+        agg AS (
+            SELECT {g},
+                   CAST(SUM(1::BIGINT << CAST({rmax} - mreg AS INT)) AS BIGINT)
+                       AS s_present,
+                   COUNT(*) AS nb
+            FROM regs GROUP BY {g}
+        )
+        SELECT {g},
+               {A!r} / CAST(s_present + ({m} - nb) * (1::BIGINT << {rmax}) AS DOUBLE)
+                   AS est_hll,
+               CAST({m} - nb AS BIGINT) AS zero_registers
+        FROM agg ORDER BY {g}
+    """
+
+
+def distinct_hll_merged(
+    df: DataFrame,
+    shard_cols: list[str],
+    key_col: str,
+    b: int = 9,
+) -> DataFrame:
+    """GLOBAL distinct estimate by MERGING per-shard HLL register tables
+    (element-wise MAX — never rescanning raw keys): the HLL merge law is
+    max-per-register, so merged registers are IDENTICAL to the registers
+    a direct global sketch would hold. The oracle computes that direct
+    global sketch from the raw keys; a green gate row is a bit-exact
+    proof of the merge on real data, mirroring distinct_kmv_merged.
+
+    Output: one row (est_hll double, zero_registers long, n_exact long).
+
+    The 100 TB shape: a register table is m small ints per shard
+    (2 KiB at b=9) — per-day sketches roll up to month/year/corpus
+    without re-reading history, and unlike KMV the size never grows
+    with cardinality.
+    """
+    m, K, rmax, mask, A = _hll_params(b)
+    h = hash60(F.col(key_col).cast("string"))
+    w = h.bitwiseAND(F.lit(mask))
+    rho = F.when(w == 0, F.lit(rmax)).otherwise(F.lit(rmax) - F.length(F.bin(w)))
+    shard_regs = (
+        df.select(*shard_cols, F.shiftright(h, K).alias("bucket"), rho.alias("mreg"))
+        .groupBy(*shard_cols, "bucket")
+        .agg(F.max("mreg").alias("mreg"))
+    )
+    merged = shard_regs.groupBy("bucket").agg(F.max("mreg").alias("mreg"))
+    agg = merged.groupBy().agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({rmax} - mreg AS INT))")
+        ).alias("s_present"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    s = F.col("s_present") + (F.lit(m) - F.col("nb")) * F.lit(1 << rmax)
+    exact = df.select(F.col(key_col).cast("string").alias("s")).distinct().count()
+    return agg.select(
+        (F.lit(A) / s.cast("double")).alias("est_hll"),
+        (F.lit(m) - F.col("nb")).cast("long").alias("zero_registers"),
+        F.lit(exact).cast("long").alias("n_exact"),
+    )
+
+
+def distinct_hll_merged_sql(from_sql: str, key_expr: str, b: int = 9) -> str:
+    """Oracle: the DIRECT global register table over the raw keys (no
+    shard stage) — equality with the Spark merge path proves the law."""
+    m, _, rmax, _, A = _hll_params(b)
+    key = f"CAST({key_expr} AS VARCHAR)"
+    return f"""
+        WITH regs AS ({_hll_regs_sql(from_sql, [], key_expr, b)}),
+        agg AS (
+            SELECT CAST(SUM(1::BIGINT << CAST({rmax} - mreg AS INT)) AS BIGINT)
+                       AS s_present,
+                   COUNT(*) AS nb
+            FROM regs
+        )
+        SELECT {A!r} / CAST(s_present + ({m} - nb) * (1::BIGINT << {rmax}) AS DOUBLE)
+                   AS est_hll,
+               CAST({m} - nb AS BIGINT) AS zero_registers,
+               (SELECT COUNT(DISTINCT {key}) FROM {from_sql}) AS n_exact
+        FROM agg
+    """
+
+
+def bloom_decontaminate(
+    documents: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    m_bits: int = 1 << 15,
+    k: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination through a BLOOM FILTER instead of the
+    exact gram join (functions/text.py ngram_contamination): the eval
+    set's word n-grams are folded into an m_bits-bit filter (k salted
+    positions per gram, double hashing h1 + i*h2 per Kirsch-Mitzenmacher
+    2006), and every corpus gram probes the filter. One-sided error:
+    never misses a truly contaminated gram, may overflag (the oracle
+    mirrors the SAME filter, so Spark and DuckDB agree bit-for-bit
+    INCLUDING any false positives — the gate proves the mechanics).
+
+    Output: (doc_id, flagged_grams, n_grams, flagged_frac) for docs with
+    at least one flagged gram, ordered by doc_id.
+
+    Why this exists next to the exact join: at 100 TB the corpus side is
+    identical (explode + broadcast probe), but the broadcast payload
+    stops scaling with the eval set — a filter over 100M eval grams is
+    m_bits/8 bytes (fixed, e.g. 128 MiB at 2^30 bits) versus 800 MB of
+    raw 64-bit gram hashes, and filters from MANY eval suites OR
+    together into one probe table (mergeable, like every sketch here).
+    Bits pack 60 per int64 word (DuckDB errors on 1<<63, and 60 keeps
+    the shift domain identical in both engines).
+    """
+    from .dedup import _shingles, _spread
+
+    salts = F.array(*[F.lit(i) for i in range(k)])
+    md5 = F.md5(F.col("gram"))
+    h1 = F.conv(F.substring(md5, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md5, 17, 15), 16, 10).cast("long")
+    pos = F.pmod(h1 + F.col("i") * h2, F.lit(m_bits))
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 60 AS INT))")
+
+    bloom = (
+        _spread(eval_docs)
+        .select(F.explode(_shingles(F.col(text_col), n)).alias("gram"))
+        .distinct()
+        .select("gram", F.explode(salts).alias("i"))
+        .select(pos.alias("pos"))
+        .select(
+            F.floor(F.col("pos") / 60).cast("long").alias("word"), mask.alias("mask")
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    probes = (
+        _spread(documents)
+        .select("doc_id", _shingles(F.col(text_col), n).alias("grams"))
+        .select(
+            "doc_id",
+            F.size("grams").cast("long").alias("n_grams"),
+            F.explode("grams").alias("gram"),
+        )
+        .select("doc_id", "n_grams", "gram", F.explode(salts).alias("i"))
+        .select("doc_id", "n_grams", "gram", pos.alias("pos"))
+        .select(
+            "doc_id",
+            "n_grams",
+            "gram",
+            F.floor(F.col("pos") / 60).cast("long").alias("word"),
+            mask.alias("mask"),
+        )
+    )
+    gram_hits = (
+        probes.join(F.broadcast(bloom), "word")
+        .filter(F.col("bits").bitwiseAND(F.col("mask")) != 0)
+        .groupBy("doc_id", "n_grams", "gram")
+        .agg(F.count(F.lit(1)).alias("npos"))
+        .filter(F.col("npos") == k)
+    )
+    return (
+        gram_hits.groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("flagged_grams"))
+        .select(
+            "doc_id",
+            "flagged_grams",
+            "n_grams",
+            (F.col("flagged_grams") / F.col("n_grams")).alias("flagged_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def bloom_decontaminate_sql(
+    eval_filter_sql: str, n: int = 8, m_bits: int = 1 << 15, k: int = 5
+) -> str:
+    """DuckDB mirror of bloom_decontaminate over the documents view (same
+    filter construction, same probe arithmetic — h1/h2 are md5 hex chars
+    1-15 and 17-31, positions (h1 + i*h2) % m_bits, 60-bit words)."""
+    from .dedup import _shingle_sql
+
+    salts = ", ".join(f"({i})" for i in range(k))
+    return f"""
+        WITH eg AS (
+            SELECT DISTINCT shingle AS gram FROM ({_shingle_sql(n)}) e
+            WHERE doc_id IN (SELECT doc_id FROM documents WHERE {eval_filter_sql})
+        ),
+        salts(i) AS (SELECT * FROM (VALUES {salts})),
+        epos AS (
+            SELECT (('0x' || substr(md5(gram), 1, 15))::BIGINT
+                    + i * ('0x' || substr(md5(gram), 17, 15))::BIGINT)
+                   % {m_bits} AS pos
+            FROM eg CROSS JOIN salts
+        ),
+        bloom AS (
+            SELECT pos // 60 AS word,
+                   bit_or(1::BIGINT << CAST(pos % 60 AS INT)) AS bits
+            FROM epos GROUP BY 1
+        ),
+        cg AS (SELECT doc_id, shingle AS gram FROM ({_shingle_sql(n)})),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM cg GROUP BY 1),
+        cpos AS (
+            SELECT doc_id, gram,
+                   (('0x' || substr(md5(gram), 1, 15))::BIGINT
+                    + i * ('0x' || substr(md5(gram), 17, 15))::BIGINT)
+                   % {m_bits} AS pos
+            FROM cg CROSS JOIN salts
+        ),
+        hit AS (
+            SELECT doc_id, gram, COUNT(*) AS npos
+            FROM cpos JOIN bloom ON bloom.word = cpos.pos // 60
+            WHERE (bloom.bits & (1::BIGINT << CAST(cpos.pos % 60 AS INT))) <> 0
+            GROUP BY 1, 2
+        ),
+        fl AS (
+            SELECT doc_id, COUNT(*) AS flagged_grams
+            FROM hit WHERE npos = {k} GROUP BY 1
+        )
+        SELECT fl.doc_id,
+               CAST(flagged_grams AS BIGINT) AS flagged_grams,
+               CAST(n_grams AS BIGINT) AS n_grams,
+               flagged_grams / n_grams AS flagged_frac
+        FROM fl JOIN sizes USING (doc_id) ORDER BY fl.doc_id
+    """
+
+
 def cms_heavy_hitters_sql(
     from_sql: str, text_expr: str = "text", d: int = 4, w: int = 1024, topk: int = 50
 ) -> str:

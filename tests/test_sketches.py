@@ -43,6 +43,50 @@ def test_kmv_merge_law_exact(spark, keyed):
     assert abs(merged["est_distinct"] - 8000) / 8000 < 0.25
 
 
+def test_hll_accuracy(spark, keyed):
+    out = sketches.distinct_hll(keyed, ["shard"], "key", b=9).collect()
+    assert [r["shard"] for r in out] == [0, 1, 2]
+    for r in out:
+        # raw-estimator regime: 4000 distinct >> 2.5 * 512; rel error
+        # ~1.04/sqrt(512) = 4.6%, allow 4 sigma
+        assert abs(r["est_hll"] - 4000) / 4000 < 0.2
+        assert 0 <= r["zero_registers"] < 512
+
+
+def test_hll_merge_law_exact(spark, keyed):
+    """Element-wise-MAX-merged per-shard registers must give the
+    IDENTICAL estimate as the direct global sketch — exactly."""
+    merged = sketches.distinct_hll_merged(keyed, ["shard"], "key", b=9).collect()[0]
+    direct = sketches.distinct_hll(
+        keyed.withColumn("g", F.lit(0)), ["g"], "key", b=9
+    ).collect()[0]
+    assert merged["est_hll"] == direct["est_hll"]
+    assert merged["zero_registers"] == direct["zero_registers"]
+    assert merged["n_exact"] == 8000
+    assert abs(merged["est_hll"] - 8000) / 8000 < 0.2
+
+
+def test_bloom_no_false_negatives(spark):
+    # corpus doc 0 shares its full text with eval doc 100; docs 1..9 are
+    # disjoint word streams -> doc 0 MUST be flagged on every gram
+    mk = F.concat_ws(
+        " ", *[F.concat(F.lit(f"w"), ((F.col("doc_id") + F.lit(0)) * 20 + F.lit(j)).cast("string")) for j in range(12)]
+    )
+    corpus = spark.range(10).select(F.col("id").alias("doc_id"), mk.alias("text"))
+    eval_docs = corpus.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 100).alias("doc_id"), "text"
+    )
+    out = sketches.bloom_decontaminate(corpus, eval_docs, n=8).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert 0 in by_id  # never misses true contamination
+    r0 = by_id[0]
+    assert r0["flagged_grams"] == r0["n_grams"] == 5  # 12 tokens, n=8 -> 5 grams
+    assert r0["flagged_frac"] == 1.0
+    # one-sided: any other flagged doc would be a (vanishingly rare at
+    # this load factor) false positive; assert none here
+    assert set(by_id) == {0}
+
+
 def test_cms_overestimates_and_finds_heavy_hitters(spark):
     # 'alpha' appears 300x, 'beta' 150x, tail tokens once each
     docs = spark.range(300).select(
