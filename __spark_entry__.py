@@ -252,6 +252,22 @@ def q_token_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     return sketches.cms_heavy_hitters(load_table(spark, sf, "documents"), topk=50)
 
 
+def q_value_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Global value quantiles from MERGED per-stream bottom-k row samples
+    (Cohen-Kaplan bottom-k sketch; functions/sketches.py
+    sample_quantiles_merged): per-uuid samples of 512 deterministic-hash-
+    smallest rows union and re-rank into the exact global sample; the
+    oracle draws the global sample directly — equality proves the sample
+    merge law. Quantiles are integer-rank order statistics (no float
+    interpolation), bit-exact across engines."""
+    from btrdb_spark.functions import sketches
+
+    pts = events_as_points(spark, sf)
+    return sketches.sample_quantiles_merged(
+        pts, ["uuid"], "value", ["uuid", "time"], k=512
+    )
+
+
 def q_distinct_hll_by_flag(spark: SparkSession, sf: str) -> DataFrame:
     """Per-returnflag approximate distinct orderkeys via HyperLogLog —
     constant 512-register sketches, integer registers from length(bin(w))
@@ -1433,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r6 head: new rows lead so the driver's gate window certifies
         # them immediately.
+        "value_quantile_sketch": q_value_quantile_sketch,
         "distinct_hll_by_flag": q_distinct_hll_by_flag,
         "distinct_hll_merged": q_distinct_hll_merged,
         "bloom_decontaminate": q_bloom_decontaminate,
@@ -1642,6 +1659,9 @@ def oracle_sql() -> dict[str, str]:
     from btrdb_spark.functions import sketches as _sk
 
     _day_pts = f"(SELECT (time - {T0}) // {DAY} AS day, uuid FROM {PTS} p)"
+    oracles["value_quantile_sketch"] = _sk.sample_quantiles_merged_sql(
+        f"{PTS} p", "value", ["uuid", "time"], k=512
+    )
     oracles["distinct_hll_by_flag"] = _sk.distinct_hll_sql(
         "lineitem", ["l_returnflag"], "l_orderkey", b=9
     )

@@ -176,6 +176,90 @@ def distinct_kmv_merged_sql(from_sql: str, key_expr: str, k: int = 256) -> str:
     """
 
 
+def sample_quantiles_merged(
+    df: DataFrame,
+    shard_cols: list[str],
+    value_col: str,
+    key_cols: list[str],
+    k: int = 512,
+) -> DataFrame:
+    """Global quantile estimates from a MERGED bounded uniform sample —
+    the quantile member of the sketch family (distinct: KMV/HLL,
+    frequency: CMS, membership: Bloom). Each shard keeps the k rows with
+    the smallest deterministic row-id hashes (a uniform sample without
+    replacement — the bottom-k sample of Cohen & Kaplan 2007); shard
+    samples union and re-rank to the global bottom-k, which is IDENTICAL
+    to the sample a direct global pass would draw (the same bottom-k
+    merge law as distinct_kmv_merged). Quantiles are exact order
+    statistics over the sample — nearest-lower rank, integer arithmetic,
+    zero float ops — so the oracle (direct global sample) matches
+    bit-for-bit.
+
+    Output: one row (p50, p90, p99 double, n_sample long).
+
+    The 100 TB shape: per-shard state is k (hash, value) pairs no matter
+    the shard size; merge cost O(shards * k); the sample (unlike a
+    KLL/t-digest) is also REUSABLE for any other statistic after the
+    fact. Accuracy: rank error ~1/sqrt(k) — k=512 gives ~4.4%.
+    """
+    h = hash60(F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols]))
+    rows = df.select(*shard_cols, h.alias("h"), F.col(value_col).alias("v"))
+    per_shard = Window.partitionBy(*shard_cols).orderBy("h", "v")
+    shard_bottom = (
+        rows.withColumn("rn", F.row_number().over(per_shard))
+        .filter(F.col("rn") <= k)
+        .select("h", "v")
+    )
+    wg = Window.orderBy("h", "v")
+    sample = (
+        shard_bottom.withColumn("rn", F.row_number().over(wg)).filter(F.col("rn") <= k)
+    )
+    wv = Window.orderBy("v", "h")
+    ranked = (
+        sample.withColumn("vr", F.row_number().over(wv))
+        .withColumn("s", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    def at(num: int, den: int):
+        # nearest-lower order statistic: 1 + (num*(s-1)) // den, exact ints
+        r = F.lit(1) + F.floor((F.lit(num) * (F.col("s") - 1)) / F.lit(den)).cast("long")
+        return F.max(F.when(F.col("vr") == r, F.col("v")))
+
+    return ranked.groupBy().agg(
+        at(1, 2).alias("p50"),
+        at(9, 10).alias("p90"),
+        at(99, 100).alias("p99"),
+        F.max("s").cast("long").alias("n_sample"),
+    )
+
+
+def sample_quantiles_merged_sql(
+    from_sql: str, value_expr: str, key_exprs: list[str], k: int = 512
+) -> str:
+    """Oracle: the DIRECT global bottom-k sample over the raw rows (no
+    shard stage) — equality with the Spark merge path proves that
+    shard-sample union re-ranked IS the global sample."""
+    keycat = " || ':' || ".join(f"CAST({e} AS VARCHAR)" for e in key_exprs)
+    h = _hash60_sql(keycat)
+    qsel = ", ".join(
+        f"MAX(CASE WHEN vr = 1 + ({num} * (s - 1)) // {den} THEN v END) AS p{nm}"
+        for num, den, nm in [(1, 2, 50), (9, 10, 90), (99, 100, 99)]
+    )
+    return f"""
+        WITH rows_ AS (
+            SELECT {h} AS h, {value_expr} AS v FROM {from_sql}
+        ), sample_ AS (
+            SELECT h, v FROM (
+                SELECT h, v, ROW_NUMBER() OVER (ORDER BY h, v) AS rn FROM rows_
+            ) WHERE rn <= {k}
+        ), ranked AS (
+            SELECT v, ROW_NUMBER() OVER (ORDER BY v, h) AS vr,
+                   COUNT(*) OVER () AS s
+            FROM sample_
+        )
+        SELECT {qsel}, CAST(MAX(s) AS BIGINT) AS n_sample FROM ranked
+    """
+
+
 def cms_heavy_hitters(
     documents: DataFrame,
     text_col: str = "text",

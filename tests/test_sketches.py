@@ -87,6 +87,27 @@ def test_bloom_no_false_negatives(spark):
     assert set(by_id) == {0}
 
 
+def test_sample_quantiles_merge_and_accuracy(spark, keyed):
+    # values = key itself: true p50 of 0..7999 distinct keys x weights...
+    # keyed has 12000 rows with values 0..7999 (overlap duplicated);
+    # sample quantiles approximate the ROW distribution
+    df = keyed.withColumn("v", F.col("key").cast("double"))
+    out = sketches.sample_quantiles_merged(
+        df, ["shard"], "v", ["shard", "key"], k=512
+    ).collect()[0]
+    assert out["n_sample"] == 512
+    # row-distribution p50 is 4000 +- rank error ~3/sqrt(512)
+    assert abs(out["p50"] - 4000) < 800
+    assert out["p90"] > out["p50"] and out["p99"] >= out["p90"]
+    # merge law: per-shard samples re-ranked == direct global sample
+    direct = sketches.sample_quantiles_merged(
+        df.withColumn("g", F.lit(0)), ["g"], "v", ["shard", "key"], k=512
+    ).collect()[0]
+    assert (out["p50"], out["p90"], out["p99"]) == (
+        direct["p50"], direct["p90"], direct["p99"]
+    )
+
+
 def test_cms_overestimates_and_finds_heavy_hitters(spark):
     # 'alpha' appears 300x, 'beta' 150x, tail tokens once each
     docs = spark.range(300).select(
