@@ -268,6 +268,45 @@ def q_value_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling with replacement, P(doc) ∝ n_chars — exact
+    integer inverse-CDF over bucketed two-level prefix sums (no global
+    single-partition window) with deterministic md5 draws; zero float
+    ops so the oracle matches bit-for-bit (functions/pipeline.py
+    weighted_sample)."""
+    from btrdb_spark.functions import pipeline
+
+    return pipeline.weighted_sample(
+        load_table(spark, sf, "documents"), weight_col="n_chars", n_draws=64
+    )
+
+
+def q_fuzzy_prefix_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Levenshtein<=1 pairs on 32-char text prefixes via symmetric-delete
+    (SymSpell) blocking — an equi-join on deletion-variant hashes, then
+    exact integer-DP verification; the oracle verifies EXHAUSTIVELY, so
+    equality proves the candidate set loses no qualifying pair
+    (functions/dedup.py fuzzy_prefix_pairs)."""
+    from btrdb_spark.functions import dedup
+
+    return dedup.fuzzy_prefix_pairs(load_table(spark, sf, "documents"), prefix_len=32)
+
+
+def q_hybrid_rrf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal-rank fusion of BM25 (lexical) and cosine (dense)
+    rankings — only integer RANKS cross systems and the fused score is
+    one two-term IEEE sum, so the hybrid inherits both rankers'
+    oracle-exactness (functions/similarity.py hybrid_rrf_topk)."""
+    return similarity.hybrid_rrf_topk(
+        load_table(spark, sf, "documents"),
+        load_table(spark, sf, "embeddings"),
+        terms=["spark", "join", "window"],
+        probe_id=3,
+        k=10,
+        depth=50,
+    )
+
+
 def q_distinct_hll_by_flag(spark: SparkSession, sf: str) -> DataFrame:
     """Per-returnflag approximate distinct orderkeys via HyperLogLog —
     constant 512-register sketches, integer registers from length(bin(w))
@@ -1449,6 +1488,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r6 head: new rows lead so the driver's gate window certifies
         # them immediately.
+        "weighted_sample": q_weighted_sample,
+        "fuzzy_prefix_pairs": q_fuzzy_prefix_pairs,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "value_quantile_sketch": q_value_quantile_sketch,
         "distinct_hll_by_flag": q_distinct_hll_by_flag,
         "distinct_hll_merged": q_distinct_hll_merged,
@@ -1659,6 +1701,19 @@ def oracle_sql() -> dict[str, str]:
     from btrdb_spark.functions import sketches as _sk
 
     _day_pts = f"(SELECT (time - {T0}) // {DAY} AS day, uuid FROM {PTS} p)"
+    from btrdb_spark.functions import dedup as _dd
+    from btrdb_spark.functions import pipeline as _pl
+
+    oracles["weighted_sample"] = _pl.weighted_sample_oracle_sql(
+        weight_col="n_chars", n_draws=64
+    )
+    oracles["fuzzy_prefix_pairs"] = _dd.fuzzy_prefix_oracle_sql(prefix_len=32)
+    oracles["hybrid_rrf_topk"] = similarity.hybrid_rrf_oracle_sql(
+        text.bm25_oracle_sql(["spark", "join", "window"], k=50),
+        probe_id=3,
+        k=10,
+        depth=50,
+    )
     oracles["value_quantile_sketch"] = _sk.sample_quantiles_merged_sql(
         f"{PTS} p", "value", ["uuid", "time"], k=512
     )

@@ -1033,3 +1033,96 @@ def strip_spans_oracle_sql(k: int = 8) -> str:
         FROM toks t LEFT JOIN kept k USING (doc_id)
         ORDER BY doc_id
     """
+
+
+def fuzzy_prefix_pairs(
+    documents: DataFrame,
+    prefix_len: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document pairs whose ``prefix_len``-char text prefixes are within
+    Levenshtein distance 1 — the fuzzy-key join (near-identical titles /
+    leading boilerplate / URLs differing by one character) that exact and
+    shingle dedup both miss for SHORT keys.
+
+    Candidate generation is the symmetric-delete neighborhood (SymSpell,
+    Garbe 2012): every prefix emits itself plus its len single-character
+    deletions; two strings at distance <=1 ALWAYS share a variant (equal:
+    self; substitution: delete the differing position from both;
+    indel: the shorter string is a variant of the longer), so an
+    EQUI-join on the variant hash is a complete candidate filter —
+    no quadratic scan, and the shuffle key is a 60-bit hash, never text.
+    Some distance-2 pairs also collide (ab/ba); the exact
+    ``levenshtein`` verification removes them, so hash collisions are
+    harmless by construction. Both engines implement the identical
+    classic integer DP, so the verified distance is oracle-exact.
+
+    Scale: candidates ∝ docs x (prefix_len+1) exploded variants, one
+    equi-join; the verify filter is per-candidate-pair O(prefix_len^2)
+    integer work. For distance t>1 generate deletes up to depth t (cost
+    len^t) — not exposed here because t=1 covers the fat head of
+    real-key typo distributions.
+
+    Output: (doc_id, doc_id2, dist), pair-ordered.
+    """
+    p = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("p"),
+    )
+    one = F.lit(1)
+    variants = F.array_union(
+        F.array(F.col("p")),
+        F.transform(
+            F.sequence(one, F.length("p")),
+            lambda i: F.concat(
+                F.col("p").substr(one, i - one),
+                F.col("p").substr(i + one, F.length("p") - i),
+            ),
+        ),
+    )
+    ex = p.select(
+        "doc_id",
+        "p",
+        F.explode(variants).alias("v"),
+    ).select(
+        "doc_id",
+        "p",
+        F.conv(F.substring(F.md5(F.col("v")), 1, 15), 16, 10).cast("long").alias("vh"),
+    )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    cand = (
+        a.join(b, (F.col("a.vh") == F.col("b.vh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("doc_id2"),
+            F.col("a.p").alias("p1"),
+            F.col("b.p").alias("p2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("p1", "p2").cast("long"))
+        .filter(F.col("dist") <= 1)
+        .select("doc_id", "doc_id2", "dist")
+        .orderBy("doc_id", "doc_id2")
+    )
+
+
+def fuzzy_prefix_oracle_sql(prefix_len: int = 32) -> str:
+    """Oracle: EXHAUSTIVE pairwise verification (no blocking) — equality
+    with the Spark path proves the delete-neighborhood candidate set
+    loses no qualifying pair."""
+    return f"""
+        WITH p AS (
+            SELECT doc_id, substr(text, 1, {prefix_len}) AS p FROM documents
+        )
+        SELECT a.doc_id AS doc_id, b.doc_id AS doc_id2,
+               CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+        FROM p a JOIN p b
+          ON a.doc_id < b.doc_id
+         AND abs(length(a.p) - length(b.p)) <= 1
+        WHERE levenshtein(a.p, b.p) <= 1
+        ORDER BY doc_id, doc_id2
+    """

@@ -624,3 +624,124 @@ def shard_manifest_oracle_sql(budget_tokens: int = 2048) -> str:
         FROM packed GROUP BY source, shard_id
         ORDER BY source, shard_id
     """
+
+
+def weighted_sample(
+    documents: DataFrame,
+    weight_col: str = "n_chars",
+    n_draws: int = 64,
+    salt: str = "wsam-v1",
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITH replacement, P(doc per draw) ∝ its integer
+    weight — the token-proportional document sampler (sample training
+    docs ∝ token count rather than uniformly, the standard mixture-epoch
+    draw). Exact inverse-CDF over INTEGER cumulative weights with
+    deterministic md5 draws: zero float ops, so Spark and DuckDB agree
+    bit-for-bit, and reruns are reproducible by (salt, draw index).
+
+    The prefix sum is two-level so no global single-partition window
+    exists at scale: within-bucket cumulative sums run under
+    ``Window.partitionBy(bucket)`` (docs hash into ``n_buckets`` by id),
+    and the cross-bucket offsets are a bucket-count-sized aggregate —
+    the classic distributed scan. Draw resolution is a broadcast
+    nested-loop interval join with n_draws rows on the broadcast side
+    (cost n_docs * n_draws comparisons, one corpus pass).
+
+    Output: (draw_id, doc_id, weight), draw_id-ordered.
+    """
+    w = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(weight_col).cast("long").alias("w"),
+        F.pmod(F.col(id_col).cast("long"), F.lit(n_buckets)).alias("b"),
+    ).filter(F.col("w") > 0)
+    from pyspark.sql import Window
+
+    in_bucket = (
+        Window.partitionBy("b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = w.withColumn("hi_local", F.sum("w").over(in_bucket))
+    boff = (
+        w.groupBy("b")
+        .agg(F.sum("w").alias("bw"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("bw").over(
+                    Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("b", "off")
+    )
+    iv = cum.join(F.broadcast(boff), "b").select(
+        "doc_id",
+        "w",
+        (F.col("off") + F.col("hi_local") - F.col("w")).alias("lo"),
+        (F.col("off") + F.col("hi_local")).alias("hi"),
+    )
+    total = w.groupBy().agg(F.sum("w")).collect()[0][0]  # one scalar
+    spark = documents.sparkSession
+    draws = spark.range(n_draws).select(
+        F.col("id").alias("draw_id"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt + ":"), F.col("id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(int(total))
+        ).alias("r"),
+    )
+    return (
+        iv.join(F.broadcast(draws), (F.col("r") >= F.col("lo")) & (F.col("r") < F.col("hi")))
+        .select("draw_id", "doc_id", F.col("w").alias("weight"))
+        .orderBy("draw_id")
+    )
+
+
+def weighted_sample_oracle_sql(
+    weight_col: str = "n_chars",
+    n_draws: int = 64,
+    salt: str = "wsam-v1",
+    n_buckets: int = 32,
+) -> str:
+    """DuckDB mirror: identical bucketed integer prefix sums + md5 draws."""
+    return f"""
+        WITH w AS (
+            SELECT doc_id, CAST({weight_col} AS BIGINT) AS w,
+                   doc_id % {n_buckets} AS b
+            FROM documents WHERE {weight_col} > 0
+        ), cum AS (
+            SELECT doc_id, w, b,
+                   SUM(w) OVER (PARTITION BY b ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi_local
+            FROM w
+        ), boff AS (
+            SELECT b, COALESCE(SUM(bw) OVER (ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+            FROM (SELECT b, SUM(w) AS bw FROM w GROUP BY b)
+        ), iv AS (
+            SELECT c.doc_id, c.w,
+                   o.off + c.hi_local - c.w AS lo,
+                   o.off + c.hi_local AS hi
+            FROM cum c JOIN boff o USING (b)
+        ), tot AS (SELECT SUM(w) AS t FROM w
+        ), draws AS (
+            SELECT r.range AS draw_id,
+                   ('0x' || substr(md5('{salt}:' || CAST(r.range AS VARCHAR)), 1, 15))::BIGINT
+                       % (SELECT t FROM tot) AS r
+            FROM range({n_draws}) r
+        )
+        SELECT d.draw_id, iv.doc_id, iv.w AS weight
+        FROM draws d JOIN iv ON d.r >= iv.lo AND d.r < iv.hi
+        ORDER BY d.draw_id
+    """

@@ -1770,3 +1770,96 @@ EMBEDDING_NORM_ORACLE = """
            MAX(nrm) AS norm_max
     FROM n GROUP BY label ORDER BY label
 """
+
+
+def hybrid_rrf_topk(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    terms: list[str],
+    probe_id: int,
+    k: int = 10,
+    depth: int = 50,
+    c: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) of
+    the lexical BM25 ranking and the dense cosine ranking — the standard
+    two-tower retrieval front-end (RAG / dedup-candidate mining) where
+    neither signal alone suffices.
+
+    rrf(d) = 1/(c + rank_lex(d)) + 1/(c + rank_vec(d)), missing list ->
+    term contributes 0. Only the RANKS (integers) cross between systems,
+    so the fusion inherits each ranker's determinism; the two-term score
+    is a single IEEE addition of two exact divisions — no fold, no
+    reassociation surface — hence bit-identical across engines.
+
+    Scale: each ranker produces ``depth`` rows (BM25 is a pruned-term
+    aggregate + global TakeOrdered; cosine is a broadcast-probe scan +
+    per-query top-k), so the fusion join and final sort touch at most
+    2*depth rows regardless of corpus size.
+
+    Output: (rank, doc_id, rrf, rank_lex, rank_vec), rank 1..k.
+    """
+    from .text import bm25_topk
+
+    lex = bm25_topk(documents, terms, k=depth).select(
+        "doc_id", F.col("rank").alias("rank_lex")
+    )
+    vec = cosine_topk(
+        embeddings, embeddings.filter(F.col("vec_id") == probe_id), k=depth
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("rank_vec"))
+    fused = lex.join(vec, ["doc_id"], "full_outer").select(
+        "doc_id",
+        "rank_lex",
+        "rank_vec",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("rank_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("rank_vec")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))  # <= 2*depth rows
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "doc_id", "rrf", "rank_lex", "rank_vec")
+        .orderBy("rank")
+    )
+
+
+def hybrid_rrf_oracle_sql(
+    bm25_sql: str,
+    probe_id: int,
+    k: int = 10,
+    depth: int = 50,
+    c: int = 60,
+) -> str:
+    """DuckDB mirror: the caller passes the bm25 oracle (at k=depth) as a
+    subquery; the cosine leg and fusion arithmetic are restated here."""
+    return f"""
+        WITH lex AS (
+            SELECT doc_id, rank AS rank_lex FROM ({bm25_sql})
+        ), cv AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings
+        ), vec AS (
+            SELECT neighbor_id AS doc_id, rank AS rank_vec FROM (
+                SELECT c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           ORDER BY list_dot_product(c.v, p.v) / (c.nrm * p.nrm) DESC,
+                                    c.vec_id ASC) AS rank
+                FROM cv c JOIN cv p ON p.vec_id = {probe_id} AND c.vec_id <> p.vec_id
+            ) WHERE rank <= {depth}
+        ), fused AS (
+            SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                   l.rank_lex, v.rank_vec,
+                   COALESCE(CAST(1 AS DOUBLE) / ({c} + l.rank_lex), 0)
+                   + COALESCE(CAST(1 AS DOUBLE) / ({c} + v.rank_vec), 0) AS rrf
+            FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+        )
+        SELECT rank, doc_id, rrf, rank_lex, rank_vec FROM (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank,
+                   doc_id, rrf, rank_lex, rank_vec
+            FROM fused
+        ) WHERE rank <= {k} ORDER BY rank
+    """

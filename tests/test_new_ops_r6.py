@@ -1,0 +1,108 @@
+"""Round-6 operator tests: weighted sampling, SymSpell fuzzy pairs,
+reciprocal-rank-fusion hybrid retrieval."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from btrdb_spark.functions import dedup, pipeline, similarity
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    # doc 0 carries 90% of the mass; with 400 draws it must dominate
+    docs = spark.createDataFrame(
+        [(0, 9000), (1, 200), (2, 200), (3, 200), (4, 200), (5, 200)],
+        "doc_id long, n_chars long",
+    )
+    out = pipeline.weighted_sample(docs, n_draws=400, salt="t1").collect()
+    assert len(out) == 400  # every draw resolves to exactly one interval
+    counts = {}
+    for r in out:
+        counts[r["doc_id"]] = counts.get(r["doc_id"], 0) + 1
+    assert counts[0] > 300  # E=360, binomial sd ~6
+    for d in range(1, 6):
+        assert counts.get(d, 0) < 40  # E=8
+    # reproducible: same salt -> identical draws; new salt -> different
+    again = pipeline.weighted_sample(docs, n_draws=400, salt="t1").collect()
+    assert [(r["draw_id"], r["doc_id"]) for r in out] == [
+        (r["draw_id"], r["doc_id"]) for r in again
+    ]
+    other = pipeline.weighted_sample(docs, n_draws=400, salt="t2").collect()
+    assert [(r["draw_id"], r["doc_id"]) for r in out] != [
+        (r["draw_id"], r["doc_id"]) for r in other
+    ]
+    # zero-weight docs are never drawn
+    docs0 = docs.withColumn(
+        "n_chars", F.when(F.col("doc_id") == 5, F.lit(0)).otherwise(F.col("n_chars"))
+    )
+    out0 = pipeline.weighted_sample(docs0, n_draws=400, salt="t1").collect()
+    assert all(r["doc_id"] != 5 for r in out0)
+
+
+def test_fuzzy_prefix_pairs_distance_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox"),
+            (1, "the quick brown fox"),  # dist 0 to doc 0
+            (2, "the quick brewn fox"),  # substitution: dist 1
+            (3, "the quick brown foxx"),  # insertion: dist 1
+            (4, "the quick brwn fx"),  # dist 2+ from all -> excluded
+            (5, "ab"),
+            (6, "ba"),  # dist 2 but SHARES a deletion variant -> must be verified out
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup.fuzzy_prefix_pairs(docs, prefix_len=32).collect()
+    pairs = {(r["doc_id"], r["doc_id2"]): r["dist"] for r in rows}
+    assert pairs[(0, 1)] == 0
+    assert pairs[(0, 2)] == 1 and pairs[(1, 2)] == 1
+    assert pairs[(0, 3)] == 1 and pairs[(1, 3)] == 1
+    # 2<->3 differ by two edits; 4 matches nothing; ab/ba collide in the
+    # candidate join but fail exact verification
+    assert (2, 3) not in pairs
+    assert all(4 not in p for p in pairs)
+    assert (5, 6) not in pairs
+
+
+def test_hybrid_rrf_fusion_math(spark):
+    # docs 1..4: doc 2 is mid-rank in BOTH lists and must beat docs that
+    # top only one list (the signature RRF property)
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark spark"),  # lexical #1
+            (2, "spark join filler filler"),  # lexical #2
+            (3, "nothing relevant here"),
+            (4, "unrelated text entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),  # probe
+            (1, [0.0, 1.0]),  # orthogonal -> vector last
+            (2, [0.9, 0.1]),  # vector #2
+            (3, [1.0, 0.05]),  # vector #1
+            (4, [0.5, 0.5]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.hybrid_rrf_topk(
+        docs, emb, terms=["spark", "join"], probe_id=0, k=4, depth=10
+    ).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    # the fusion law holds exactly on every row (missing list -> 0 term)
+    for r in out:
+        want = (1 / (60 + r["rank_lex"]) if r["rank_lex"] else 0.0) + (
+            1 / (60 + r["rank_vec"]) if r["rank_vec"] else 0.0
+        )
+        assert r["rrf"] == pytest.approx(want, abs=0)
+    # doc 2 appears in BOTH lists ("spark join" text, near-probe vector)
+    assert by_doc[2]["rank_lex"] is not None and by_doc[2]["rank_vec"] is not None
+    # the fused winner is a both-lists doc, and it beats doc 3, which
+    # tops the vector list only (the signature RRF property)
+    assert out[0]["doc_id"] == 2
+    assert by_doc[3]["rank_vec"] == 1 and by_doc[3]["rrf"] < by_doc[2]["rrf"]
+    # a doc absent from the lexical list has NULL rank_lex, not 0
+    assert by_doc[3]["rank_lex"] is None
+    # output is rank-ordered by descending fused score
+    assert [r["rank"] for r in out] == sorted(r["rank"] for r in out)
+    assert all(out[i]["rrf"] >= out[i + 1]["rrf"] for i in range(len(out) - 1))
