@@ -268,6 +268,17 @@ def q_value_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_spectral_power(spark: SparkSession, sf: str) -> DataFrame:
+    """Binned-DFT periodogram at day/week probe periods — phase-folded
+    power with driver-generated literal cos/sin tables and quantized
+    integer accumulation, so the float-heavy spectral estimate is still
+    bit-exact across engines (operators/spectral.py)."""
+    from btrdb_spark.operators import spectral
+
+    pts = events_as_points(spark, sf)
+    return spectral.spectral_power(pts, periods_ns=[DAY, 7 * DAY], t0=T0)
+
+
 def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Weighted sampling with replacement, P(doc) ∝ n_chars — exact
     integer inverse-CDF over bucketed two-level prefix sums (no global
@@ -1488,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r6 head: new rows lead so the driver's gate window certifies
         # them immediately.
+        "spectral_power": q_spectral_power,
         "weighted_sample": q_weighted_sample,
         "fuzzy_prefix_pairs": q_fuzzy_prefix_pairs,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
@@ -1704,6 +1716,11 @@ def oracle_sql() -> dict[str, str]:
     from btrdb_spark.functions import dedup as _dd
     from btrdb_spark.functions import pipeline as _pl
 
+    from btrdb_spark.operators import spectral as _spec
+
+    oracles["spectral_power"] = _spec.spectral_power_oracle_sql(
+        PTS, periods_ns=[DAY, 7 * DAY], t0=T0
+    )
     oracles["weighted_sample"] = _pl.weighted_sample_oracle_sql(
         weight_col="n_chars", n_draws=64
     )

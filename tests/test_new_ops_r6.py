@@ -106,3 +106,26 @@ def test_hybrid_rrf_fusion_math(spark):
     # output is rank-ordered by descending fused score
     assert [r["rank"] for r in out] == sorted(r["rank"] for r in out)
     assert all(out[i]["rrf"] >= out[i + 1]["rrf"] for i in range(len(out) - 1))
+
+
+def test_spectral_power_finds_the_period(spark):
+    import math
+
+    from btrdb_spark.operators import spectral
+
+    P = 1_000_000_000 * 3600  # 1h in ns
+    rows = [
+        ("a", t * 60_000_000_000, math.cos(2 * math.pi * (t * 60e9) / P))
+        for t in range(600)  # 10 h of minutely samples
+    ] + [
+        ("b", t * 60_000_000_000, float((t * 2654435761) % 1000) / 1000.0 - 0.5)
+        for t in range(600)  # hash noise: no 1h line
+    ]
+    pts = spark.createDataFrame(rows, "uuid string, time long, value double")
+    out = spectral.spectral_power(pts, periods_ns=[P, P * 7]).collect()
+    pw = {(r["uuid"], r["period_ns"]): r["power"] for r in out}
+    # pure unit cosine at P -> power ~ (1/2)^2 = 0.25
+    assert abs(pw[("a", P)] - 0.25) < 0.01
+    assert pw[("a", P)] > 10 * pw[("a", P * 7)]
+    assert pw[("b", P)] < 0.01 and pw[("b", P * 7)] < 0.01
+    assert all(r["n"] == 600 for r in out)
