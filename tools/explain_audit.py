@@ -245,6 +245,39 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
          "SinglePartition"],
     ),
+    # r6: weighted inverse-CDF — bucketed prefix sums (partitioned
+    # window), draws resolve via broadcast interval join (BNLJ is the
+    # intended shape: n_draws rows broadcast against the corpus)
+    "weighted_sample": (
+        ["Window", "partial_sum"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
+    # r6: SymSpell blocking must stay an EQUI-join on variant hashes —
+    # never an all-pairs loop
+    "fuzzy_prefix_pairs": (
+        [],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # r6: RRF fusion — bm25 leg broadcasts the term-df dimension; the
+    # cosine leg's probe broadcast is a BNLJ by design (exact scan)
+    "hybrid_rrf_topk": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
+    # r6: periodogram — coef table broadcast-hash-joined, accumulation
+    # partial-agg'd; the 2-row period grid fans out as a broadcast BNLJ
+    "spectral_power": (
+        ["BroadcastHashJoin", "partial_sum"],
+        ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+    ),
+    # r6: bottom-k sample quantiles — per-shard window partitioned; the
+    # global re-rank runs on <= shards*k surviving rows (bounded by
+    # construction, so its SinglePartition exchange is not a data-path
+    # violation and is not forbidden here)
+    "value_quantile_sketch": (
+        ["Window", "partial_"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
 }
 
 
