@@ -268,6 +268,25 @@ def q_value_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_doc_len_quantiles_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language document-length quantiles from merged per-(lang,
+    source) bottom-k samples — the grouped form of the quantile sketch;
+    every window is group-partitioned so no single-partition stage
+    exists (functions/sketches.py sample_quantiles_by_group). The oracle
+    draws each group's sample directly — equality proves the per-group
+    merge law."""
+    from btrdb_spark.functions import sketches
+
+    return sketches.sample_quantiles_by_group(
+        load_table(spark, sf, "documents"),
+        group_cols=["lang"],
+        shard_cols=["source"],
+        value_col="n_chars",
+        key_cols=["doc_id"],
+        k=256,
+    )
+
+
 def q_spectral_power(spark: SparkSession, sf: str) -> DataFrame:
     """Binned-DFT periodogram at day/week probe periods — phase-folded
     power with driver-generated literal cos/sin tables and quantized
@@ -1499,6 +1518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r6 head: new rows lead so the driver's gate window certifies
         # them immediately.
+        "doc_len_quantiles_by_lang": q_doc_len_quantiles_by_lang,
         "spectral_power": q_spectral_power,
         "weighted_sample": q_weighted_sample,
         "fuzzy_prefix_pairs": q_fuzzy_prefix_pairs,
@@ -1718,6 +1738,9 @@ def oracle_sql() -> dict[str, str]:
 
     from btrdb_spark.operators import spectral as _spec
 
+    oracles["doc_len_quantiles_by_lang"] = _sk.sample_quantiles_by_group_sql(
+        "documents", ["lang"], "n_chars", ["doc_id"], k=256
+    )
     oracles["spectral_power"] = _spec.spectral_power_oracle_sql(
         PTS, periods_ns=[DAY, 7 * DAY], t0=T0
     )

@@ -137,6 +137,8 @@ class BTrDBEngine:
         # keeps them consistent lock-free. Re-entrant: flush (locked)
         # calls _clear_hot (locked).
         self._write_lock = threading.RLock()
+        # query-path DataFrame memo: see _scan_memo
+        self._df_memo: dict[str, tuple[tuple, DataFrame]] = {}
         os.makedirs(base_dir, exist_ok=True)
         self._init_layout()
         # uuids tombstoned with defer_gc=True whose data the background
@@ -242,26 +244,56 @@ class BTrDBEngine:
                 return True
         return False
 
-    def _read(self, name: str, schema) -> DataFrame:
+    def _scan_memo(self, name: str) -> DataFrame | None:
+        """Query-path table scan, memoized on the (generation path,
+        parquet file name+size set) signature — the same scheme as
+        RollupLadder._read_memo: spark.read.parquet costs ~0.1-0.2 s of
+        JVM listing + schema inference per call, which dominated
+        short-query latency. Appends (any process) add uniquely named
+        files to the live generation and rewrites flip the generation
+        path, so a changed signature is exactly a changed table and a
+        hit can never serve stale data. None = no parquet yet.
+        Mutation paths (_rewrite_bucket_partition etc.) stay unmemoized —
+        they must read the precise generation they CAS against."""
         path = self._data_dir(name)
-        if not self._has_parquet(path):
+        if path is None:
+            return None
+        sig_files = tuple(
+            sorted(
+                (os.path.join(os.path.relpath(r, path), f), os.path.getsize(os.path.join(r, f)))
+                for r, _d, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+        )
+        if not sig_files:
+            return None
+        sig = (path, sig_files)
+        hit = self._df_memo.get(name)
+        if hit is not None and hit[0] == sig:
+            return hit[1]
+        df = self.spark.read.parquet(path)
+        self._df_memo[name] = (sig, df)
+        return df
+
+    def _read(self, name: str, schema) -> DataFrame:
+        df = self._scan_memo(name)
+        if df is None:
             return self.spark.createDataFrame([], schema)
         # select by name: drops the physical partition columns
         # (uuid_bucket / meta_bucket) from the logical schema
-        return self.spark.read.parquet(path).select(*[f.name for f in schema.fields])
+        return df.select(*[f.name for f in schema.fields])
 
     @property
     def points(self) -> DataFrame:
-        path = self._data_dir("points")
-        if not self._has_parquet(path):
+        df = self._scan_memo("points")
+        if df is None:
             return self.spark.createDataFrame(
                 [], "uuid string, time long, value double, version long, uuid_bucket long"
             )
         # partition columns uuid_bucket/time_bucket come from the directory
         # layout; time_bucket is consumed by points_pruned, not exposed here
-        return self.spark.read.parquet(path).select(
-            "uuid", "time", "value", "version", "uuid_bucket"
-        )
+        return df.select("uuid", "time", "value", "version", "uuid_bucket")
 
     def points_pruned(
         self, uuid: str | None = None, start: int | None = None, end: int | None = None
@@ -270,10 +302,9 @@ class BTrDBEngine:
         bounds allow: uuid -> uuid_bucket directory, [start, end) ->
         time_bucket directory range (plus parquet min/max on uuid/time
         inside the surviving files)."""
-        path = self._data_dir("points")
-        if not self._has_parquet(path):
+        df = self._scan_memo("points")
+        if df is None:
             return self.spark.createDataFrame([], POINTS_SCHEMA)
-        df = self.spark.read.parquet(path)
         if uuid is not None:
             df = df.filter(
                 (F.col("uuid_bucket") == self._ubucket(F.lit(uuid))) & (F.col("uuid") == uuid)
@@ -292,10 +323,9 @@ class BTrDBEngine:
 
     @property
     def hot(self) -> DataFrame:
-        path = self._data_dir("hot")
-        if not self._has_parquet(path):
+        df = self._scan_memo("hot")
+        if df is None:
             return self.spark.createDataFrame([], HOT_POINTS_SCHEMA)
-        df = self.spark.read.parquet(path)
         if "ingest_ts" not in df.columns:  # pre-ingest_ts generation
             df = df.withColumn("ingest_ts", F.lit(None).cast("long"))
         return df.select(*[f.name for f in HOT_POINTS_SCHEMA.fields])

@@ -232,6 +232,95 @@ def sample_quantiles_merged(
     )
 
 
+def sample_quantiles_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    shard_cols: list[str],
+    value_col: str,
+    key_cols: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """Per-GROUP quantiles from merged per-(group, shard) bottom-k
+    samples — sample_quantiles_merged with a group dimension (per-domain
+    document-length distributions, per-language token-count monitoring).
+    Every window is partitioned by at least the group columns, so no
+    single-partition stage exists anywhere: the scan reduces to
+    groups x shards x k sampled rows, then to groups x k.
+
+    Output: (group_cols..., p50, p90, p99 double, n_sample long),
+    group-ordered.
+    """
+    h = hash60(F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols]))
+    rows = df.select(
+        *group_cols, *[c for c in shard_cols if c not in group_cols],
+        h.alias("h"), F.col(value_col).alias("v"),
+    )
+    per_shard = Window.partitionBy(*group_cols, *shard_cols).orderBy("h", "v")
+    shard_bottom = (
+        rows.withColumn("rn", F.row_number().over(per_shard))
+        .filter(F.col("rn") <= k)
+        .select(*group_cols, "h", "v")
+    )
+    wg = Window.partitionBy(*group_cols).orderBy("h", "v")
+    sample = (
+        shard_bottom.withColumn("rn", F.row_number().over(wg)).filter(F.col("rn") <= k)
+    )
+    wv = Window.partitionBy(*group_cols).orderBy("v", "h")
+    ranked = sample.withColumn("vr", F.row_number().over(wv)).withColumn(
+        "s", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+    )
+
+    def at(num: int, den: int):
+        r = F.lit(1) + F.floor((F.lit(num) * (F.col("s") - 1)) / F.lit(den)).cast("long")
+        return F.max(F.when(F.col("vr") == r, F.col("v")))
+
+    return (
+        ranked.groupBy(*group_cols)
+        .agg(
+            at(1, 2).alias("p50"),
+            at(9, 10).alias("p90"),
+            at(99, 100).alias("p99"),
+            F.max("s").cast("long").alias("n_sample"),
+        )
+        .orderBy(*group_cols)
+    )
+
+
+def sample_quantiles_by_group_sql(
+    from_sql: str,
+    group_exprs: list[str],
+    value_expr: str,
+    key_exprs: list[str],
+    k: int = 256,
+) -> str:
+    """Oracle: the DIRECT per-group bottom-k sample (no shard stage)."""
+    keycat = " || ':' || ".join(f"CAST({e} AS VARCHAR)" for e in key_exprs)
+    h = _hash60_sql(keycat)
+    g = ", ".join(group_exprs)
+    qsel = ", ".join(
+        f"MAX(CASE WHEN vr = 1 + ({num} * (s - 1)) // {den} THEN v END) AS p{nm}"
+        for num, den, nm in [(1, 2, 50), (9, 10, 90), (99, 100, 99)]
+    )
+    return f"""
+        WITH rows_ AS (
+            SELECT {g}, {h} AS h, {value_expr} AS v FROM {from_sql}
+        ), sample_ AS (
+            SELECT {g}, h, v FROM (
+                SELECT {g}, h, v,
+                       ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY h, v) AS rn
+                FROM rows_
+            ) WHERE rn <= {k}
+        ), ranked AS (
+            SELECT {g}, v,
+                   ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY v, h) AS vr,
+                   COUNT(*) OVER (PARTITION BY {g}) AS s
+            FROM sample_
+        )
+        SELECT {g}, {qsel}, CAST(MAX(s) AS BIGINT) AS n_sample
+        FROM ranked GROUP BY {g} ORDER BY {g}
+    """
+
+
 def sample_quantiles_merged_sql(
     from_sql: str, value_expr: str, key_exprs: list[str], k: int = 512
 ) -> str:

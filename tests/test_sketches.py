@@ -126,3 +126,25 @@ def test_cms_overestimates_and_finds_heavy_hitters(spark):
     # ordering deterministic: est desc then token asc
     ranks = [(r["est_count"], r["token"]) for r in out]
     assert ranks == sorted(ranks, key=lambda p: (-p[0], p[1]))
+
+
+def test_sample_quantiles_by_group_merge_law(spark, keyed):
+    # two groups with disjoint value ranges; grouped sketch must keep
+    # them separate and match the direct per-group sample
+    df = keyed.withColumn("g", (F.col("key") % 2).cast("string")).withColumn(
+        "v", F.col("key").cast("double")
+    )
+    out = sketches.sample_quantiles_by_group(
+        df, ["g"], ["shard"], "v", ["shard", "key"], k=128
+    ).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["n_sample"] == 128
+        assert r["p50"] < r["p90"] <= r["p99"]
+    # merge law per group: single-shard draw == multi-shard merged draw
+    direct = sketches.sample_quantiles_by_group(
+        df.withColumn("one", F.lit(0)), ["g"], ["one"], "v", ["shard", "key"], k=128
+    ).collect()
+    assert {(r["g"], r["p50"], r["p90"], r["p99"]) for r in out} == {
+        (r["g"], r["p50"], r["p90"], r["p99"]) for r in direct
+    }
