@@ -268,6 +268,18 @@ def q_value_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_source_jaccard_kmv(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise source-corpus overlap via KMV sketches — the KMV Jaccard
+    estimator |bottomk(A∪B) ∩ A ∩ B| / min(k,|union|) (Broder 1997),
+    exact when the union fits in k; integer work until one final
+    division (functions/sketches.py source_jaccard_kmv)."""
+    from btrdb_spark.functions import sketches
+
+    return sketches.source_jaccard_kmv(
+        load_table(spark, sf, "documents"), n=3, k=256
+    )
+
+
 def q_doc_len_quantiles_by_lang(spark: SparkSession, sf: str) -> DataFrame:
     """Per-language document-length quantiles from merged per-(lang,
     source) bottom-k samples — the grouped form of the quantile sketch;
@@ -1518,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r6 head: new rows lead so the driver's gate window certifies
         # them immediately.
+        "source_jaccard_kmv": q_source_jaccard_kmv,
         "doc_len_quantiles_by_lang": q_doc_len_quantiles_by_lang,
         "spectral_power": q_spectral_power,
         "weighted_sample": q_weighted_sample,
@@ -1738,6 +1751,7 @@ def oracle_sql() -> dict[str, str]:
 
     from btrdb_spark.operators import spectral as _spec
 
+    oracles["source_jaccard_kmv"] = _sk.source_jaccard_kmv_sql(n=3, k=256)
     oracles["doc_len_quantiles_by_lang"] = _sk.sample_quantiles_by_group_sql(
         "documents", ["lang"], "n_chars", ["doc_id"], k=256
     )

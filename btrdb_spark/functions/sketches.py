@@ -731,3 +731,117 @@ def cms_heavy_hitters_sql(
         SELECT t AS token, CAST(est_count AS BIGINT) AS est_count
         FROM est ORDER BY est_count DESC, t ASC LIMIT {topk}
     """
+
+
+def source_jaccard_kmv(
+    documents: DataFrame,
+    n: int = 3,
+    k: int = 256,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Pairwise corpus overlap between SOURCES via KMV sketches — the
+    dataset-level dedup diagnostic ("which crawls overlap, and how
+    much?") that doc-pair dedup cannot answer without an all-pairs pass.
+
+    Each source's shingle set reduces to its k smallest 60-bit hashes;
+    for a pair (A, B) the k-minimum-values Jaccard estimator is
+    |{bottom-k of A∪B} ∩ A ∩ B| / min(k, |A∪B sketch|) (Broder 1997 /
+    Beyer et al. 2007) — when the union fits inside k the estimate is
+    EXACT. Everything is integer until the single final division, so the
+    DuckDB oracle (same estimator, same md5 hash order) matches
+    bit-for-bit.
+
+    Scale shape: per-source state is k hashes regardless of corpus size
+    (the shingle explode + distinct is one shuffle keyed by (source,
+    shingle)); the pair stage expands sketches x pairs via a broadcast of
+    the source-pair grid — sized for dashboard-scale source counts
+    (hundreds); at thousands of sources, shard the grid.
+
+    Output: (source_a, source_b, n_shared long, est_jaccard double),
+    pair-ordered.
+    """
+    from .dedup import _shingles
+
+    sh = documents.select(
+        F.col(group_col).alias("src"),
+        F.explode(_shingles(F.col(text_col), n)).alias("shingle"),
+    ).distinct()
+    sk = (
+        sh.select("src", hash60(F.col("shingle")).alias("h"))
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("src").orderBy("h"))
+        )
+        .filter(F.col("rn") <= k)
+        .select("src", "h")
+    )
+    srcs = sk.select("src").distinct()
+    pairs = (
+        srcs.select(F.col("src").alias("sa"))
+        .crossJoin(srcs.select(F.col("src").alias("sb")))
+        .filter(F.col("sa") < F.col("sb"))
+    )
+    u = sk.join(
+        F.broadcast(pairs),
+        (F.col("src") == F.col("sa")) | (F.col("src") == F.col("sb")),
+    )
+    d = u.groupBy("sa", "sb", "h").agg(F.count(F.lit(1)).alias("cnt"))
+    wp = Window.partitionBy("sa", "sb")
+    r = d.withColumn("rn", F.row_number().over(wp.orderBy("h"))).withColumn(
+        "s", F.count(F.lit(1)).over(wp)
+    )
+    shared = F.sum(
+        F.when((F.col("rn") <= k) & (F.col("cnt") == 2), 1).otherwise(0)
+    ).cast("long")
+    denom = F.least(F.lit(k).cast("long"), F.max("s"))
+    return (
+        r.groupBy(F.col("sa").alias("source_a"), F.col("sb").alias("source_b"))
+        .agg(
+            shared.alias("n_shared"),
+            (shared.cast("double") / denom.cast("double")).alias("est_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def source_jaccard_kmv_sql(
+    n: int = 3, k: int = 256, group_col: str = "source"
+) -> str:
+    """DuckDB mirror: identical shingling, hash order, and estimator."""
+    nm1 = n - 1
+    return f"""
+        WITH sh AS (
+            SELECT DISTINCT src, shingle FROM (
+                SELECT {group_col} AS src, UNNEST(list_distinct(list_transform(
+                    range(1, greatest(len(string_split(text, ' ')) - {nm1}, 0) + 1),
+                    i -> array_to_string(string_split(text, ' ')[i:i+{nm1}], ' ')))) AS shingle
+                FROM documents
+            )
+        ), hs AS (
+            SELECT src, {_hash60_sql('shingle')} AS h FROM sh
+        ), sk AS (
+            SELECT src, h FROM (
+                SELECT src, h, ROW_NUMBER() OVER (PARTITION BY src ORDER BY h) AS rn
+                FROM hs
+            ) WHERE rn <= {k}
+        ), srcs AS (SELECT DISTINCT src FROM sk
+        ), pairs AS (
+            SELECT a.src AS sa, b.src AS sb FROM srcs a JOIN srcs b ON a.src < b.src
+        ), u AS (
+            SELECT p.sa, p.sb, s.h FROM sk s
+            JOIN pairs p ON s.src = p.sa OR s.src = p.sb
+        ), d AS (
+            SELECT sa, sb, h, COUNT(*) AS cnt FROM u GROUP BY 1, 2, 3
+        ), r AS (
+            SELECT sa, sb, h, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rn,
+                   COUNT(*) OVER (PARTITION BY sa, sb) AS s
+            FROM d
+        )
+        SELECT sa AS source_a, sb AS source_b,
+               CAST(SUM(CASE WHEN rn <= {k} AND cnt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared,
+               CAST(SUM(CASE WHEN rn <= {k} AND cnt = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(LEAST({k}, MAX(s)) AS DOUBLE) AS est_jaccard
+        FROM r GROUP BY sa, sb ORDER BY source_a, source_b
+    """

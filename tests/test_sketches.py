@@ -148,3 +148,38 @@ def test_sample_quantiles_by_group_merge_law(spark, keyed):
     assert {(r["g"], r["p50"], r["p90"], r["p99"]) for r in out} == {
         (r["g"], r["p50"], r["p90"], r["p99"]) for r in direct
     }
+
+
+def test_source_jaccard_kmv_estimates_overlap(spark):
+    # A and B share half their docs' shingles; C is disjoint. With the
+    # union under k the estimator is EXACT Jaccard.
+    def mk(src, lo, hi):
+        return [
+            (src, f"tok{i} tok{i+1} tok{i+2} tok{i+3} tok{i+4}")
+            for i in range(lo, hi)
+        ]
+
+    docs = spark.createDataFrame(
+        mk("A", 0, 40) + mk("B", 20, 60) + mk("C", 1000, 1040),
+        "source string, text string",
+    )
+    out = sketches.source_jaccard_kmv(docs, n=3, k=4096).collect()
+    j = {(r["source_a"], r["source_b"]): r for r in out}
+    ab = j[("A", "B")]
+    # exactness claim: estimator == true jaccard of the shingle SETS
+    # computed independently
+    def grams(lo, hi):
+        g = set()
+        for i in range(lo, hi):
+            toks = [f"tok{i+d}" for d in range(5)]
+            for s in range(3):
+                g.add(" ".join(toks[s:s+3]))
+        return g
+    ga, gb, gc = grams(0, 40), grams(20, 60), grams(1000, 1040)
+    true_ab = len(ga & gb) / len(ga | gb)
+    assert ab["est_jaccard"] == pytest.approx(true_ab, abs=0)
+    assert j[("A", "C")]["n_shared"] == 0 and j[("B", "C")]["n_shared"] == 0
+    # sketch regime (k < union): estimate within ~3/sqrt(k) of truth
+    small = sketches.source_jaccard_kmv(docs, n=3, k=64).collect()
+    ab_s = {(r["source_a"], r["source_b"]): r for r in small}[("A", "B")]
+    assert abs(ab_s["est_jaccard"] - true_ab) < 3 / (64 ** 0.5)
