@@ -278,6 +278,19 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         ["Window", "partial_"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
     ),
+    # r6: grouped quantile sketch — every window carries the group key,
+    # so NO single-partition stage may appear anywhere
+    "doc_len_quantiles_by_lang": (
+        ["Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
+         "SinglePartition"],
+    ),
+    # r6: source-overlap KMV — the source-pair grid fans out as a
+    # broadcast BNLJ (intended); the shingle stage must stay partial-agg'd
+    "source_jaccard_kmv": (
+        ["Window", "partial_"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
 }
 
 
