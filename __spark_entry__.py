@@ -268,6 +268,28 @@ def q_value_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_rendezvous_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment — stable
+    resharding: growing the shard count moves only 1/(S+1) of docs.
+    Integer md5 argmax, no join/window (functions/pipeline.py
+    rendezvous_shard_assign)."""
+    from btrdb_spark.functions import pipeline
+
+    return pipeline.rendezvous_shard_assign(
+        load_table(spark, sf, "documents"), n_shards=16
+    )
+
+
+def q_collocations_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k bigram collocations by PMI lift — exact integer count
+    products with ONE final division (no ln), so the Church-Hanks
+    collocation ranking is oracle-exact (functions/text.py
+    collocations_topk)."""
+    return text.collocations_topk(
+        load_table(spark, sf, "documents"), k=30, min_count=5
+    )
+
+
 def q_source_jaccard_kmv(spark: SparkSession, sf: str) -> DataFrame:
     """Pairwise source-corpus overlap via KMV sketches — the KMV Jaccard
     estimator |bottomk(A∪B) ∩ A ∩ B| / min(k,|union|) (Broder 1997),
@@ -1530,6 +1552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r6 head: new rows lead so the driver's gate window certifies
         # them immediately.
+        "rendezvous_shards": q_rendezvous_shards,
+        "collocations_topk": q_collocations_topk,
         "source_jaccard_kmv": q_source_jaccard_kmv,
         "doc_len_quantiles_by_lang": q_doc_len_quantiles_by_lang,
         "spectral_power": q_spectral_power,
@@ -1751,6 +1775,8 @@ def oracle_sql() -> dict[str, str]:
 
     from btrdb_spark.operators import spectral as _spec
 
+    oracles["rendezvous_shards"] = _pl.rendezvous_shard_oracle_sql(n_shards=16)
+    oracles["collocations_topk"] = text.collocations_oracle_sql(k=30, min_count=5)
     oracles["source_jaccard_kmv"] = _sk.source_jaccard_kmv_sql(n=3, k=256)
     oracles["doc_len_quantiles_by_lang"] = _sk.sample_quantiles_by_group_sql(
         "documents", ["lang"], "n_chars", ["doc_id"], k=256

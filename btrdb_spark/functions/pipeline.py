@@ -745,3 +745,68 @@ def weighted_sample_oracle_sql(
         FROM draws d JOIN iv ON d.r >= iv.lo AND d.r < iv.hi
         ORDER BY d.draw_id
     """
+
+
+def rendezvous_shard_assign(
+    documents: DataFrame,
+    n_shards: int,
+    salt: str = "rdv-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment — the stable
+    resharding primitive (Thaler & Ravishankar 1996, the scheme behind
+    consistent routing in most production object stores): doc d lands on
+    argmax_s hash(salt, d, s). Growing n_shards by one moves EXACTLY the
+    docs whose new shard wins the argmax — 1/(S+1) of the corpus in
+    expectation — where mod-hashing reshuffles almost everything.
+
+    Deterministic md5 hashing, so assignment is reproducible and
+    engine-portable; the argmax is an integer struct-max (ties broken by
+    higher shard id, matching the oracle's ORDER BY h DESC, shard DESC).
+
+    Scale shape: docs x n_shards exploded rows through ONE map-side-
+    combinable groupBy — no join, no window. For n_shards in the
+    thousands, switch the explode to a per-row loop-free top-1 via a
+    fused expression; the exploded form keeps whole-stage codegen.
+
+    Output: (doc_id, shard long), doc-ordered.
+    """
+    spark = documents.sparkSession
+    shards = spark.range(n_shards).select(F.col("id").alias("shard"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(salt), F.col(id_col).cast("string"), F.col("shard").cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    scored = documents.select(id_col).crossJoin(F.broadcast(shards)).select(
+        id_col, "shard", h.alias("h")
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("h"), F.col("shard"))).alias("top")
+    )
+    return best.select(
+        id_col, F.col("top.shard").cast("long").alias("shard")
+    ).orderBy(id_col)
+
+
+def rendezvous_shard_oracle_sql(n_shards: int, salt: str = "rdv-v1") -> str:
+    return f"""
+        SELECT doc_id, CAST(shard AS BIGINT) AS shard FROM (
+            SELECT d.doc_id, s.range AS shard,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.doc_id
+                       ORDER BY ('0x' || substr(md5(
+                           '{salt}' || ':' || CAST(d.doc_id AS VARCHAR)
+                                   || ':' || CAST(s.range AS VARCHAR)), 1, 15))::BIGINT DESC,
+                                s.range DESC) AS rn
+            FROM documents d CROSS JOIN range({n_shards}) s
+        ) WHERE rn = 1 ORDER BY doc_id
+    """

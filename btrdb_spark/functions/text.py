@@ -1093,3 +1093,116 @@ def lang_mismatch_oracle_sql() -> str:
         WHERE d.lang <> p.pred_lang
         ORDER BY d.doc_id
     """
+
+
+def collocations_topk(
+    documents: DataFrame,
+    k: int = 30,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise-mutual-information LIFT —
+    the classic "machine learning"-finder (Church & Hanks 1990) used to
+    audit tokenizer merge candidates and spot boilerplate phrases.
+
+    lift(x,y) = P(x,y) / (P(x)·P(y)) = c_xy · N_uni² / (N_bi · c_x · c_y)
+    — the exp of PMI, a monotone transform, so the RANKING is PMI's
+    while the arithmetic stays inside exact int64 products (< 2^53 for
+    corpus token counts up to ~10^8 per factor; beyond that shift to
+    per-billion scaling) with ONE final IEEE division — bit-identical
+    across engines, no ln anywhere (ln is correctly rounded in neither).
+
+    Scale shape: bigrams and unigrams are two map-side-combinable
+    groupBys over the token stream; the two count joins are keyed by
+    token (shuffled equi-joins — a 100 TB vocab cannot broadcast); top-k
+    is a global TakeOrdered. min_count suppresses the hapax-pair noise
+    that dominates raw PMI.
+
+    Output: (rank, bigram, c_xy, c_x, c_y, lift), rank 1..k by lift
+    DESC, bigram ASC.
+    """
+    from pyspark.sql import Window
+
+    toks = documents.select(_tokens(F.col(text_col)).alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.when(
+                    F.size("t") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("t") - 1),
+                        lambda i: F.struct(
+                            F.element_at("t", i).alias("x"),
+                            F.element_at("t", i + F.lit(1)).alias("y"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    n_uni = uni.groupBy().agg(F.sum("c")).collect()[0][0]
+    n_bi = (
+        toks.select((F.greatest(F.size("t") - 1, F.lit(0))).alias("nb"))
+        .groupBy()
+        .agg(F.sum("nb"))
+        .collect()[0][0]
+    )
+    scored = (
+        bi.join(uni.select(F.col("w").alias("x"), F.col("c").alias("c_x")), "x")
+        .join(uni.select(F.col("w").alias("y"), F.col("c").alias("c_y")), "y")
+        .select(
+            F.concat_ws(" ", "x", "y").alias("bigram"),
+            "c_xy",
+            "c_x",
+            "c_y",
+            (
+                (F.col("c_xy") * F.lit(int(n_uni)) * F.lit(int(n_uni))).cast("double")
+                / (F.lit(int(n_bi)) * F.col("c_x") * F.col("c_y")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("bigram"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("lift"), F.asc("bigram"))  # k rows only
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "bigram", "c_xy", "c_x", "c_y", "lift"
+    )
+
+
+def collocations_oracle_sql(k: int = 30, min_count: int = 5) -> str:
+    """DuckDB mirror — identical integer products, one final division."""
+    return f"""
+        WITH toks AS (
+            SELECT string_split(text, ' ') AS t FROM documents
+        ), uni AS (
+            SELECT w, COUNT(*) AS c FROM (SELECT UNNEST(t) AS w FROM toks) GROUP BY w
+        ), nu AS (SELECT SUM(c) AS n_uni FROM uni
+        ), nb AS (
+            SELECT SUM(greatest(len(t) - 1, 0)) AS n_bi FROM toks
+        ), bi AS (
+            SELECT x, y, COUNT(*) AS c_xy FROM (
+                SELECT t[i] AS x, t[i+1] AS y
+                FROM toks, UNNEST(range(1, greatest(len(t), 1))) AS r(i)
+            ) GROUP BY x, y HAVING COUNT(*) >= {min_count}
+        ), scored AS (
+            SELECT x || ' ' || y AS bigram, c_xy, u1.c AS c_x, u2.c AS c_y,
+                   CAST(c_xy * n_uni * n_uni AS DOUBLE)
+                     / CAST(n_bi * u1.c * u2.c AS DOUBLE) AS lift
+            FROM bi JOIN uni u1 ON bi.x = u1.w
+                    JOIN uni u2 ON bi.y = u2.w
+                    CROSS JOIN nu CROSS JOIN nb
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, bigram ASC) AS BIGINT) AS rank,
+               bigram, CAST(c_xy AS BIGINT) AS c_xy, CAST(c_x AS BIGINT) AS c_x,
+               CAST(c_y AS BIGINT) AS c_y, lift
+        FROM scored ORDER BY lift DESC, bigram ASC LIMIT {k}
+    """

@@ -4,7 +4,7 @@ reciprocal-rank-fusion hybrid retrieval."""
 import pytest
 from pyspark.sql import functions as F
 
-from btrdb_spark.functions import dedup, pipeline, similarity
+from btrdb_spark.functions import dedup, pipeline, similarity, text
 
 
 def test_weighted_sample_proportional_and_deterministic(spark):
@@ -129,3 +129,46 @@ def test_spectral_power_finds_the_period(spark):
     assert pw[("a", P)] > 10 * pw[("a", P * 7)]
     assert pw[("b", P)] < 0.01 and pw[("b", P * 7)] < 0.01
     assert all(r["n"] == 600 for r in out)
+
+
+def test_rendezvous_stability_under_shard_growth(spark):
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = {
+        r["doc_id"]: r["shard"]
+        for r in pipeline.rendezvous_shard_assign(docs, n_shards=16).collect()
+    }
+    b = {
+        r["doc_id"]: r["shard"]
+        for r in pipeline.rendezvous_shard_assign(docs, n_shards=17).collect()
+    }
+    moved = [d for d in a if a[d] != b[d]]
+    # the rendezvous invariant: adding shard 16 moves docs ONLY onto it
+    assert all(b[d] == 16 for d in moved)
+    # expected move fraction 1/17 ~ 5.9%; allow generous slack
+    assert 0.02 < len(moved) / 2000 < 0.12
+    # all 16 shards populated, assignment balanced within 2.5x of mean
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert len(c) == 16 and max(c.values()) < 2.5 * (2000 / 16)
+
+
+def test_collocations_find_planted_bigram(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    for i in range(300):
+        toks = [rng.choice(vocab) for _ in range(20)]
+        if i % 3 == 0:  # plant "alpha beta" as a fixed collocation
+            pos = rng.randrange(0, 19)
+            toks[pos:pos + 2] = ["alpha", "beta"]
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.collocations_topk(docs, k=10, min_count=5).collect()
+    assert out[0]["bigram"] == "alpha beta"
+    # alpha/beta each occur exactly 100x, always together
+    assert out[0]["c_xy"] == 100 and out[0]["c_x"] == 100 and out[0]["c_y"] == 100
+    # lift of a perfect collocation >> any random pair
+    assert len(out) < 2 or out[0]["lift"] > 5 * out[1]["lift"]
