@@ -1041,34 +1041,55 @@ def fuzzy_prefix_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Document pairs whose ``prefix_len``-char text prefixes are within
-    Levenshtein distance 1 — the fuzzy-key join (near-identical titles /
+    """Fuzzy-key relations over ``prefix_len``-char text prefixes within
+    Levenshtein distance 1 — the fuzzy join (near-identical titles /
     leading boilerplate / URLs differing by one character) that exact and
     shingle dedup both miss for SHORT keys.
 
-    Candidate generation is the symmetric-delete neighborhood (SymSpell,
-    Garbe 2012): every prefix emits itself plus its len single-character
-    deletions; two strings at distance <=1 ALWAYS share a variant (equal:
-    self; substitution: delete the differing position from both;
-    indel: the shorter string is a variant of the longer), so an
-    EQUI-join on the variant hash is a complete candidate filter —
-    no quadratic scan, and the shuffle key is a 60-bit hash, never text.
-    Some distance-2 pairs also collide (ab/ba); the exact
-    ``levenshtein`` verification removes them, so hash collisions are
-    harmless by construction. Both engines implement the identical
-    classic integer DP, so the verified distance is oracle-exact.
+    Output shape is deliberately LINEAR, not clique-quadratic: exact-
+    equal prefixes collapse to their min-id representative and emit STAR
+    edges (rep, member, dist=0) — one row per member — and distance-1
+    relations are emitted once per DISTINCT PREFIX PAIR as
+    (rep_a, rep_b, dist=1). Every fuzzy relation is recoverable
+    transitively through representatives, but a 100k-doc boilerplate
+    group costs 100k rows instead of C(100k,2) ≈ 5·10^9 (the 200k-doc
+    probe caught exactly that cliff: 815 s / 8M rows clique-form vs
+    linear star-form — the same hot-key lesson as ngram max_df).
 
-    Scale: candidates ∝ docs x (prefix_len+1) exploded variants, one
-    equi-join; the verify filter is per-candidate-pair O(prefix_len^2)
-    integer work. For distance t>1 generate deletes up to depth t (cost
-    len^t) — not exposed here because t=1 covers the fat head of
-    real-key typo distributions.
+    Candidate generation between distinct prefixes is the symmetric-
+    delete neighborhood (SymSpell, Garbe 2012): every distinct prefix
+    emits itself plus its len single-character deletions; two strings at
+    distance <=1 ALWAYS share a variant (equal: self; substitution:
+    delete the differing position from both; indel: the shorter string
+    is a variant of the longer), so an EQUI-join on the variant hash is
+    a complete candidate filter — no quadratic scan, and the shuffle key
+    is a 60-bit hash, never text. Some distance-2 pairs also collide
+    (ab/ba); the exact ``levenshtein`` verification removes them, so
+    hash collisions are harmless by construction. Both engines implement
+    the identical classic integer DP, so the verified distance is
+    oracle-exact.
 
-    Output: (doc_id, doc_id2, dist), pair-ordered.
+    Scale: variants ∝ DISTINCT prefixes x (prefix_len+1), one equi-join;
+    star edges are one groupBy + one keyed join. For distance t>1
+    generate deletes up to depth t (cost len^t) — not exposed because
+    t=1 covers the fat head of real-key typo distributions.
+
+    Output: (doc_id, doc_id2, dist) — star edges (rep, member, 0) plus
+    representative pairs (rep_a, rep_b, 1), pair-ordered.
     """
     p = documents.select(
         F.col(id_col).alias("doc_id"),
         F.substring(F.col(text_col), 1, prefix_len).alias("p"),
+    )
+    groups = p.groupBy("p").agg(F.min("doc_id").alias("rep"))
+    stars = (
+        p.join(groups, "p")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(
+            F.col("rep").alias("doc_id"),
+            F.col("doc_id").alias("doc_id2"),
+            F.lit(0).cast("long").alias("dist"),
+        )
     )
     one = F.lit(1)
     variants = F.array_union(
@@ -1081,48 +1102,56 @@ def fuzzy_prefix_pairs(
             ),
         ),
     )
-    ex = p.select(
-        "doc_id",
+    ex = groups.select(
+        "rep",
         "p",
         F.explode(variants).alias("v"),
     ).select(
-        "doc_id",
+        "rep",
         "p",
         F.conv(F.substring(F.md5(F.col("v")), 1, 15), 16, 10).cast("long").alias("vh"),
     )
     a = ex.alias("a")
     b = ex.alias("b")
     cand = (
-        a.join(b, (F.col("a.vh") == F.col("b.vh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.vh") == F.col("b.vh")) & (F.col("a.rep") < F.col("b.rep")))
         .select(
-            F.col("a.doc_id").alias("doc_id"),
-            F.col("b.doc_id").alias("doc_id2"),
+            F.col("a.rep").alias("doc_id"),
+            F.col("b.rep").alias("doc_id2"),
             F.col("a.p").alias("p1"),
             F.col("b.p").alias("p2"),
         )
         .distinct()
     )
-    return (
+    pairs = (
         cand.withColumn("dist", F.levenshtein("p1", "p2").cast("long"))
-        .filter(F.col("dist") <= 1)
+        .filter(F.col("dist") == 1)  # distinct prefixes: 0 is impossible
         .select("doc_id", "doc_id2", "dist")
-        .orderBy("doc_id", "doc_id2")
     )
+    return stars.unionByName(pairs).orderBy("doc_id", "doc_id2")
 
 
 def fuzzy_prefix_oracle_sql(prefix_len: int = 32) -> str:
-    """Oracle: EXHAUSTIVE pairwise verification (no blocking) — equality
-    with the Spark path proves the delete-neighborhood candidate set
-    loses no qualifying pair."""
+    """Oracle: star edges from exact prefix groups + EXHAUSTIVE pairwise
+    verification between distinct prefixes (no blocking) — equality with
+    the Spark path proves the delete-neighborhood candidate set loses no
+    qualifying prefix pair."""
     return f"""
         WITH p AS (
             SELECT doc_id, substr(text, 1, {prefix_len}) AS p FROM documents
+        ), groups AS (
+            SELECT p, MIN(doc_id) AS rep FROM p GROUP BY p
+        ), stars AS (
+            SELECT g.rep AS doc_id, p.doc_id AS doc_id2, CAST(0 AS BIGINT) AS dist
+            FROM p JOIN groups g USING (p) WHERE p.doc_id <> g.rep
+        ), pairs AS (
+            SELECT a.rep AS doc_id, b.rep AS doc_id2,
+                   CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+            FROM groups a JOIN groups b
+              ON a.rep < b.rep
+             AND abs(length(a.p) - length(b.p)) <= 1
+            WHERE levenshtein(a.p, b.p) = 1
         )
-        SELECT a.doc_id AS doc_id, b.doc_id AS doc_id2,
-               CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
-        FROM p a JOIN p b
-          ON a.doc_id < b.doc_id
-         AND abs(length(a.p) - length(b.p)) <= 1
-        WHERE levenshtein(a.p, b.p) <= 1
+        SELECT * FROM stars UNION ALL SELECT * FROM pairs
         ORDER BY doc_id, doc_id2
     """

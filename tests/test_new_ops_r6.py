@@ -53,14 +53,26 @@ def test_fuzzy_prefix_pairs_distance_semantics(spark):
     )
     rows = dedup.fuzzy_prefix_pairs(docs, prefix_len=32).collect()
     pairs = {(r["doc_id"], r["doc_id2"]): r["dist"] for r in rows}
+    # star edge: doc 1 collapses onto representative 0 (identical prefix)
     assert pairs[(0, 1)] == 0
-    assert pairs[(0, 2)] == 1 and pairs[(1, 2)] == 1
-    assert pairs[(0, 3)] == 1 and pairs[(1, 3)] == 1
+    # distance-1 relations are emitted once per DISTINCT prefix pair,
+    # anchored at the representative — (1,2)/(1,3) are implied via 0
+    assert pairs[(0, 2)] == 1 and pairs[(0, 3)] == 1
+    assert (1, 2) not in pairs and (1, 3) not in pairs
     # 2<->3 differ by two edits; 4 matches nothing; ab/ba collide in the
     # candidate join but fail exact verification
     assert (2, 3) not in pairs
     assert all(4 not in p for p in pairs)
     assert (5, 6) not in pairs
+    # output is linear in group size: a 100-doc identical-prefix group
+    # emits 99 star rows, never C(100,2) clique rows
+    blob = spark.createDataFrame(
+        [(100 + i, "same leading words here") for i in range(100)],
+        "doc_id long, text string",
+    )
+    out = dedup.fuzzy_prefix_pairs(blob, prefix_len=32).collect()
+    assert len(out) == 99
+    assert all(r["doc_id"] == 100 and r["dist"] == 0 for r in out)
 
 
 def test_hybrid_rrf_fusion_math(spark):

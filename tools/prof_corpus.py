@@ -81,6 +81,18 @@ def main():
         "containment_capped": lambda: dedup.ngram_containment_pairs(
             docs, n=3, threshold=0.8, max_df=8
         ).count(),
+        # round-6 ops: the cliff check for the new families
+        "fuzzy_prefix_pairs": lambda: dedup.fuzzy_prefix_pairs(docs).count(),
+        "collocations_topk": lambda: text.collocations_topk(docs).count(),
+        "weighted_sample": lambda: pipeline.weighted_sample(
+            docs, n_draws=256
+        ).count(),
+        "rendezvous_shards": lambda: pipeline.rendezvous_shard_assign(
+            docs, n_shards=64
+        ).count(),
+        "source_jaccard_kmv": lambda: __import__(
+            "btrdb_spark.functions.sketches", fromlist=["x"]
+        ).source_jaccard_kmv(docs).count(),
     }
     print(f"corpus: {N} docs")
     for name, fn in probes.items():
