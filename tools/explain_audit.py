@@ -291,6 +291,18 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         ["Window", "partial_"],
         ["CartesianProduct", "BatchEvalPython"],
     ),
+    # r6: rendezvous argmax — one exploded map-side-combinable groupBy
+    # over the broadcast shard grid; no window, no shuffled join
+    "rendezvous_shards": (
+        ["partial_max"],
+        ["CartesianProduct", "SortMergeJoin", "Window", "BatchEvalPython"],
+    ),
+    # r6: collocations — token-keyed count joins (shuffled equi-joins by
+    # design: a 100 TB vocab cannot broadcast), partial-agg'd counts
+    "collocations_topk": (
+        ["partial_count"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
 }
 
 
