@@ -73,20 +73,22 @@ def test_manifest_log_pruned_on_publish(tmp_path):
     assert s.resolve(base, "t") == os.path.join(base, f"t.g{n_commits - 1}")
 
 
-def test_posix_stale_lock_is_stolen(tmp_path):
+def test_posix_dead_holder_does_not_block(tmp_path):
+    """A dead writer's leftover lock FILE never blocks publishes: flock
+    exclusivity lives on the inode and died with the holder, so the file
+    content (a stale pid) is irrelevant and no staleness window exists."""
     s = PosixStore()
     base = str(tmp_path)
     g0 = _mkgen(base, "t", 0)
     s.publish(base, "t", g0)
     lock = os.path.join(base, "t.CURRENT.lock")
     with open(lock, "w") as f:
-        f.write("99999")  # dead holder
-    old = time.time() - PosixStore.LOCK_STALE_S - 10
+        f.write("99999")  # dead holder's leftovers
+    old = time.time() - 3600
     os.utime(lock, (old, old))
     g1 = _mkgen(base, "t", 1)
-    s.publish(base, "t", g1, expected=g0)  # steals the stale lock
+    s.publish(base, "t", g1, expected=g0)  # acquires immediately
     assert s.resolve(base, "t") == g1
-    assert not os.path.exists(lock)
 
 
 def test_manifest_interleaved_commit_conflicts(tmp_path, monkeypatch):
@@ -132,9 +134,13 @@ def test_manifest_cas_steps_over_torn_entry(tmp_path):
 
 
 def test_posix_stale_steal_single_winner(tmp_path):
-    """ADVICE r5 #2: N contenders all see the same stale lock; the atomic
-    rename steal admits exactly ONE into the critical section — exactly one
-    CAS publish succeeds, every other raises CommitConflict."""
+    """ADVICE r5 #2 (closed for good with flock): N contenders race past
+    a dead holder's leftover lock file; kernel flock admits exactly ONE
+    into the critical section at a time, so exactly one CAS publish
+    succeeds and every other raises CommitConflict. (The earlier
+    rename-steal variant raced stat-vs-rename on the lock PATH and let
+    two writers in under load — caught by this test in a full-suite
+    run.)"""
     import threading
 
     s = PosixStore()
@@ -143,8 +149,8 @@ def test_posix_stale_steal_single_winner(tmp_path):
     s.publish(base, "t", g0)
     lock = os.path.join(base, "t.CURRENT.lock")
     with open(lock, "w") as f:
-        f.write("99999")  # dead holder
-    old = time.time() - PosixStore.LOCK_STALE_S - 10
+        f.write("99999")  # dead holder's leftovers
+    old = time.time() - 3600
     os.utime(lock, (old, old))
 
     gens = [_mkgen(base, "t", i + 1) for i in range(6)]
