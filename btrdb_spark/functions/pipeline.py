@@ -645,9 +645,20 @@ def weighted_sample(
     exists at scale: within-bucket cumulative sums run under
     ``Window.partitionBy(bucket)`` (docs hash into ``n_buckets`` by id),
     and the cross-bucket offsets are a bucket-count-sized aggregate —
-    the classic distributed scan. Draw resolution is a broadcast
-    nested-loop interval join with n_draws rows on the broadcast side
-    (cost n_docs * n_draws comparisons, one corpus pass).
+    the classic distributed scan. Draw resolution is bucket-keyed (r7):
+    each draw is routed to its weight-bucket driver-side-free via a
+    literal-array scan over the n_buckets cumulative offsets (pure
+    codegen, n_draws * n_buckets comparisons, no join), then an
+    EQUI-join on the bucket id pairs each draw only with that bucket's
+    docs — cost n_docs * n_draws / n_buckets comparisons instead of the
+    former O(n_docs * n_draws) broadcast nested-loop interval join.
+    Raise ``n_buckets`` when n_draws approaches corpus size (the
+    mixture-epoch case); the plan shape is unchanged.
+
+    Requires ``id_col`` castable to long (bucketing is ``pmod(id,
+    n_buckets)`` so the oracle SQL can mirror it exactly); an empty or
+    all-nonpositive weight table returns an empty result rather than
+    erroring.
 
     Output: (draw_id, doc_id, weight), draw_id-ordered.
     """
@@ -679,13 +690,36 @@ def weighted_sample(
         .select("b", "off")
     )
     iv = cum.join(F.broadcast(boff), "b").select(
+        "b",
         "doc_id",
         "w",
         (F.col("off") + F.col("hi_local") - F.col("w")).alias("lo"),
         (F.col("off") + F.col("hi_local")).alias("hi"),
     )
-    total = w.groupBy().agg(F.sum("w")).collect()[0][0]  # one scalar
     spark = documents.sparkSession
+    # Bounded driver reads: one scalar + n_buckets (b, off) rows. The
+    # offsets become a LITERAL array so draw->bucket routing is a pure
+    # codegen scan — no nested-loop join anywhere in the plan.
+    spans = sorted(
+        (r["b"], r["off"]) for r in boff.collect()
+    )  # ascending b == ascending off
+    if not spans:
+        id_type = documents.select(F.col(id_col).alias("doc_id")).schema[0].dataType
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("draw_id", LongType()),
+                    StructField("doc_id", id_type),
+                    StructField("weight", LongType()),
+                ]
+            ),
+        )
+    total = w.groupBy().agg(F.sum("w")).collect()[0][0]  # one scalar
+    offs_arr = F.array(*[F.lit(int(off)) for _, off in spans])
+    bs_arr = F.array(*[F.lit(int(b)) for b, _ in spans])
     draws = spark.range(n_draws).select(
         F.col("id").alias("draw_id"),
         (
@@ -701,8 +735,15 @@ def weighted_sample(
             % F.lit(int(total))
         ).alias("r"),
     )
+    draws_b = draws.withColumn(
+        "b",
+        F.element_at(
+            bs_arr, F.size(F.filter(offs_arr, lambda o: o <= F.col("r")))
+        ),
+    )
     return (
-        iv.join(F.broadcast(draws), (F.col("r") >= F.col("lo")) & (F.col("r") < F.col("hi")))
+        iv.join(F.broadcast(draws_b), "b")
+        .filter((F.col("r") >= F.col("lo")) & (F.col("r") < F.col("hi")))
         .select("draw_id", "doc_id", F.col("w").alias("weight"))
         .orderBy("draw_id")
     )

@@ -38,6 +38,28 @@ def test_weighted_sample_proportional_and_deterministic(spark):
     assert all(r["doc_id"] != 5 for r in out0)
 
 
+def test_weighted_sample_empty_weights_and_plan_shape(spark):
+    # ADVICE r6: all-nonpositive weights must return an empty frame with
+    # the declared schema, not crash on int(None)
+    docs = spark.createDataFrame(
+        [(0, 0), (1, -5)], "doc_id long, n_chars long"
+    )
+    out = pipeline.weighted_sample(docs, n_draws=16)
+    assert out.columns == ["draw_id", "doc_id", "weight"]
+    assert out.count() == 0
+    # truly empty input too
+    empty = pipeline.weighted_sample(docs.limit(0), n_draws=16)
+    assert empty.count() == 0
+    # VERDICT r6 #1: draw resolution must be bucket-keyed — no broadcast
+    # nested-loop interval join anywhere in the physical plan
+    big = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 1).alias("n_chars")
+    )
+    plan = pipeline.weighted_sample(big, n_draws=64)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_fuzzy_prefix_pairs_distance_semantics(spark):
     docs = spark.createDataFrame(
         [

@@ -245,12 +245,13 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
          "SinglePartition"],
     ),
-    # r6: weighted inverse-CDF — bucketed prefix sums (partitioned
-    # window), draws resolve via broadcast interval join (BNLJ is the
-    # intended shape: n_draws rows broadcast against the corpus)
+    # r6/r7: weighted inverse-CDF — bucketed prefix sums (partitioned
+    # window); draws route to their bucket via a literal-array codegen
+    # scan then EQUI-join on bucket id. The former O(n_docs*n_draws)
+    # broadcast nested-loop interval join is forbidden (r6 verdict #2).
     "weighted_sample": (
-        ["Window", "partial_sum"],
-        ["CartesianProduct", "BatchEvalPython"],
+        ["Window", "partial_sum", "BroadcastHashJoin"],
+        ["CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin"],
     ),
     # r6: SymSpell blocking must stay an EQUI-join on variant hashes —
     # never an all-pairs loop

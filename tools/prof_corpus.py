@@ -87,6 +87,12 @@ def main():
         "weighted_sample": lambda: pipeline.weighted_sample(
             docs, n_draws=256
         ).count(),
+        # r7: the mixture-epoch shape — draws ~ corpus size. Must stay
+        # linear: bucket-keyed equi-join, n_buckets scaled so per-bucket
+        # pair fan-out stays ~20M (verdict r6 ask #1).
+        "weighted_sample_epoch": lambda: pipeline.weighted_sample(
+            docs, n_draws=100_000, n_buckets=1024
+        ).count(),
         "rendezvous_shards": lambda: pipeline.rendezvous_shard_assign(
             docs, n_shards=64
         ).count(),
@@ -94,6 +100,9 @@ def main():
             "btrdb_spark.functions.sketches", fromlist=["x"]
         ).source_jaccard_kmv(docs).count(),
     }
+    only = set(sys.argv[1:])
+    if only:
+        probes = {k: v for k, v in probes.items() if k in only}
     print(f"corpus: {N} docs")
     for name, fn in probes.items():
         best = float("inf")
