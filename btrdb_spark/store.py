@@ -321,10 +321,20 @@ class ManifestLogStore(StoreBackend):
       listdir+sort stays O(LOG_KEEP) on a long-lived table instead of
       growing with total commit count (the Delta checkpoint /
       Iceberg expire-snapshots analog).
-    - A crash mid-put can leave a torn newest entry on POSIX (a real
-      object store's puts are atomic). ``resolve`` verifies the embedded
-      crc and falls back to the previous entry — a torn commit is an
-      uncommitted commit, and the prior version stays fully readable.
+    - Claims are atomic WITH their content (ADVICE r6 #1): the body is
+      written and fsynced to a dot-prefixed temp file in the log dir,
+      then ``os.link(tmp, {N:020}.json)`` makes the entry appear —
+      link fails EEXIST exactly like O_EXCL, but the name is never
+      visible without its full body, matching an object store's atomic
+      put. (The earlier O_EXCL-create-then-write protocol had a window
+      where a LIVE writer's entry was visible torn; a contender read it
+      as a crashed claimer, stepped over it, and both publishes
+      succeeded against the same ``expected`` — a lost update.)
+    - Because entries can no longer be visible torn, an entry that
+      fails the crc check is genuine corruption (or a pre-upgrade
+      crash): ``resolve`` still falls back to the previous entry so the
+      table stays readable, but a CAS publish CONFLICTS on it instead
+      of stepping over, forcing the caller to re-resolve.
     """
 
     MAX_RETRIES = 16
@@ -362,10 +372,13 @@ class ManifestLogStore(StoreBackend):
 
     def _highest_valid(self, log_dir: str) -> tuple[int, str] | None:
         """(entry number, generation basename) of the newest well-formed
-        log entry — the commit the log currently names."""
+        log entry WHOSE GENERATION DIR STILL EXISTS — the same filter
+        resolve() applies, so the CAS expected-check and readers share
+        one view of "current" even after generation GC (ADVICE r6 #2)."""
+        base = os.path.dirname(log_dir)
         for n, path in reversed(self._entries(log_dir)):
             gen = self._read_entry(path)
-            if gen is not None:
+            if gen is not None and os.path.exists(os.path.join(base, gen)):
                 return n, gen
         return None
 
@@ -393,15 +406,34 @@ class ManifestLogStore(StoreBackend):
         body = json.dumps({"gen": gen, "crc": zlib.crc32(gen.encode())})
 
         def _claim(n: int) -> bool:
+            # Atomic-with-content claim: body lands in a dot-prefixed temp
+            # file (invisible to _entries), is fsynced, then hardlinked to
+            # the slot name — link fails EEXIST like O_EXCL, but the slot
+            # name never exists without its complete body, so a reader can
+            # never observe a LIVE writer as a torn entry (ADVICE r6 #1).
             path = os.path.join(log_dir, f"{n:020}.json")
-            try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                return False
-            with os.fdopen(fd, "w") as f:
+            import uuid
+
+            tmp = os.path.join(log_dir, f".claim-{uuid.uuid4().hex}.tmp")
+            with open(tmp, "w") as f:
                 f.write(body)
                 f.flush()
                 os.fsync(f.fileno())
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                return False
+            finally:
+                try:
+                    os.unlink(tmp)
+                except FileNotFoundError:
+                    pass
+            # make the new directory entry itself durable
+            dfd = os.open(log_dir, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
             self._prune_log(log_dir, upto=n - self.LOG_KEEP)
             return True
 
@@ -423,25 +455,25 @@ class ManifestLogStore(StoreBackend):
                     f"{os.path.basename(expected)}; re-resolve and rebuild on top"
                 )
             slot = (head[0] + 1) if head is not None else 0
-            for _ in range(self.MAX_RETRIES):
-                if _claim(slot):
-                    return
-                # slot taken since our read: a VALID entry there is a
-                # concurrent commit (idempotent if it names our gen,
-                # conflict otherwise); a torn entry is a crashed claimer —
-                # permanently uncommitted, step over it
-                other = self._read_entry(os.path.join(log_dir, f"{slot:020}.json"))
-                if other is not None:
-                    if other == gen:
-                        return
-                    raise CommitConflict(
-                        f"{name}: slot {slot} committed {other} concurrently; "
-                        f"re-resolve and rebuild on top"
-                    )
-                slot += 1
+            if _claim(slot):
+                return
+            # slot taken since our read. Claims are atomic-with-content,
+            # so whatever occupies the slot is complete: a valid entry is
+            # a concurrent commit (idempotent if it names our gen); an
+            # unreadable one is genuine corruption, never a live writer
+            # mid-put — conflict in every case rather than stepping over
+            # (the old skip path was the lost-update race, ADVICE r6 #1).
+            other = self._read_entry(os.path.join(log_dir, f"{slot:020}.json"))
+            if other == gen:
+                return
             raise CommitConflict(
-                f"ManifestLogStore: {self.MAX_RETRIES} torn entries above "
-                f"slot for {name}"
+                f"{name}: slot {slot} "
+                + (
+                    f"committed {other} concurrently"
+                    if other is not None
+                    else "holds an unreadable (corrupt) entry"
+                )
+                + "; re-resolve and rebuild on top"
             )
 
         # expected=None: unconditional publish (single-writer replay /
@@ -464,6 +496,23 @@ class ManifestLogStore(StoreBackend):
         """Delete log entries numbered < upto (all strictly older than the
         newest commit minus the keep window). Best-effort: a concurrent
         reader mid-listdir simply falls back to a newer entry."""
+        import time as _time
+
+        # reap temp claims a crashed writer left behind: a live claim's
+        # temp file exists for milliseconds, so anything older than 60 s
+        # is garbage (unique names mean we can never reap a live one we
+        # would later link)
+        try:
+            for fn in os.listdir(log_dir):
+                if fn.startswith(".claim-") and fn.endswith(".tmp"):
+                    p = os.path.join(log_dir, fn)
+                    try:
+                        if os.stat(p).st_mtime < _time.time() - 60:
+                            os.unlink(p)
+                    except FileNotFoundError:
+                        pass
+        except OSError:
+            pass
         if upto <= 0:
             return
         for num, path in ManifestLogStore._entries(log_dir):

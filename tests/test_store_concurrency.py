@@ -118,19 +118,85 @@ def test_manifest_interleaved_commit_conflicts(tmp_path, monkeypatch):
     assert s.resolve(base, "t") == gc, "the interleaved winner's commit survives"
 
 
-def test_manifest_cas_steps_over_torn_entry(tmp_path):
-    """A torn (crashed-claimer) entry above the head is permanently
-    uncommitted: a CAS publish steps over it instead of conflicting."""
+def test_manifest_cas_conflicts_on_torn_entry(tmp_path):
+    """ADVICE r6 #1: claims are atomic-with-content (tmp + fsync +
+    link), so a torn entry can only be genuine corruption — a CAS
+    publish must CONFLICT on it, never step over (the old step-over path
+    was a lost-update race against a live writer mid-put)."""
     s = ManifestLogStore()
     base = str(tmp_path)
     g0 = _mkgen(base, "t", 0)
     s.publish(base, "t", g0)
     log_dir = os.path.join(base, "t._log")
     with open(os.path.join(log_dir, f"{1:020}.json"), "w") as f:
-        f.write('{"gen": "t.g9", "crc"')  # torn put
+        f.write('{"gen": "t.g9", "crc"')  # corrupt entry
     g1 = _mkgen(base, "t", 1)
-    s.publish(base, "t", g1, expected=g0)
-    assert s.resolve(base, "t") == g1
+    with pytest.raises(CommitConflict):
+        s.publish(base, "t", g1, expected=g0)
+    # readers still see the last good commit through the crc fallback
+    assert s.resolve(base, "t") == g0
+
+
+def test_manifest_claims_never_visible_torn(tmp_path):
+    """The lost-update scenario ADVICE r6 #1 describes: contender B must
+    never observe writer A's in-flight claim as an empty/torn slot. With
+    link-based claims the slot name appears only WITH its full body, so
+    hammering concurrent CAS publishes at the same expected head yields
+    exactly one winner and N-1 CommitConflicts — no silent supersede."""
+    import threading
+
+    s = ManifestLogStore()
+    base = str(tmp_path)
+    g0 = _mkgen(base, "t", 0)
+    s.publish(base, "t", g0)
+    gens = [_mkgen(base, "t", i + 1) for i in range(8)]
+    wins: list[str] = []
+    errs: list[Exception] = []
+    lock = threading.Lock()
+    barrier = threading.Barrier(len(gens))
+
+    def contend(gen):
+        barrier.wait()
+        try:
+            ManifestLogStore().publish(base, "t", gen, expected=g0)
+            with lock:
+                wins.append(gen)
+        except CommitConflict as e:
+            with lock:
+                errs.append(e)
+
+    ts = [threading.Thread(target=contend, args=(g,)) for g in gens]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(wins) == 1, f"exactly one CAS winner, got {wins}"
+    assert len(errs) == len(gens) - 1
+    assert s.resolve(base, "t") == wins[0]
+    # every slot in the log is complete and well-formed — no torn debris
+    log_dir = os.path.join(base, "t._log")
+    for fn in os.listdir(log_dir):
+        if fn.endswith(".json"):
+            assert s._read_entry(os.path.join(log_dir, fn)) is not None
+
+
+def test_manifest_highest_valid_skips_missing_gen_dir(tmp_path):
+    """ADVICE r6 #2: _highest_valid must apply resolve()'s existence
+    filter so the CAS view of 'current' and the reader view agree after
+    generation GC removes a logged-but-dead generation dir."""
+    import shutil
+
+    s = ManifestLogStore()
+    base = str(tmp_path)
+    g0 = _mkgen(base, "t", 0)
+    s.publish(base, "t", g0)
+    g1 = _mkgen(base, "t", 1)
+    s.publish(base, "t", g1)
+    shutil.rmtree(g1)  # anomalous GC of the logged generation
+    log_dir = os.path.join(base, "t._log")
+    assert s.resolve(base, "t") == g0
+    head = s._highest_valid(log_dir)
+    assert head is not None and head[1] == os.path.basename(g0)
 
 
 def test_posix_stale_steal_single_winner(tmp_path):
