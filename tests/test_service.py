@@ -124,3 +124,51 @@ def test_concurrent_readers(served):
     for t in threads:
         t.join()
     assert out == [2000, 2000, 2000, 2000]
+
+
+def test_midstream_failure_emits_terminal_error_chunk(served, monkeypatch):
+    """ADVICE r6 #3: a Spark failure RAISED WHILE ITERATING a streaming
+    result (after the 200 + headers are sent) must surface as the
+    documented terminal {"error": ...} chunk, not a truncated stream."""
+    _eng, cli = served
+    u = cli.call("Create", collection="svc/mid")[0]["uuid"]
+    cli.call("Insert", uuid=u, values=[(i, float(i)) for i in range(8000)], sync=True)
+
+    import btrdb_spark.service as svcmod
+
+    real = svcmod._batches
+
+    def exploding(df, cols):
+        it = real(df, cols)
+        yield next(it)  # first batch goes out fine -> headers are sent
+        raise RuntimeError("executor lost mid-scan")
+
+    monkeypatch.setattr(svcmod, "_batches", exploding)
+    with pytest.raises(RpcError) as e:
+        cli.call("RawValues", uuid=u, start=0, end=2**62)
+    assert e.value.code == 500 and "mid-scan" in e.value.msg
+
+
+def test_generic_query_rpc_serves_registry(spark, tmp_path):
+    """r6 verdict #7: the extension operators reach the wire through one
+    generic Query RPC with the standard batching contract."""
+    import __spark_entry__ as entrymod
+
+    eng = BTrDBEngine(spark, str(tmp_path / "q"), flush_threshold=10**9)
+    svc = BTrDBService(
+        eng, queries=entrymod.queries(), sf_dir="/root/testdata/sf0.001"
+    )
+    port = svc.start()
+    try:
+        cli = BTrDBHttpClient("127.0.0.1", port)
+        names = cli.call("ListQueries")[0]["queries"]
+        assert "dedup_exact" in names and "weighted_sample" in names
+        meta, rows = cli.rows("Query", name="weighted_sample", limit=16)
+        assert meta["columns"] == ["draw_id", "doc_id", "weight"]
+        assert len(rows) == 16
+        assert all(r["weight"] > 0 for r in rows)
+        with pytest.raises(RpcError) as e:
+            cli.call("Query", name="no_such_op")
+        assert e.value.code == 404
+    finally:
+        svc.stop()
