@@ -1061,18 +1061,29 @@ def fuzzy_prefix_pairs(
     emits itself plus its len single-character deletions; two strings at
     distance <=1 ALWAYS share a variant (equal: self; substitution:
     delete the differing position from both; indel: the shorter string
-    is a variant of the longer), so an EQUI-join on the variant hash is
-    a complete candidate filter — no quadratic scan, and the shuffle key
-    is a 60-bit hash, never text. Some distance-2 pairs also collide
+    is a variant of the longer), so grouping on the variant hash is a
+    complete candidate filter — no quadratic scan, and the shuffle key
+    is xxhash64, never text. Some distance-2 pairs also collide
     (ab/ba); the exact ``levenshtein`` verification removes them, so
     hash collisions are harmless by construction. Both engines implement
     the identical classic integer DP, so the verified distance is
     oracle-exact.
 
-    Scale: variants ∝ DISTINCT prefixes x (prefix_len+1), one equi-join;
-    star edges are one groupBy + one keyed join. For distance t>1
-    generate deletes up to depth t (cost len^t) — not exposed because
-    t=1 covers the fat head of real-key typo distributions.
+    Plan shape (r7 rework — same semantics, 3x fewer stages): ONE
+    groupBy(prefix) yields the representative AND the member list, so
+    star edges are an array explode instead of a doc->group join, and
+    the Catalyst exchange is reused by the variant branch; candidates
+    come from groupBy(variant hash) + in-bucket pair expansion instead
+    of a self-equi-join, which halves the variant lineage (a self-join
+    computes it twice) and drops one shuffle. A bucket holds the
+    distinct prefixes of one edit family, so in-bucket expansion is
+    quadratic only where the DECLARED output (one row per qualifying
+    prefix pair) already is.
+
+    Scale: variants ∝ DISTINCT prefixes x (prefix_len+1), one keyed
+    shuffle. For distance t>1 generate deletes up to depth t (cost
+    len^t) — not exposed because t=1 covers the fat head of real-key
+    typo distributions.
 
     Output: (doc_id, doc_id2, dist) — star edges (rep, member, 0) plus
     representative pairs (rep_a, rep_b, 1), pair-ordered.
@@ -1081,15 +1092,17 @@ def fuzzy_prefix_pairs(
         F.col(id_col).alias("doc_id"),
         F.substring(F.col(text_col), 1, prefix_len).alias("p"),
     )
-    groups = p.groupBy("p").agg(F.min("doc_id").alias("rep"))
-    stars = (
-        p.join(groups, "p")
-        .filter(F.col("doc_id") != F.col("rep"))
-        .select(
-            F.col("rep").alias("doc_id"),
-            F.col("doc_id").alias("doc_id2"),
-            F.lit(0).cast("long").alias("dist"),
-        )
+    # one shuffle serves both branches: rep for pairing, members for stars
+    groups = p.groupBy("p").agg(
+        F.min("doc_id").alias("rep"),
+        F.collect_list("doc_id").alias("members"),
+    )
+    stars = groups.select(
+        F.col("rep").alias("doc_id"),
+        F.explode(
+            F.filter(F.col("members"), lambda m: m != F.col("rep"))
+        ).alias("doc_id2"),
+        F.lit(0).cast("long").alias("dist"),
     )
     one = F.lit(1)
     variants = F.array_union(
@@ -1103,24 +1116,33 @@ def fuzzy_prefix_pairs(
         ),
     )
     ex = groups.select(
-        "rep",
-        "p",
-        F.explode(variants).alias("v"),
-    ).select(
-        "rep",
-        "p",
-        F.conv(F.substring(F.md5(F.col("v")), 1, 15), 16, 10).cast("long").alias("vh"),
+        "rep", "p", F.explode(F.transform(variants, lambda v: F.xxhash64(v))).alias("vh")
     )
-    a = ex.alias("a")
-    b = ex.alias("b")
+    # in-bucket pair expansion: each variant-hash bucket holds the
+    # distinct prefixes of one edit family; emit ordered (rep, rep2)
+    # pairs within it — the self-equi-join equivalent at half the cost
+    bkt = (
+        ex.groupBy("vh")
+        .agg(F.collect_list(F.struct("rep", "p")).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
     cand = (
-        a.join(b, (F.col("a.vh") == F.col("b.vh")) & (F.col("a.rep") < F.col("b.rep")))
-        .select(
-            F.col("a.rep").alias("doc_id"),
-            F.col("b.rep").alias("doc_id2"),
-            F.col("a.p").alias("p1"),
-            F.col("b.p").alias("p2"),
+        bkt.select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(ms, (x, i) ->
+                        transform(slice(ms, i + 2, size(ms) - i - 1), y ->
+                            struct(
+                                least(x.rep, y.rep) AS doc_id,
+                                greatest(x.rep, y.rep) AS doc_id2,
+                                if(x.rep < y.rep, x.p, y.p) AS p1,
+                                if(x.rep < y.rep, y.p, x.p) AS p2))))
+                    """
+                )
+            ).alias("c")
         )
+        .select("c.*")
         .distinct()
     )
     pairs = (
