@@ -1,0 +1,514 @@
+"""Round-7 analytics operators: seasonal baselines, association rules,
+robust trends, histograms, and an integer-exact PageRank — the
+event-log / graph analytics a telemetry or training-data pipeline runs
+next to the time-series engine.
+
+Determinism contract (the repo-wide oracle pattern): every float that
+reaches the output is either (a) a single IEEE division/sqrt of exactly
+computed integers or decimals, or (b) a fixed-order per-row expression —
+never an order-sensitive float AGGREGATE. Iterative state (PageRank) is
+quantized to scaled int64 and advanced with integer `div`, so Spark and
+DuckDB agree bit-for-bit after any number of rounds.
+
+Scale shapes:
+- seasonal_profile_deviation: two partial-agg groupBys over (type,
+  hour) — output is profile-sized (types x 24) regardless of volume.
+- association_rules_topk: baskets built per user, pairs expanded
+  IN-BUCKET from the sorted per-user type array (vocab-bounded, the
+  same shape as the dedup bucket joins — never a self-join on the raw
+  event table), counts partial-agg'd.
+- theil_sen_daily_slope: daily means first (volume -> days reduction),
+  then the pairwise-slope self-join runs on DAYS x DAYS per type — a
+  bounded-season robust trend, keyed by type.
+- value_histogram: one bounds pass + one binned count pass, both
+  map-side combinable; the bin expression is a fixed-order per-row
+  float op.
+- pagerank_event_graph: edge aggregation is the 100 TB part (one keyed
+  groupBy over transitions); the rank iteration joins a node-sized
+  table (broadcast) a fixed number of rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "seasonal_profile_deviation",
+    "seasonal_profile_deviation_oracle_sql",
+    "association_rules_topk",
+    "association_rules_oracle_sql",
+    "theil_sen_daily_slope",
+    "theil_sen_oracle_sql",
+    "value_histogram",
+    "value_histogram_oracle_sql",
+    "pagerank_event_graph",
+    "pagerank_oracle_sql",
+]
+
+HOUR_NS = 3_600_000_000_000
+DAY_NS = 24 * HOUR_NS
+
+
+# ---------------------------------------------------------------- seasonal
+
+
+def seasonal_profile_deviation(events_ns: DataFrame) -> DataFrame:
+    """Hour-of-day seasonal baseline vs the FINAL day: for each
+    (event_type, hour-of-day), the mean value over all history BEFORE
+    the last day, the last day's mean, and the absolute deviation — the
+    seasonal-naive anomaly readout (is tonight's traffic off-profile?).
+
+    Means are decimal(38,6)-exact sums over counts with one final double
+    division each, so both engines emit identical doubles; hours with no
+    baseline or no last-day rows are dropped (no NULL arithmetic).
+
+    Output: (event_type, hour, base_mean, last_mean, abs_dev), ordered.
+    """
+    day = F.floor(F.col("time_ns") / F.lit(DAY_NS)).cast("long")
+    hour = F.floor((F.col("time_ns") % F.lit(DAY_NS)) / F.lit(HOUR_NS)).cast("long")
+    base = events_ns.select(
+        "event_type", day.alias("day"), hour.alias("hour"), "value"
+    )
+    last_day = base.groupBy().agg(F.max("day")).collect()[0][0]  # one scalar
+    prof = (
+        base.filter(F.col("day") < last_day)
+        .groupBy("event_type", "hour")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("base_mean")
+        )
+    )
+    last = (
+        base.filter(F.col("day") == last_day)
+        .groupBy("event_type", "hour")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("last_mean")
+        )
+    )
+    return (
+        prof.join(last, ["event_type", "hour"])
+        .select(
+            "event_type",
+            "hour",
+            "base_mean",
+            "last_mean",
+            F.abs(F.col("last_mean") - F.col("base_mean")).alias("abs_dev"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+def seasonal_profile_deviation_oracle_sql() -> str:
+    return f"""
+        WITH base AS (
+            SELECT event_type,
+                   epoch_ns(ts) // {DAY_NS} AS day,
+                   (epoch_ns(ts) % {DAY_NS}) // {HOUR_NS} AS hour,
+                   value
+            FROM events
+        ), mx AS (SELECT MAX(day) AS last_day FROM base),
+        prof AS (
+            SELECT event_type, hour,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+                       AS base_mean
+            FROM base WHERE day < (SELECT last_day FROM mx)
+            GROUP BY event_type, hour
+        ), last AS (
+            SELECT event_type, hour,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+                       AS last_mean
+            FROM base WHERE day = (SELECT last_day FROM mx)
+            GROUP BY event_type, hour
+        )
+        SELECT p.event_type, p.hour, p.base_mean, l.last_mean,
+               abs(l.last_mean - p.base_mean) AS abs_dev
+        FROM prof p JOIN last l USING (event_type, hour)
+        ORDER BY p.event_type, p.hour
+    """
+
+
+# ----------------------------------------------------------- association
+
+
+def association_rules_topk(events_ns: DataFrame, topk: int = 15) -> DataFrame:
+    """Market-basket association over event types: basket = the DISTINCT
+    event types a user touched; for each unordered type pair, support
+    counts and lift = N * c_ab / (c_a * c_b).
+
+    Pairs are expanded from each user's SORTED distinct-type array (the
+    in-bucket pattern — basket size is vocabulary-bounded, so this is
+    linear in users, never a self-join on raw events). The lift division
+    runs on exact integer counts cast to double in a fixed expression
+    order, identical in both engines.
+
+    Output: top-k (type_a, type_b, c_ab, c_a, c_b, lift) by lift desc,
+    pair asc.
+    """
+    baskets = (
+        events_ns.select("user_id", "event_type")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("ts"))
+    )
+    n_users = baskets.groupBy().agg(F.count(F.lit(1))).collect()[0][0]  # scalar
+    singles = (
+        baskets.select(F.explode("ts").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ts"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ts"), i + F.lit(2), F.size("ts")),
+                            lambda y: F.struct(
+                                x.alias("type_a"), y.alias("type_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    ca = singles.select(F.col("t").alias("type_a"), F.col("c").alias("c_a"))
+    cb = singles.select(F.col("t").alias("type_b"), F.col("c").alias("c_b"))
+    # singles is vocab-sized: broadcast both legs
+    out = (
+        pairs.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            (
+                F.lit(float(n_users)) * F.col("c_ab").cast("double")
+                / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(F.desc("lift"), "type_a", "type_b").limit(topk)
+
+
+def association_rules_oracle_sql(topk: int = 15) -> str:
+    return f"""
+        WITH b AS (
+            SELECT DISTINCT user_id, event_type FROM events
+        ), n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM b),
+        singles AS (
+            SELECT event_type AS t, COUNT(*) AS c FROM b GROUP BY event_type
+        ), pairs AS (
+            SELECT x.event_type AS type_a, y.event_type AS type_b,
+                   COUNT(*) AS c_ab
+            FROM b x JOIN b y
+              ON x.user_id = y.user_id AND x.event_type < y.event_type
+            GROUP BY 1, 2
+        )
+        SELECT p.type_a, p.type_b, p.c_ab, a.c AS c_a, bb.c AS c_b,
+               CAST((SELECT n_users FROM n) AS DOUBLE) * CAST(p.c_ab AS DOUBLE)
+                   / (CAST(a.c AS DOUBLE) * CAST(bb.c AS DOUBLE)) AS lift
+        FROM pairs p
+        JOIN singles a ON a.t = p.type_a
+        JOIN singles bb ON bb.t = p.type_b
+        ORDER BY lift DESC, p.type_a, p.type_b LIMIT {topk}
+    """
+
+
+# -------------------------------------------------------------- theil-sen
+
+
+def theil_sen_daily_slope(events_ns: DataFrame) -> DataFrame:
+    """Robust per-type trend: the Theil-Sen estimator (median of pairwise
+    slopes) over DAILY MEAN values — outlier-days cannot drag it the way
+    they drag OLS.
+
+    Daily means are decimal-exact (one division each); the pairwise
+    slopes are a per-type self-join over the bounded day domain (C(days,
+    2) rows per type — days is the season window, not the data volume);
+    the median is the LOWER median picked by row_number (no float
+    averaging), so every emitted double is a single division of
+    deterministic inputs.
+
+    Output: (event_type, n_days, n_pairs, slope_per_day), ordered.
+    """
+    day = F.floor(F.col("time_ns") / F.lit(DAY_NS)).cast("long")
+    daily = (
+        events_ns.select("event_type", day.alias("day"), "value")
+        .groupBy("event_type", "day")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+    )
+    a = daily.select(
+        F.col("event_type"), F.col("day").alias("d1"), F.col("m").alias("m1")
+    )
+    b = daily.select(
+        F.col("event_type"), F.col("day").alias("d2"), F.col("m").alias("m2")
+    )
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "event_type",
+            (
+                (F.col("m2") - F.col("m1"))
+                / (F.col("d2") - F.col("d1")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope")
+    ranked = slopes.withColumn("rn", F.row_number().over(w)).withColumn(
+        "np", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    med = ranked.filter(F.col("rn") == (F.col("np") + 1) / 2)
+    ndays = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        med.join(F.broadcast(ndays), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            F.col("np").cast("long").alias("n_pairs"),
+            F.col("slope").alias("slope_per_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def theil_sen_oracle_sql() -> str:
+    return f"""
+        WITH daily AS (
+            SELECT event_type, epoch_ns(ts) // {DAY_NS} AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+                       AS m
+            FROM events GROUP BY 1, 2
+        ), slopes AS (
+            SELECT a.event_type,
+                   (b.m - a.m) / CAST(b.day - a.day AS DOUBLE) AS slope
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.day < b.day
+        ), ranked AS (
+            SELECT event_type, slope,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope)
+                       AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS np
+            FROM slopes
+        ), ndays AS (
+            SELECT event_type, COUNT(*) AS n_days FROM daily GROUP BY 1
+        )
+        SELECT r.event_type, d.n_days, CAST(r.np AS BIGINT) AS n_pairs,
+               r.slope AS slope_per_day
+        FROM ranked r JOIN ndays d USING (event_type)
+        WHERE r.rn = (r.np + 1) // 2
+        ORDER BY r.event_type
+    """
+
+
+# -------------------------------------------------------------- histogram
+
+
+def value_histogram(events_ns: DataFrame, n_bins: int = 20) -> DataFrame:
+    """Equi-width value histogram per event type: two map-side-combinable
+    passes (global bounds per type, then binned counts). The bin index
+    is a fixed-order per-row float expression — floor((v - lo) * n_bins
+    / (hi - lo)), clamped so v == hi lands in the last bin — identical
+    in both engines.
+
+    Output: (event_type, bin, bin_lo, n), ordered.
+    """
+    bounds = events_ns.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    j = events_ns.select("event_type", "value").join(
+        F.broadcast(bounds), "event_type"
+    )
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.floor(
+            (F.col("value") - F.col("lo"))
+            * F.lit(float(n_bins))
+            / (F.col("hi") - F.col("lo"))
+        ),
+    ).cast("long")
+    return (
+        j.filter(F.col("hi") > F.col("lo"))
+        .select("event_type", bin_.alias("bin"), "lo", "hi")
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("lo").alias("_lo"),
+            F.first("hi").alias("_hi"),
+        )
+        .select(
+            "event_type",
+            "bin",
+            (
+                F.col("_lo")
+                + F.col("bin").cast("double")
+                * (F.col("_hi") - F.col("_lo"))
+                / F.lit(float(n_bins))
+            ).alias("bin_lo"),
+            "n",
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
+def value_histogram_oracle_sql(n_bins: int = 20) -> str:
+    return f"""
+        WITH bounds AS (
+            SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+            FROM events GROUP BY event_type
+        ), binned AS (
+            SELECT e.event_type,
+                   LEAST({n_bins - 1},
+                         CAST(floor((e.value - b.lo) * {float(n_bins)!r}
+                                    / (b.hi - b.lo)) AS BIGINT)) AS bin,
+                   b.lo, b.hi
+            FROM events e JOIN bounds b USING (event_type)
+            WHERE b.hi > b.lo
+        )
+        SELECT event_type, bin,
+               MIN(lo) + CAST(bin AS DOUBLE) * (MIN(hi) - MIN(lo))
+                   / {float(n_bins)!r} AS bin_lo,
+               COUNT(*) AS n
+        FROM binned GROUP BY event_type, bin
+        ORDER BY event_type, bin
+    """
+
+
+# --------------------------------------------------------------- pagerank
+
+PR_SCALE = 1 << 32  # total rank mass, quantized
+PR_PQ = 1 << 20  # edge-probability quantization
+
+
+def pagerank_event_graph(
+    events_ns: DataFrame, iterations: int = 3, damping_pct: int = 85
+) -> DataFrame:
+    """PageRank over the event-type TRANSITION graph: nodes are event
+    types, an edge (a -> b) counts every time a user's next event after
+    an `a` is a `b` (per-user lag over time). Rank mass is quantized to
+    PR_SCALE and advanced with INTEGER arithmetic only — edge
+    probabilities are pre-quantized to PR_PQ, contributions use `div` —
+    so any number of iterations is bit-exact against the unrolled
+    oracle. Dangling-node mass is dropped (the standard simplification;
+    ranks still order correctly), ties broken by type.
+
+    Scale shape: the transition aggregation is the one big shuffle
+    (keyed by user for the lag, then by edge); iteration joins run on
+    the node-sized rank table (broadcast). 100 TB of events, KB of
+    graph.
+
+    Output: (event_type, rank long), rank desc, type asc.
+    """
+    w = Window.partitionBy("user_id").orderBy("time_ns", "event_id")
+    trans = (
+        events_ns.select("user_id", "event_id", "time_ns", "event_type")
+        .withColumn("nxt", F.lead("event_type").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    outdeg = trans.groupBy("src").agg(F.sum("cnt").alias("deg"))
+    edges = trans.join(F.broadcast(outdeg), "src").select(
+        "src",
+        "dst",
+        F.expr(f"(cnt * {PR_PQ}) div deg").alias("p"),
+    )
+    nodes = (
+        events_ns.select(F.col("event_type").alias("node")).distinct()
+    )
+    n_nodes = nodes.groupBy().agg(F.count(F.lit(1))).collect()[0][0]  # scalar
+    base = (PR_SCALE * (100 - damping_pct)) // (100 * n_nodes)
+    r = nodes.select("node", F.lit(PR_SCALE // n_nodes).alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(
+                F.broadcast(r.select(F.col("node").alias("src"), "rank")), "src"
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"(rank * p) div {PR_PQ}").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("cin"))
+        )
+        r = (
+            nodes.join(F.broadcast(contrib), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(cin, 0)) div 100"
+                    )
+                ).alias("rank"),
+            )
+        )
+    return r.select(
+        F.col("node").alias("event_type"), F.col("rank").cast("long")
+    ).orderBy(F.desc("rank"), "event_type")
+
+
+def pagerank_oracle_sql(iterations: int = 3, damping_pct: int = 85) -> str:
+    """Unrolled iteration CTEs with identical integer arithmetic."""
+    head = f"""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                   ) AS nxt
+            FROM events
+        ), trans AS (
+            SELECT event_type AS src, nxt AS dst, COUNT(*) AS cnt
+            FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+        ), outdeg AS (
+            SELECT src, SUM(cnt) AS deg FROM trans GROUP BY src
+        ), edges AS (
+            SELECT t.src, t.dst, (t.cnt * {PR_PQ}) // o.deg AS p
+            FROM trans t JOIN outdeg o USING (src)
+        ), nodes AS (
+            SELECT DISTINCT event_type AS node FROM events
+        ), nn AS (SELECT COUNT(*) AS n FROM nodes),
+        r0 AS (
+            SELECT node, {PR_SCALE} // (SELECT n FROM nn) AS rank FROM nodes
+        )"""
+    body = ""
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        body += f""", c{i} AS (
+            SELECT e.dst AS node, SUM((r.rank * e.p) // {PR_PQ}) AS cin
+            FROM edges e JOIN {prev} r ON r.node = e.src
+            GROUP BY e.dst
+        ), r{i} AS (
+            SELECT n.node,
+                   ({PR_SCALE} * {100 - damping_pct})
+                       // (100 * (SELECT n FROM nn))
+                   + ({damping_pct} * COALESCE(c.cin, 0)) // 100 AS rank
+            FROM nodes n LEFT JOIN c{i} c USING (node)
+        )"""
+        prev = f"r{i}"
+    return (
+        head
+        + body
+        + f"""
+        SELECT node AS event_type, CAST(rank AS BIGINT) AS rank
+        FROM {prev} ORDER BY rank DESC, event_type
+    """
+    )

@@ -92,6 +92,7 @@ class BTrDBService:
         # instead of one handler per op.
         self.queries = queries or {}
         self.sf_dir = sf_dir
+        self._sketches: dict = {}  # name -> StreamingQuery
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -225,6 +226,67 @@ class BTrDBService:
         )
         return {}, None
 
+    # ---- live streaming sketches (r6 verdict ask #5) ----
+    # A named Structured Streaming query folds a bounded-state sketch
+    # (KMV / HLL / CMS — streaming/sketch.py) over a watched parquet
+    # directory; Poll reads the memory sink — the live-dashboard loop.
+
+    def rpc_StartSketch(self, req: dict):
+        from . import streaming as _  # noqa: F401  (package presence)
+        from .streaming import sketch as sk
+
+        kind = req["kind"]
+        name = req["name"]
+        if not name.isidentifier():
+            raise RpcError(400, f"sketch name must be an identifier: {name}")
+        path = req["path"]
+        schema = req["schema"]  # DDL string for the source files
+        src = (
+            self.engine.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", req.get("maxFilesPerTrigger", 4))
+            .parquet(path)
+        )
+        if kind == "kmv":
+            df = sk.streaming_distinct_kmv(
+                src, req["groupCol"], req["keyCol"], k=int(req.get("k", 256))
+            )
+        elif kind == "hll":
+            df = sk.streaming_distinct_hll(
+                src, req["groupCol"], req["keyCol"], b=int(req.get("b", 9))
+            )
+        elif kind == "cms":
+            df = sk.streaming_cms_topk(
+                src,
+                req["groupCol"],
+                req.get("textCol", "text"),
+                topk=int(req.get("topk", 20)),
+            )
+        else:
+            raise RpcError(400, f"unknown sketch kind: {kind}")
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", req["checkpoint"])
+            .start()
+        )
+        self._sketches[name] = q
+        return {"name": name, "kind": kind, "queryId": str(q.id)}, None
+
+    def rpc_PollSketch(self, req: dict):
+        name = req["name"]
+        if name not in self._sketches:
+            raise RpcError(404, f"no such sketch query: {name}")
+        df = self.engine.spark.sql(f"SELECT * FROM {name}")  # noqa: S608
+        return {"columns": df.columns}, _batches(df, df.columns)
+
+    def rpc_StopSketch(self, req: dict):
+        q = self._sketches.pop(req["name"], None)
+        if q is None:
+            raise RpcError(404, f"no such sketch query: {req['name']}")
+        q.stop()
+        return {}, None
+
     def rpc_ListQueries(self, req: dict):
         """Names the generic Query RPC will accept — the registered
         extension operators (dedup, ANN, sketches, pipeline, ...)."""
@@ -335,6 +397,12 @@ class BTrDBService:
         return self.port
 
     def stop(self) -> None:
+        for q in self._sketches.values():
+            try:
+                q.stop()
+            except Exception:
+                pass
+        self._sketches.clear()
         if self._httpd is not None:
             self._httpd.shutdown()
             self._httpd.server_close()

@@ -1,15 +1,27 @@
-"""Streaming KMV distinct sketch — bounded-state cardinality over an
-unbounded stream.
+"""Streaming sketches — bounded-state aggregates over unbounded streams.
 
-The batch sketch (functions/sketches.py distinct_kmv) answers "how many
-distinct keys" with k longs of state per group; this is its ingest-time
-sibling: per-group state is the SAME bottom-k hash set, folded forward
-across micro-batches (bottom-k(state ∪ batch) — the KMV merge law, so
-the streaming state after N batches is bit-identical to the batch
-sketch over their union; the test pins exactly that equality).
+Each batch sketch in functions/sketches.py whose state obeys a merge
+law gets an ingest-time sibling here, folded forward across
+micro-batches with ``applyInPandasWithState``:
+
+- KMV distinct: state = bottom-k hash set; fold = bottom-k(state ∪
+  batch). Streamed state after N batches is bit-identical to the batch
+  sketch over their union.
+- HLL distinct (r7): state = 2^b max-rank registers; fold =
+  register-wise MAX — the HLL merge law, so streamed registers equal
+  the direct batch registers exactly and the (single-division)
+  estimator emits the identical double.
+- CMS heavy hitters (r7): state = the d x w integer cell matrix (folds
+  by cell-wise ADD, exactly the batch sketch over the union) plus a
+  bounded candidate pool (the classic CMS+heap streaming top-k; the
+  pool is the one approximation the batch side doesn't have, and it is
+  documented: a token absent from the pool long enough can miss its
+  top-k window).
+
 Where streaming_dedup_exact's state grows with distinct cardinality,
-this stays at k longs per group FOREVER — the sketch is the part you
-keep when exact streaming state stops fitting.
+these stay at k longs / 2^b registers / d*w cells per group FOREVER —
+the sketch is the part you keep when exact streaming state stops
+fitting.
 
 ``applyInPandasWithState`` keyed by the group column; update-mode
 output re-emits a group's row whenever a batch touches it, carrying the
@@ -87,6 +99,175 @@ def streaming_distinct_kmv(
         _kmv_fold(k),
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---- streaming HLL (r6 verdict ask #5) ----
+
+HLL_OUT_SCHEMA = StructType(
+    [
+        StructField("group", StringType()),
+        StructField("est_hll", DoubleType()),
+        StructField("zero_registers", LongType()),
+    ]
+)
+HLL_STATE_SCHEMA = StructType([StructField("regs", ArrayType(LongType()))])
+
+
+def _hll_fold(b: int):
+    from ..functions.sketches import _hll_params
+
+    m, _K, rmax, _mask, A = _hll_params(b)
+
+    def fold(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        regs = list(state.get[0]) if state.exists else [0] * m
+        for pdf in pdfs:
+            for bkt, mr in zip(pdf["bucket"], pdf["mreg"]):
+                i = int(bkt)
+                if int(mr) > regs[i]:
+                    regs[i] = int(mr)  # HLL merge law: register-wise max
+        state.update((regs,))
+        # identical integer arithmetic + single IEEE division as the
+        # batch estimator (sketches.distinct_hll): register value 0 means
+        # "never seen" and contributes the full 2^rmax term
+        nb = sum(1 for r in regs if r > 0)
+        s = sum((1 << (rmax - r)) for r in regs if r > 0) + (m - nb) * (1 << rmax)
+        yield pd.DataFrame(
+            {
+                "group": [key[0]],
+                "est_hll": [A / float(s)],
+                "zero_registers": [m - nb],
+            }
+        )
+
+    return fold
+
+
+def streaming_distinct_hll(
+    stream: DataFrame, group_col: str, key_col: str, b: int = 9
+) -> DataFrame:
+    """Keyed stream -> update stream of (group, est_hll, zero_registers);
+    state = 2^b small ints per group, CONSTANT regardless of cardinality.
+    bucket/rho are computed Spark-side with the exact batch expressions
+    (hash60 -> top-b bits / leading-zero rank), so the streamed fold's
+    registers — and therefore the estimate — are bit-identical to
+    sketches.distinct_hll over the union of all batches."""
+    from ..functions.sketches import H_BITS, hash60
+
+    K = H_BITS - b
+    rmax = K + 1
+    mask = (1 << K) - 1
+    h = hash60(F.col(key_col).cast("string"))
+    w = h.bitwiseAND(F.lit(mask))
+    rho = F.when(w == 0, F.lit(rmax)).otherwise(F.lit(rmax) - F.length(F.bin(w)))
+    keyed = stream.select(
+        F.col(group_col).cast("string").alias("group"),
+        F.shiftright(h, K).alias("bucket"),
+        rho.cast("long").alias("mreg"),
+    )
+    return keyed.groupBy("group").applyInPandasWithState(
+        _hll_fold(b),
+        outputStructType=HLL_OUT_SCHEMA,
+        stateStructType=HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---- streaming CMS heavy hitters (r6 verdict ask #5) ----
+
+CMS_OUT_SCHEMA = StructType(
+    [
+        StructField("group", StringType()),
+        StructField("token", StringType()),
+        StructField("est_count", LongType()),
+    ]
+)
+CMS_STATE_SCHEMA = StructType(
+    [
+        StructField("cells", ArrayType(LongType())),
+        StructField("cands", ArrayType(StringType())),
+    ]
+)
+
+
+def _cms_buckets(token: str, d: int, w: int) -> list[int]:
+    """The batch bucket function (sketches.cms_heavy_hitters) in Python:
+    pmod(hash60(md5(f'{r}:{token}')), w) per salt row r."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{r}:{token}".encode()).hexdigest()[:15], 16) % w
+        for r in range(d)
+    ]
+
+
+def _cms_fold(d: int, w: int, topk: int, cand_cap: int):
+    def fold(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cells = list(state.get[0])
+            cands = set(state.get[1])
+        else:
+            cells, cands = [0] * (d * w), set()
+        for pdf in pdfs:
+            for token, cnt in pdf["t"].value_counts().items():
+                c = int(cnt)
+                for r, bkt in enumerate(_cms_buckets(str(token), d, w)):
+                    cells[r * w + bkt] += c  # CMS merge law: cell-wise add
+                cands.add(str(token))
+
+        def est(t: str) -> int:
+            return min(cells[r * w + b] for r, b in enumerate(_cms_buckets(t, d, w)))
+
+        ranked = sorted(cands, key=lambda t: (-est(t), t))
+        state.update((cells, ranked[:cand_cap]))
+        top = ranked[:topk]
+        yield pd.DataFrame(
+            {
+                "group": [key[0]] * len(top),
+                "token": top,
+                "est_count": [est(t) for t in top],
+            }
+        )
+
+    return fold
+
+
+def streaming_cms_topk(
+    stream: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    d: int = 4,
+    w: int = 1024,
+    topk: int = 20,
+    cand_cap: int | None = None,
+) -> DataFrame:
+    """Keyed stream of texts -> update stream of the current top-k token
+    heavy hitters per group: (group, token, est_count).
+
+    State per group = the d*w CMS cell matrix (folds by cell-wise add,
+    so cell ESTIMATES are bit-identical to sketches.cms_heavy_hitters
+    over the union of all batches) plus a candidate pool capped at
+    ``cand_cap`` (default 4*topk) — the classic CMS+heap streaming
+    top-k. The pool is the one approximation the batch pass doesn't
+    have: a token must enter the pool while its estimate ranks inside
+    cand_cap to be reportable later.
+    """
+    cap = cand_cap if cand_cap is not None else 4 * topk
+    toks = stream.select(
+        F.col(group_col).cast("string").alias("group"),
+        F.explode(F.split(F.col(text_col), " ")).alias("t"),
+    ).filter(F.col("t") != "")
+    return toks.groupBy("group").applyInPandasWithState(
+        _cms_fold(d, w, topk, cap),
+        outputStructType=CMS_OUT_SCHEMA,
+        stateStructType=CMS_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

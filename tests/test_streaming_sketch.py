@@ -69,3 +69,109 @@ def test_streaming_kmv_matches_batch_sketch(spark, tmp_path):
         assert s["est_distinct"] == b["est_distinct"]
         assert s["n_sketch"] == min(k, int(b["n_exact"])) == k
     assert emissions >= 2  # update mode re-emitted along the way
+
+
+def test_streaming_hll_matches_batch_sketch(spark, tmp_path):
+    """r6 verdict #5: the streamed HLL fold (register-wise max) equals
+    sketches.distinct_hll over the union of all micro-batches — same
+    registers, bit-identical estimate. File source with one file per
+    trigger forces a genuine multi-batch fold."""
+    from btrdb_spark.streaming.sketch import streaming_distinct_hll
+
+    b = 9
+    rows = spark.range(1200).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") % 700).alias("u"),
+    )
+    batch = {
+        r["g"]: r for r in sketches.distinct_hll(rows, ["g"], "u", b=b).collect()
+    }
+    src_dir = tmp_path / "hll_src"
+    # two waves -> at least two micro-batches fold into the state
+    rows.filter(F.col("id") < 600).write.parquet(str(src_dir / "w1.parquet"))
+    rows.filter(F.col("id") >= 600).write.parquet(str(src_dir / "w2.parquet"))
+    src = (
+        spark.readStream.schema("g string, u long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir) + "/*.parquet")
+    )
+    q = (
+        streaming_distinct_hll(src, "g", "u", b=b)
+        .writeStream.format("memory")
+        .queryName("shll")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+        .start()
+    )
+    latest: dict = {}
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            for r in spark.sql("SELECT * FROM shll").collect():
+                latest[r["group"]] = r
+            if set(latest) == {"0", "1"} and all(
+                latest[g]["est_hll"] == batch[g]["est_hll"] for g in ("0", "1")
+            ):
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    for g in ("0", "1"):
+        assert latest[g]["est_hll"] == batch[g]["est_hll"]
+        assert latest[g]["zero_registers"] == batch[g]["zero_registers"]
+
+
+def test_streaming_cms_matches_batch_heavy_hitters(spark, tmp_path):
+    """r6 verdict #5: streamed CMS cells fold by cell-wise add, so once
+    every file is consumed the per-token estimates — and the top-k — are
+    bit-identical to sketches.cms_heavy_hitters over the same corpus
+    (vocab kept inside cand_cap so the candidate pool is exhaustive)."""
+    from btrdb_spark.streaming.sketch import streaming_cms_topk
+
+    docs = spark.range(200).select(
+        F.lit("0").alias("g"),
+        F.concat(
+            F.when(F.col("id") % 2 == 0, F.lit("hot ")).otherwise(F.lit("")),
+            F.lit("w"), (F.col("id") % 23).cast("string"),
+            F.lit(" common"),
+        ).alias("text"),
+    )
+    want = [
+        (r["token"], r["est_count"])
+        for r in sketches.cms_heavy_hitters(docs, topk=10).collect()
+    ]
+    src_dir = tmp_path / "cms_src"
+    docs.filter(F.col("id") < 100).write.parquet(str(src_dir / "w1.parquet"))
+    docs.filter(F.col("id") >= 100).write.parquet(str(src_dir / "w2.parquet"))
+    src = (
+        spark.readStream.schema("g string, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir) + "/*.parquet")
+    )
+    q = (
+        streaming_cms_topk(src, "g", "text", topk=10)
+        .writeStream.format("memory")
+        .queryName("scms")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+        .start()
+    )
+    got: list = []
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            rows = spark.sql(
+                "SELECT * FROM scms ORDER BY est_count DESC, token ASC"
+            ).collect()
+            # memory sink appends every update; reconstruct the LAST
+            # emission per token and take the top 10
+            last: dict = {}
+            for r in rows:
+                last[r["token"]] = max(last.get(r["token"], 0), r["est_count"])
+            got = sorted(last.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+            if got == want:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert got == want
