@@ -1543,6 +1543,99 @@ def q_stream_autocorr(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---- r7 queries ----
+
+
+def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 large-volume-customer: self-aggregation of lineitem with
+    a HAVING filter, then the survivors (a tiny key set) drive semi-
+    joined lookups — the aggregate-then-probe plan where the expensive
+    fact table is reduced BEFORE any join, and the reduced key set
+    broadcasts. Top 100 by totalprice desc, orderkey asc."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("_q"))
+        .filter(F.col("_q") > 300)
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.col("_q").cast("double").alias("sum_qty"),
+        )
+    )
+    return (
+        load_table(spark, sf, "orders")
+        .join(F.broadcast(big), "o_orderkey")
+        .join(F.broadcast(cust.select("c_custkey", "c_name")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"), "sum_qty",
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+def q_seasonal_profile_deviation(spark: SparkSession, sf: str) -> DataFrame:
+    """Hour-of-day baseline vs the final day per event type — the
+    seasonal-naive anomaly readout (functions/analytics.py)."""
+    from btrdb_spark.functions import analytics
+
+    return analytics.seasonal_profile_deviation(events_with_time_ns(spark, sf))
+
+
+def q_association_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket lift over per-user event-type baskets, pairs
+    expanded in-bucket from sorted basket arrays (never a raw-event
+    self-join) — functions/analytics.py."""
+    from btrdb_spark.functions import analytics
+
+    return analytics.association_rules_topk(events_with_time_ns(spark, sf))
+
+
+def q_theil_sen_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust per-type daily trend: Theil-Sen median of pairwise slopes
+    over decimal-exact daily means, lower-median by row_number (no float
+    averaging) — functions/analytics.py."""
+    from btrdb_spark.functions import analytics
+
+    return analytics.theil_sen_daily_slope(events_with_time_ns(spark, sf))
+
+
+def q_value_histogram_auto(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width histogram with DATA-DEPENDENT per-type bounds (two
+    map-side-combinable passes; bin index is a fixed-order per-row float
+    expression) — functions/analytics.py."""
+    from btrdb_spark.functions import analytics
+
+    return analytics.value_histogram(events_with_time_ns(spark, sf))
+
+
+def q_pagerank_event_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer-exact PageRank (3 iterations, quantized rank mass, `div`
+    arithmetic) over the per-user event-type transition graph; edge
+    aggregation is the only data-sized shuffle — functions/analytics.py."""
+    from btrdb_spark.functions import analytics
+
+    return analytics.pagerank_event_graph(events_with_time_ns(spark, sf))
+
+
+def q_mixture_temperature(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled (alpha=1/2 via IEEE-exact sqrt, quantized to
+    int64) source mixture weights — functions/pipeline.py."""
+    return pipeline.mixture_temperature_weights(load_table(spark, sf, "documents"))
+
+
+def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc fraction of n-grams first seen in that doc (the dedup-
+    aware mixing signal) — one gram-hash shuffle, functions/dedup.py."""
+    from btrdb_spark.functions import dedup as dd
+
+    return dd.ngram_novelty(load_table(spark, sf, "documents"), n=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness gate walks this dict in
     # insertion order and may not reach the tail in one round, so entries
@@ -1550,6 +1643,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only the first 50 of 78 were certified; those 28 lead here. New
     # queries should be inserted near the top for the same reason.
     return {
+        # r7 head: new rows lead so the driver's gate window certifies
+        # them immediately.
+        "tpch_q18": q_tpch_q18,
+        "seasonal_profile_deviation": q_seasonal_profile_deviation,
+        "association_rules": q_association_rules,
+        "theil_sen_slope": q_theil_sen_slope,
+        "value_histogram_auto": q_value_histogram_auto,
+        "pagerank_event_graph": q_pagerank_event_graph,
+        "mixture_temperature": q_mixture_temperature,
+        "ngram_novelty": q_ngram_novelty,
         # r6 head: new rows lead so the driver's gate window certifies
         # them immediately.
         "rendezvous_shards": q_rendezvous_shards,
@@ -1710,6 +1813,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     oracles: dict[str, str] = {}
+
+    # ---- r7 ----
+    from btrdb_spark.functions import analytics as _an
+    from btrdb_spark.functions import dedup as _dd7
+    from btrdb_spark.functions import pipeline as _pl7
+
+    oracles["tpch_q18"] = """
+        WITH big AS (
+            SELECT l_orderkey AS o_orderkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                       AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 300
+        )
+        SELECT c.c_name, c.c_custkey, o.o_orderkey,
+               o.o_totalprice AS totalprice, b.sum_qty
+        FROM orders o JOIN big b USING (o_orderkey)
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY totalprice DESC, o.o_orderkey LIMIT 100
+    """
+    oracles["seasonal_profile_deviation"] = (
+        _an.seasonal_profile_deviation_oracle_sql()
+    )
+    oracles["association_rules"] = _an.association_rules_oracle_sql()
+    oracles["theil_sen_slope"] = _an.theil_sen_oracle_sql()
+    oracles["value_histogram_auto"] = _an.value_histogram_oracle_sql()
+    oracles["pagerank_event_graph"] = _an.pagerank_oracle_sql()
+    oracles["mixture_temperature"] = _pl7.mixture_temperature_oracle_sql()
+    oracles["ngram_novelty"] = _dd7.ngram_novelty_oracle_sql(n=3)
 
     oracles["raw_values"] = f"""
         SELECT uuid, time, value FROM {PTS} p

@@ -1177,3 +1177,66 @@ def fuzzy_prefix_oracle_sql(prefix_len: int = 32) -> str:
         SELECT * FROM stars UNION ALL SELECT * FROM pairs
         ORDER BY doc_id, doc_id2
     """
+
+
+def ngram_novelty(
+    documents: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    n-grams whose FIRST corpus occurrence (min doc_id) is this doc — the
+    dedup-aware mixing signal (low novelty = mostly-recycled text worth
+    downweighting even when no single pair crosses a dedup threshold;
+    Lee et al. 2022 measure exactly this tail).
+
+    One gram-keyed shuffle: grams travel as 60-bit md5 hashes (mirrored
+    in the oracle, so collisions — which would merge two grams' first-
+    occurrence — affect both engines identically), first-occurrence is a
+    min aggregate, and the per-doc rollup is one groupBy. novelty is a
+    single IEEE division of exact counts. Docs with fewer than n tokens
+    have no grams and no row (documented).
+
+    Output: (doc_id, n_grams, n_novel, novelty), doc-ordered.
+    """
+    edges = shingle_edges(documents, n, text_col).select(
+        "doc_id", _h64(F.col("shingle")).alias("g")
+    )
+    first = edges.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        edges.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double") / F.col("n_grams").cast("double")
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def ngram_novelty_oracle_sql(n: int = 3) -> str:
+    return f"""
+        WITH edges AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS g
+            FROM ({_shingle_sql(n)})
+        ), first_ AS (
+            SELECT g, MIN(doc_id) AS first_doc FROM edges GROUP BY g
+        )
+        SELECT e.doc_id,
+               COUNT(*) AS n_grams,
+               CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+        FROM edges e JOIN first_ f USING (g)
+        GROUP BY e.doc_id ORDER BY e.doc_id
+    """

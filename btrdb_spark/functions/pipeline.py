@@ -851,3 +851,79 @@ def rendezvous_shard_oracle_sql(n_shards: int, salt: str = "rdv-v1") -> str:
             FROM documents d CROSS JOIN range({n_shards}) s
         ) WHERE rn = 1 ORDER BY doc_id
     """
+
+
+def mixture_temperature_weights(
+    documents: DataFrame, q_scale: int = 1 << 20
+) -> DataFrame:
+    """Temperature-scaled source mixture weights at alpha = 1/2 — the
+    standard multi-source rebalancing (sample source s ∝ n_s^alpha,
+    alpha < 1 upweights small sources; the multilingual-pretraining
+    recipe) with the repo's exact-arithmetic contract: sqrt is the ONE
+    correctly-rounded libm-independent float op IEEE 754 mandates, the
+    sqrt weight is quantized to ``floor(sqrt(n) * q_scale)`` int64, the
+    quantized weights sum as integers (order-free), and each share is a
+    single final IEEE division — bit-equal in both engines.
+
+    Scale shape: per-source token counts are one map-side-combinable
+    groupBy over a handful of sources; everything after is node-sized.
+
+    Output: (source, n_tokens, share_proportional, share_temperature,
+    boost) ordered by source; boost = temperature/proportional shares
+    ratio (>1 means the source is upweighted).
+    """
+    per_src = (
+        documents.select(
+            "source", F.size(F.split(F.col("text"), " ")).cast("long").alias("nt")
+        )
+        .groupBy("source")
+        .agg(F.sum("nt").alias("n_tokens"))
+    )
+    q = F.floor(F.sqrt(F.col("n_tokens").cast("double")) * F.lit(q_scale)).cast(
+        "long"
+    )
+    w = per_src.select("source", "n_tokens", q.alias("q"))
+    tot = w.groupBy().agg(
+        F.sum("n_tokens").alias("tn"), F.sum("q").alias("tq")
+    )
+    out = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("tn").cast("double")).alias(
+            "share_proportional"
+        ),
+        (F.col("q").cast("double") / F.col("tq").cast("double")).alias(
+            "share_temperature"
+        ),
+        (
+            (F.col("q").cast("double") / F.col("tq").cast("double"))
+            / (F.col("n_tokens").cast("double") / F.col("tn").cast("double"))
+        ).alias("boost"),
+    )
+    return out.orderBy("source")
+
+
+def mixture_temperature_oracle_sql(q_scale: int = 1 << 20) -> str:
+    """DuckDB mirror: identical sqrt-quantize-to-int64 and final
+    divisions."""
+    return f"""
+        WITH per_src AS (
+            SELECT source,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ), w AS (
+            SELECT source, n_tokens,
+                   CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * {q_scale})
+                        AS BIGINT) AS q
+            FROM per_src
+        ), tot AS (SELECT SUM(n_tokens) AS tn, SUM(q) AS tq FROM w)
+        SELECT source, n_tokens,
+               CAST(n_tokens AS DOUBLE) / CAST((SELECT tn FROM tot) AS DOUBLE)
+                   AS share_proportional,
+               CAST(q AS DOUBLE) / CAST((SELECT tq FROM tot) AS DOUBLE)
+                   AS share_temperature,
+               (CAST(q AS DOUBLE) / CAST((SELECT tq FROM tot) AS DOUBLE))
+                   / (CAST(n_tokens AS DOUBLE)
+                      / CAST((SELECT tn FROM tot) AS DOUBLE)) AS boost
+        FROM w ORDER BY source
+    """

@@ -1,0 +1,135 @@
+"""Round-7 operator semantics: seasonal baselines, association lift,
+Theil-Sen robustness, auto-bounds histograms, integer PageRank,
+temperature mixture weights, n-gram novelty."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from btrdb_spark.functions import analytics, pipeline
+from btrdb_spark.functions.dedup import ngram_novelty
+
+DAY = analytics.DAY_NS
+HOUR = analytics.HOUR_NS
+
+
+def _ev(spark, rows):
+    """(user_id, time_ns, event_type, value[, event_id]) frame."""
+    full = [
+        (r[0], r[1], r[2], float(r[3]), r[4] if len(r) > 4 else i)
+        for i, r in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        full, "user_id long, time_ns long, event_type string, value double, event_id long"
+    )
+
+
+def test_seasonal_profile_deviation(spark):
+    rows = []
+    # 3 baseline days at value 10.0 for hour 0, then a last day at 50.0
+    for d in range(3):
+        rows.append((1, d * DAY + 30, "a", 10.0))
+    rows.append((1, 3 * DAY + 30, "a", 50.0))
+    out = analytics.seasonal_profile_deviation(_ev(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["event_type"], r["hour"]) == ("a", 0)
+    assert r["base_mean"] == 10.0 and r["last_mean"] == 50.0 and r["abs_dev"] == 40.0
+
+
+def test_association_rules_lift(spark):
+    # users 1..4 all do a+b (perfect association); c is independent
+    rows = []
+    for u in (1, 2, 3, 4):
+        rows += [(u, 1, "a", 0.0), (u, 2, "b", 0.0)]
+    rows += [(1, 3, "c", 0.0), (5, 1, "c", 0.0)]
+    out = analytics.association_rules_topk(_ev(spark, rows), topk=10).collect()
+    by_pair = {(r["type_a"], r["type_b"]): r for r in out}
+    ab = by_pair[("a", "b")]
+    # N=5 users, c_ab=4, c_a=c_b=4 -> lift = 5*4/(4*4) = 1.25
+    assert ab["c_ab"] == 4 and ab["lift"] == 1.25
+    ac = by_pair[("a", "c")]
+    # c_ac=1, c_a=4, c_c=2 -> lift = 5/(8) = 0.625
+    assert ac["lift"] == 0.625
+    assert out[0]["lift"] == max(r["lift"] for r in out)
+
+
+def test_theil_sen_resists_outlier_day(spark):
+    # days 0..6 with mean = 2*day, except day 3 is a wild outlier
+    rows = []
+    for d in range(7):
+        v = 1000.0 if d == 3 else 2.0 * d
+        rows.append((1, d * DAY + 5, "a", v))
+    out = analytics.theil_sen_daily_slope(_ev(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_days"] == 7 and r["n_pairs"] == 21
+    # median pairwise slope stays the clean trend despite the outlier
+    assert r["slope_per_day"] == 2.0
+
+
+def test_value_histogram_auto_bounds(spark):
+    rows = [(1, i, "a", float(v)) for i, v in enumerate([0, 5, 10, 10, 10])]
+    out = analytics.value_histogram(_ev(spark, rows), n_bins=10).collect()
+    got = {r["bin"]: r["n"] for r in out}
+    # lo=0 hi=10: 0->bin0, 5->bin5, 10 (== hi) clamps into bin 9
+    assert got == {0: 1, 5: 1, 9: 3}
+    lo9 = [r for r in out if r["bin"] == 9][0]["bin_lo"]
+    assert lo9 == 9.0
+
+
+def test_pagerank_event_graph_orders_hubs(spark):
+    # every user: a -> b, b -> c, c -> b ... b is the hub
+    rows = []
+    for u in range(20):
+        rows += [
+            (u, 1, "a", 0.0),
+            (u, 2, "b", 0.0),
+            (u, 3, "c", 0.0),
+            (u, 4, "b", 0.0),
+        ]
+    out = analytics.pagerank_event_graph(_ev(spark, rows)).collect()
+    ranks = {r["event_type"]: r["rank"] for r in out}
+    assert ranks["b"] > ranks["c"] > ranks["a"]
+    # integer determinism: a second run is bit-identical
+    again = analytics.pagerank_event_graph(_ev(spark, rows)).collect()
+    assert [(r["event_type"], r["rank"]) for r in out] == [
+        (r["event_type"], r["rank"]) for r in again
+    ]
+
+
+def test_mixture_temperature_upweights_small_sources(spark):
+    docs = spark.createDataFrame(
+        [(i, "w " * (100 if i < 90 else 1) + "w", "big" if i < 90 else "small")
+         for i in range(100)],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in
+           pipeline.mixture_temperature_weights(docs).collect()}
+    assert out["small"]["boost"] > 1.0 > out["big"]["boost"]
+    # shares still sum to ~1 each way
+    for col in ("share_proportional", "share_temperature"):
+        assert abs(sum(r[col] for r in out.values()) - 1.0) < 1e-9
+    # alpha=1/2: temperature share ratio tracks sqrt of token ratio
+    t_ratio = out["big"]["share_temperature"] / out["small"]["share_temperature"]
+    n_ratio = out["big"]["n_tokens"] / out["small"]["n_tokens"]
+    assert abs(t_ratio - math.sqrt(n_ratio)) / t_ratio < 1e-4
+
+
+def test_ngram_novelty_flags_recycled_text(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),
+            (1, "alpha beta gamma delta epsilon"),  # pure recycle -> 0.0
+            (2, "zeta eta theta iota kappa"),  # all fresh -> 1.0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(docs, n=3).collect()}
+    assert out[0]["novelty"] == 1.0  # first occurrence wins
+    assert out[1]["novelty"] == 0.0
+    assert out[2]["novelty"] == 1.0
+    assert out[0]["n_grams"] == 3  # 5 tokens -> 3 trigrams

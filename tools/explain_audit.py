@@ -304,6 +304,51 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         ["partial_count"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
     ),
+    # r7: aggregate-then-probe — lineitem reduced BEFORE any join, the
+    # surviving key set broadcasts
+    "tpch_q18": (
+        ["BroadcastHashJoin", "partial_sum"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # r7: two partial-agg profile passes, profile-sized join
+    "seasonal_profile_deviation": (
+        ["partial_sum"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # r7: baskets from sorted arrays, pairs expanded in-bucket (no raw
+    # self-join), vocab-sized count legs broadcast
+    "association_rules": (
+        ["BroadcastHashJoin", "partial_count"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # r7: day-domain self-join keyed by type, lower-median via
+    # type-partitioned window
+    "theil_sen_slope": (
+        ["Window", "partial_sum"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # r7: bounds pass broadcast back, binned counts partial-agg'd
+    "value_histogram_auto": (
+        ["BroadcastHashJoin", "partial_count"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # r7: one user-keyed window for transitions; rank iterations join
+    # node-sized tables (broadcast)
+    "pagerank_event_graph": (
+        ["Window", "BroadcastHashJoin"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
+    # r7: source-sized rollup; the 1-row totals dimension joins as a
+    # broadcast cross (BNLJ on ONE row — the allowed scalar-join shape)
+    "mixture_temperature": (
+        ["partial_sum"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
+    # r7: gram-hash shuffle, min-agg first-occurrence, per-doc rollup
+    "ngram_novelty": (
+        ["partial_count"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
 }
 
 
