@@ -1546,6 +1546,118 @@ def q_stream_autocorr(spark: SparkSession, sf: str) -> DataFrame:
 # ---- r7 queries ----
 
 
+def q_tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 promotion-effect: conditional revenue share over one
+    month. Part is the broadcast dim; both sums are decimal-exact with
+    ONE final double division — the conditional-aggregate probe."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    agg = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+                    F.lit(0).cast("decimal(38,6)")
+                )
+            ).alias("_p"),
+            F.sum(rev).alias("_t"),
+        )
+    )
+    return agg.select(
+        (
+            F.lit(100.0) * F.col("_p").cast("double") / F.col("_t").cast("double")
+        ).alias("promo_revenue_pct"),
+        F.col("_p").cast("double").alias("promo_revenue"),
+        F.col("_t").cast("double").alias("total_revenue"),
+    )
+
+
+def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: revenue lost to returns per
+    customer over a quarter, top 20 — fact filtered and reduced, then
+    customer/nation broadcast-joined onto the small aggregate."""
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    per_cust = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(rev).alias("_r"), F.count(F.lit(1)).alias("n_items"))
+    )
+    return (
+        per_cust.join(
+            F.broadcast(cust.select("c_custkey", "c_name", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.col("_r").cast("double").alias("revenue"),
+            "n_items",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 customer-order distribution: LEFT join so zero-order
+    customers count, then a histogram of counts — the outer-join +
+    count-of-counts probe (two partial-agg'd groupBys, no skew because
+    the second groupBy's key domain is tiny)."""
+    cust = load_table(spark, sf, "customer").select("c_custkey")
+    orders = load_table(spark, sf, "orders").select("o_custkey")
+    per_cust = (
+        cust.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.sum(F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0)).alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .select(F.col("c_count").cast("long"), "custdist")
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_session_window_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user session rollup via Spark's NATIVE session_window (30-min
+    gap) vs a gaps-and-islands oracle — functions/analytics.py."""
+    from btrdb_spark.functions import analytics
+
+    return analytics.session_window_stats(events_with_time_ns(spark, sf))
+
+
+def q_knn_label_consistency(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding label-quality eval: exact top-5 cosine neighbors vote
+    on each probe's label (ties -> smaller label), per-label accuracy —
+    functions/similarity.py."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.knn_label_consistency(
+        emb, emb.filter(F.col("vec_id") < 50), k=5
+    )
+
+
 def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q18 large-volume-customer: self-aggregation of lineitem with
     a HAVING filter, then the survivors (a tiny key set) drive semi-
@@ -1645,6 +1757,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r7 head: new rows lead so the driver's gate window certifies
         # them immediately.
+        "session_window_stats": q_session_window_stats,
+        "knn_label_consistency": q_knn_label_consistency,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q13": q_tpch_q13,
         "tpch_q18": q_tpch_q18,
         "seasonal_profile_deviation": q_seasonal_profile_deviation,
         "association_rules": q_association_rules,
@@ -1833,6 +1950,61 @@ def oracle_sql() -> dict[str, str]:
         JOIN customer c ON o.o_custkey = c.c_custkey
         ORDER BY totalprice DESC, o.o_orderkey LIMIT 100
     """
+    oracles["tpch_q14"] = """
+        WITH agg AS (
+            SELECT SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                       THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(38,6))
+                       ELSE CAST(0 AS DECIMAL(38,6)) END) AS p,
+                   SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                            AS DECIMAL(38,6))) AS t
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l.l_shipdate < TIMESTAMP '1996-04-01'
+        )
+        SELECT 100.0 * CAST(p AS DOUBLE) / CAST(t AS DOUBLE)
+                   AS promo_revenue_pct,
+               CAST(p AS DOUBLE) AS promo_revenue,
+               CAST(t AS DOUBLE) AS total_revenue
+        FROM agg
+    """
+    oracles["tpch_q10"] = """
+        WITH per_cust AS (
+            SELECT o.o_custkey,
+                   SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                            AS DECIMAL(38,6))) AS r,
+                   COUNT(*) AS n_items
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY o.o_custkey
+        )
+        SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+               CAST(pc.r AS DOUBLE) AS revenue, pc.n_items
+        FROM per_cust pc
+        JOIN customer c ON pc.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """
+    oracles["tpch_q13"] = """
+        WITH per_cust AS (
+            SELECT c.c_custkey,
+                   SUM(CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                       AS c_count
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey
+        )
+        SELECT CAST(c_count AS BIGINT) AS c_count, COUNT(*) AS custdist
+        FROM per_cust GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """
+    from btrdb_spark.functions import similarity as _sim7
+
+    oracles["session_window_stats"] = _an.session_window_oracle_sql()
+    oracles["knn_label_consistency"] = _sim7.knn_label_consistency_oracle_sql(
+        k=5, n_probes=50
+    )
     oracles["seasonal_profile_deviation"] = (
         _an.seasonal_profile_deviation_oracle_sql()
     )

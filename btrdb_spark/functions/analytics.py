@@ -512,3 +512,80 @@ def pagerank_oracle_sql(iterations: int = 3, damping_pct: int = 85) -> str:
         FROM {prev} ORDER BY rank DESC, event_type
     """
     )
+
+
+# ------------------------------------------------------- session windows
+
+
+def session_window_stats(events_ns: DataFrame, gap_ns: int = 1_800_000_000_000) -> DataFrame:
+    """Per-user session rollup using Spark's NATIVE session_window — the
+    declarative session operator (Catalyst plans a single
+    sessionization aggregation; in streaming mode the identical
+    expression runs stateful with a watermark, which is why this op
+    exists instead of a hand-rolled gaps-and-islands window pass).
+
+    Sessions close after ``gap_ns`` of inactivity. Timestamps are ns
+    truncated to µs (both engines), so the oracle's LAG-based island
+    detection reproduces the boundaries exactly. The value sum is
+    decimal-exact with one final double division for the mean.
+
+    Output: (user_id, session_start_ns, n_events, n_types, mean_value),
+    ordered. session_start_ns is the first event's µs-truncated time.
+    """
+    ts = F.timestamp_micros(F.expr("time_ns div 1000"))
+    gap_s = gap_ns // 1_000_000_000
+    sess = (
+        events_ns.select(
+            "user_id", ts.alias("ts"), "event_type", "value"
+        )
+        .groupBy("user_id", F.session_window("ts", f"{gap_s} seconds"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("event_type").alias("n_types"),
+            (
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_value"),
+        )
+        .select(
+            "user_id",
+            (F.unix_micros(F.col("session_window.start")) * 1000).alias(
+                "session_start_ns"
+            ),
+            "n_events",
+            F.col("n_types").cast("long"),
+            "mean_value",
+        )
+    )
+    return sess.orderBy("user_id", "session_start_ns")
+
+
+def session_window_oracle_sql(gap_ns: int = 1_800_000_000_000) -> str:
+    """Gaps-and-islands mirror: a new session starts when the µs-
+    truncated gap to the previous event exceeds gap_ns."""
+    return f"""
+        WITH e AS (
+            SELECT user_id, (epoch_ns(ts) // 1000) * 1000 AS t,
+                   event_type, value
+            FROM events
+        ), flagged AS (
+            SELECT *, CASE WHEN t - LAG(t) OVER (
+                          PARTITION BY user_id ORDER BY t) > {gap_ns}
+                      OR LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                          IS NULL
+                      THEN 1 ELSE 0 END AS new_sess
+            FROM e
+        ), grp AS (
+            SELECT *, SUM(new_sess) OVER (
+                PARTITION BY user_id ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM flagged
+        )
+        SELECT user_id, MIN(t) AS session_start_ns,
+               COUNT(*) AS n_events,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+                   AS mean_value
+        FROM grp GROUP BY user_id, sid
+        ORDER BY user_id, session_start_ns
+    """

@@ -1863,3 +1863,99 @@ def hybrid_rrf_oracle_sql(
             FROM fused
         ) WHERE rank <= {k} ORDER BY rank
     """
+
+
+def knn_label_consistency(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-space label quality metric: for each probe, take its
+    exact top-k cosine neighbors, majority-vote their labels (ties ->
+    smaller label), and score the vote against the probe's own label —
+    the standard "are my embeddings clustered by label?" eval, and the
+    drift alarm for an embedding column feeding semantic dedup.
+
+    Per-label rollup keeps the output dashboard-sized; the expensive
+    part is the exact scan, which is the same bounded-probe shape as
+    cosine_topk (probes broadcast, corpus streamed — scale by swapping
+    in an ANN leg).
+
+    Output: (label, n_probes, n_correct, accuracy double), ordered by
+    label; accuracy is a single IEEE division of exact counts.
+    """
+    top = cosine_topk(embeddings, probes, k=k, id_col=id_col, vec_col=vec_col)
+    nb_labels = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nb_label")
+    )
+    votes = (
+        top.join(nb_labels, "neighbor_id")
+        .groupBy("query_id", "nb_label")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("v"), F.asc("nb_label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("nb_label").alias("pred_label"))
+    )
+    truth = probes.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("label")
+    )
+    return (
+        pred.join(truth, "query_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("label"), 1).otherwise(0)
+            ).cast("long").alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_probes",
+            "n_correct",
+            (
+                F.col("n_correct").cast("double") / F.col("n_probes").cast("double")
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )
+
+
+def knn_label_consistency_oracle_sql(k: int = 5, n_probes: int = 50) -> str:
+    """DuckDB mirror over the embeddings view (probes = vec_id < n_probes)."""
+    return f"""
+        WITH c AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings
+        ), ranked AS (
+            SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   c.label AS nb_label, p.label AS label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY list_dot_product(c.v, p.v) / (c.nrm * p.nrm)
+                           DESC, c.vec_id ASC) AS rank
+            FROM c JOIN c p ON p.vec_id < {n_probes} AND c.vec_id <> p.vec_id
+        ), votes AS (
+            SELECT query_id, label, nb_label, COUNT(*) AS v
+            FROM ranked WHERE rank <= {k} GROUP BY 1, 2, 3
+        ), pred AS (
+            SELECT query_id, label, nb_label AS pred_label
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY query_id ORDER BY v DESC, nb_label ASC
+                  ) AS rn FROM votes)
+            WHERE rn = 1
+        )
+        SELECT label, COUNT(*) AS n_probes,
+               CAST(SUM(CASE WHEN pred_label = label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct,
+               CAST(SUM(CASE WHEN pred_label = label THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS accuracy
+        FROM pred GROUP BY label ORDER BY label
+    """

@@ -133,3 +133,39 @@ def test_ngram_novelty_flags_recycled_text(spark):
     assert out[1]["novelty"] == 0.0
     assert out[2]["novelty"] == 1.0
     assert out[0]["n_grams"] == 3  # 5 tokens -> 3 trigrams
+
+
+def test_session_window_stats_boundaries(spark):
+    G = 1_800_000_000_000  # 30 min
+    rows = [
+        (1, 0, "a", 1.0),
+        (1, G, "a", 2.0),        # exactly the gap -> SAME session
+        (1, 2 * G + 1_000, "b", 3.0),  # past the gap -> new session
+        (2, 5, "a", 4.0),
+    ]
+    out = analytics.session_window_stats(_ev(spark, rows), gap_ns=G).collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r)
+    assert len(per_user[1]) == 2 and len(per_user[2]) == 1
+    s1, s2 = per_user[1]
+    assert s1["n_events"] == 2 and s1["session_start_ns"] == 0
+    assert s1["mean_value"] == 1.5 and s1["n_types"] == 1
+    assert s2["n_events"] == 1 and s2["n_types"] == 1
+
+
+def test_knn_label_consistency_clustered(spark):
+    from btrdb_spark.functions import similarity
+
+    # two tight clusters in 2-d: label 0 near (1,0), label 1 near (0,1)
+    rows = []
+    for i in range(10):
+        rows.append((i, [1.0, 0.01 * i], 0))
+        rows.append((100 + i, [0.01 * i, 1.0], 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = similarity.knn_label_consistency(emb, emb, k=3).collect()
+    accs = {r["label"]: r for r in out}
+    assert accs[0]["accuracy"] == 1.0 and accs[1]["accuracy"] == 1.0
+    assert accs[0]["n_probes"] == 10 and accs[1]["n_probes"] == 10

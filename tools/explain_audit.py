@@ -349,6 +349,33 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         ["partial_count"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
     ),
+    # r7: native sessionization aggregate, user-keyed
+    "session_window_stats": (
+        ["session_window", "partial_sum"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # r7: probes broadcast against the streamed corpus (the bounded-probe
+    # exact-scan BNLJ, same contract as cosine_topk), vote via window
+    "knn_label_consistency": (
+        ["Window", "partial_count"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
+    # r7: part dim broadcast, decimal conditional sums, no shuffle beyond
+    # the one fact aggregation
+    "tpch_q14": (
+        ["BroadcastHashJoin", "partial_sum"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # r7: fact reduced per custkey before the broadcast dims join on
+    "tpch_q10": (
+        ["BroadcastHashJoin", "partial_sum"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # r7: outer join + two partial-agg'd groupBys
+    "tpch_q13": (
+        ["partial_count"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
 }
 
 
