@@ -1640,6 +1640,26 @@ def q_tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_image_phash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual-hash image near-dup pairs over the planted-neardup PPM
+    fixture: integer fixed-point DCT pHash in an Arrow kernel, then
+    pigeonhole-banded candidate join + bit_count verification — all JVM
+    after the hash. NO SQL ORACLE (DuckDB cannot decode PPM; the hash is
+    pinned against a numpy reference and planted dups in
+    tests/test_new_ops_r7.py) — the driver records the rows-only check
+    (functions/multimodal.py image_phash/phash_pairs)."""
+    media = multimodal.synthetic_ppm_neardups(load_table(spark, sf, "documents"))
+    return multimodal.phash_pairs(media, max_hamming=7)
+
+
+def q_lsh_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall/precision of the MinHash-LSH pair set against the exact
+    n-gram-Jaccard pair set at the same threshold — the dedup-stack
+    gauge (functions/dedup.py lsh_recall_audit; oracle composes the two
+    pair oracles verbatim)."""
+    return dedup.lsh_recall_audit(load_table(spark, sf, "documents"))
+
+
 def q_session_window_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user session rollup via Spark's NATIVE session_window (30-min
     gap) vs a gaps-and-islands oracle — functions/analytics.py."""
@@ -1757,6 +1777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r7 head: new rows lead so the driver's gate window certifies
         # them immediately.
+        "image_phash_pairs": q_image_phash_pairs,
+        "lsh_recall_audit": q_lsh_recall_audit,
         "session_window_stats": q_session_window_stats,
         "knn_label_consistency": q_knn_label_consistency,
         "tpch_q14": q_tpch_q14,
@@ -1950,6 +1972,10 @@ def oracle_sql() -> dict[str, str]:
         JOIN customer c ON o.o_custkey = c.c_custkey
         ORDER BY totalprice DESC, o.o_orderkey LIMIT 100
     """
+    oracles["lsh_recall_audit"] = _dd7.lsh_recall_audit_oracle_sql()
+    # image_phash_pairs: deliberately NO oracle entry (rows-only check) —
+    # DuckDB cannot decode the PPM blobs; see q_image_phash_pairs.
+
     oracles["tpch_q14"] = """
         WITH agg AS (
             SELECT SUM(CASE WHEN p.p_type LIKE 'PROMO%'

@@ -1240,3 +1240,90 @@ def ngram_novelty_oracle_sql(n: int = 3) -> str:
         FROM edges e JOIN first_ f USING (g)
         GROUP BY e.doc_id ORDER BY e.doc_id
     """
+
+
+def lsh_recall_audit(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Signal-agreement audit of the dedup stack: compare the EXACT
+    n-gram-Jaccard pair set (>= threshold) against the MinHash-LSH pair
+    set (est_jaccard >= threshold) and report recall/precision — the
+    number every LSH deployment must watch (bands/hashes are recall
+    knobs; this is their gauge, computed on the corpus itself rather
+    than assumed from theory).
+
+    One full-outer join of two pair sets keyed by (doc_a, doc_b);
+    recall/precision are single IEEE divisions of exact counts (NULL
+    when the denominator is zero).
+
+    Output: one row (n_exact, n_lsh, n_both, recall, precision).
+    """
+    exact = ngram_jaccard_pairs(documents, n=n, threshold=threshold,
+                                text_col=text_col).select("doc_a", "doc_b")
+    lsh = (
+        minhash_lsh_pairs(documents, n=n, num_hashes=num_hashes, bands=bands,
+                          text_col=text_col)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    both = exact.withColumn("e", F.lit(1)).join(
+        lsh.withColumn("l", F.lit(1)), ["doc_a", "doc_b"], "full"
+    )
+    agg = both.agg(
+        F.sum(F.coalesce(F.col("e"), F.lit(0))).cast("long").alias("n_exact"),
+        F.sum(F.coalesce(F.col("l"), F.lit(0))).cast("long").alias("n_lsh"),
+        F.sum(
+            F.when(F.col("e").isNotNull() & F.col("l").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_both"),
+    )
+    return agg.select(
+        "n_exact",
+        "n_lsh",
+        "n_both",
+        F.when(
+            F.col("n_exact") > 0,
+            F.col("n_both").cast("double") / F.col("n_exact").cast("double"),
+        ).alias("recall"),
+        F.when(
+            F.col("n_lsh") > 0,
+            F.col("n_both").cast("double") / F.col("n_lsh").cast("double"),
+        ).alias("precision"),
+    )
+
+
+def lsh_recall_audit_oracle_sql(threshold: float = 0.5) -> str:
+    """Composes the two pair oracles verbatim (same params as the
+    registry's ngram_jaccard_pairs / minhash_lsh_pairs rows)."""
+    return f"""
+        WITH exact_ AS (
+            SELECT doc_a, doc_b FROM ({ORACLES["ngram_jaccard_pairs"]})
+        ), lsh_ AS (
+            SELECT doc_a, doc_b FROM ({ORACLES["minhash_lsh_pairs"]})
+            WHERE est_jaccard >= {threshold!r}
+        ), joined AS (
+            SELECT COALESCE(e.doc_a, l.doc_a) AS doc_a,
+                   COALESCE(e.doc_b, l.doc_b) AS doc_b,
+                   CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END AS e,
+                   CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS l
+            FROM exact_ e FULL OUTER JOIN lsh_ l
+              ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b
+        ), agg AS (
+            SELECT CAST(SUM(e) AS BIGINT) AS n_exact,
+                   CAST(SUM(l) AS BIGINT) AS n_lsh,
+                   CAST(SUM(e * l) AS BIGINT) AS n_both
+            FROM joined
+        )
+        SELECT n_exact, n_lsh, n_both,
+               CASE WHEN n_exact > 0
+                    THEN CAST(n_both AS DOUBLE) / CAST(n_exact AS DOUBLE)
+               END AS recall,
+               CASE WHEN n_lsh > 0
+                    THEN CAST(n_both AS DOUBLE) / CAST(n_lsh AS DOUBLE)
+               END AS precision
+        FROM agg
+    """

@@ -399,3 +399,161 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+# =====================  perceptual image hashing (r7)  =====================
+
+# Fixed-point DCT-II basis for the 32x32 pHash: C_q[k][n] =
+# round(cos(pi*(2n+1)k/64) * 2^20). Quantized to int64 literals at import
+# time, so the whole hash is INTEGER arithmetic — bit-identical on every
+# worker, python build, and libm (the same literal-trig-table trick as
+# operators/spectral.py).
+_PHASH_N = 32
+_PHASH_Q = 1 << 20
+
+
+def _dct_table() -> np.ndarray:
+    import math
+
+    n = _PHASH_N
+    return np.array(
+        [
+            [round(math.cos(math.pi * (2 * j + 1) * k / (2 * n)) * _PHASH_Q)
+             for j in range(n)]
+            for k in range(n)
+        ],
+        dtype=np.int64,
+    )
+
+
+_DCT_Q = _dct_table()
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit perceptual hash of a uint8 (h, w, 3) raster: integer BT.601
+    luma ((77R + 150G + 29B) >> 8), nearest resize to 32x32 (integer
+    index math), fixed-point 2-D DCT-II, the top-left 8x8 low-frequency
+    block, one bit per coefficient: 1 iff coef > LOWER MEDIAN of the 64
+    (integer select, no float averaging). Every step is int64, so equal
+    rasters hash equal everywhere and a one-pixel edit flips few bits.
+    """
+    px = pixels.astype(np.int64)
+    luma = (77 * px[:, :, 0] + 150 * px[:, :, 1] + 29 * px[:, :, 2]) >> 8
+    h, w = luma.shape
+    ys = (np.arange(_PHASH_N) * h) // _PHASH_N
+    xs = (np.arange(_PHASH_N) * w) // _PHASH_N
+    g = luma[ys][:, xs]  # 32x32, values 0..255
+    # two-stage fixed-point DCT with requantization between stages:
+    # |C_q @ g| <= 32 * 2^20 * 255 < 2^33; second stage same bound
+    y1 = (_DCT_Q @ g) >> 20
+    y2 = (y1 @ _DCT_Q.T) >> 20
+    block = y2[:8, :8].ravel()
+    med = np.sort(block)[31]  # lower median — integer, engine-free
+    bits = block > med
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    # map to signed int64 for a Spark LongType column
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """(media_id, phash long) for every decodable P6 image row —
+    Arrow-batched mapInPandas, non-image / undecodable rows dropped."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, mtype, blob in zip(
+                pdf["media_id"], pdf["media_type"], pdf["blob"]
+            ):
+                if mtype != "image" or blob is None:
+                    continue
+                try:
+                    px = decode_ppm(bytes(blob))
+                except ValueError:
+                    continue
+                ids.append(int(mid))
+                hashes.append(phash64(px))
+            yield pd.DataFrame({"media_id": ids, "phash": hashes})
+
+    return media.mapInPandas(kernel, "media_id long, phash long")
+
+
+def phash_pairs(media: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual hash: pigeonhole banding
+    (8 bands x 8 bits — two hashes within Hamming distance 7 must agree
+    on at least one whole band, so recall is EXACT for max_hamming <= 7,
+    the same contract as simhash_pairs), candidates verified with
+    bit_count(xor). Everything after the hash kernel is JVM codegen; the
+    shuffle key is (band index, band byte), never pixels.
+
+    Output: (media_id, media_id2, hamming long), pair-ordered.
+    """
+    if max_hamming >= 8:
+        raise ValueError("pigeonhole banding guarantees recall only for <= 7")
+    hashes = image_phash(media)
+    bands = hashes.select(
+        "media_id",
+        "phash",
+        F.explode(F.array(*[F.lit(b) for b in range(8)])).alias("band"),
+    ).select(
+        "media_id",
+        "phash",
+        "band",
+        F.expr("shiftright(phash, CAST(band * 8 AS INT)) & 255").alias("bb"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bb") == F.col("b.bb"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_id"),
+            F.col("b.media_id").alias("media_id2"),
+            F.col("a.phash").alias("h1"),
+            F.col("b.phash").alias("h2"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (
+        cand.select("media_id", "media_id2", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("media_id", "media_id2")
+    )
+
+
+def synthetic_ppm_neardups(documents: DataFrame, dup_every: int = 20) -> DataFrame:
+    """PPM media fixture with planted image near-duplicates: doc_id %
+    dup_every == 7 re-renders (doc_id - 1)'s raster with ONE pixel byte
+    bumped — a visually-identical image a perceptual hash must pair and
+    an exact byte hash must miss. Pixels are a Knuth-mixed function of
+    (src, i) — NOT the linear gradient of synthetic_ppm_media, whose
+    images are shifted copies of one pattern and therefore all
+    perceptually similar (a pHash would truthfully pair most of them) —
+    so only the planted dups land within the Hamming threshold."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                src = did - 1 if did % dup_every == 7 else did
+                w, h = 8 + src % 5, 6 + src % 3
+                i = np.arange(w * h * 3, dtype=np.int64)
+                raster = (
+                    ((src * 2654435761 + i * 40503) ^ (i * i)) % 256
+                ).astype(np.uint8)
+                if src != did:
+                    raster = raster.copy()
+                    raster[0] = (int(raster[0]) + 1) % 256
+                out.append((did, "image", encode_ppm(raster.reshape(h, w, 3)), w, h, None))
+            yield pd.DataFrame(out, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return documents.select("doc_id").repartition(8, "doc_id").mapInPandas(
+        kernel, MEDIA_SCHEMA
+    )

@@ -169,3 +169,73 @@ def test_knn_label_consistency_clustered(spark):
     accs = {r["label"]: r for r in out}
     assert accs[0]["accuracy"] == 1.0 and accs[1]["accuracy"] == 1.0
     assert accs[0]["n_probes"] == 10 and accs[1]["n_probes"] == 10
+
+
+def test_phash64_reference_and_invariance():
+    import numpy as np
+
+    from btrdb_spark.functions import multimodal as mm
+
+    # independent reference: float DCT, same luma/resize/median contract
+    def ref(pixels):
+        import math
+
+        px = pixels.astype(np.int64)
+        luma = (77 * px[:, :, 0] + 150 * px[:, :, 1] + 29 * px[:, :, 2]) >> 8
+        h, w = luma.shape
+        g = luma[(np.arange(32) * h) // 32][:, (np.arange(32) * w) // 32]
+        C = np.array(
+            [[math.cos(math.pi * (2 * j + 1) * k / 64) for j in range(32)]
+             for k in range(32)]
+        )
+        block = (C @ g @ C.T)[:8, :8].ravel()
+        med = np.sort(block)[31]
+        out = 0
+        for b in block > med:
+            out = (out << 1) | int(b)
+        return out - (1 << 64) if out >= (1 << 63) else out
+
+    rng_px = lambda seed, h, w: (
+        ((seed * 2654435761 + np.arange(h * w * 3, dtype=np.int64) * 40503)
+         ^ (np.arange(h * w * 3, dtype=np.int64) ** 2)) % 256
+    ).astype(np.uint8).reshape(h, w, 3)
+    for seed in (1, 42, 777):
+        px = rng_px(seed, 9, 11)
+        got, want = mm.phash64(px), ref(px)
+        # fixed-point vs float DCT: identical bits except where a coef ties
+        # the median; require Hamming <= 2 of 64
+        assert bin((got ^ want) & ((1 << 64) - 1)).count("1") <= 2
+        # exact invariance: same pixels -> same hash, always
+        assert mm.phash64(px.copy()) == got
+        # one-byte edit stays perceptually identical
+        px2 = px.copy()
+        px2[0, 0, 0] = (int(px2[0, 0, 0]) + 1) % 256
+        assert bin((mm.phash64(px2) ^ got) & ((1 << 64) - 1)).count("1") <= 2
+
+
+def test_phash_pairs_finds_planted_neardups(spark):
+    from pyspark.sql import functions as F
+
+    from btrdb_spark.functions import multimodal as mm
+
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    media = mm.synthetic_ppm_neardups(docs)
+    pairs = {
+        (r["media_id"], r["media_id2"]): r["hamming"]
+        for r in mm.phash_pairs(media, max_hamming=7).collect()
+    }
+    planted = [(i - 1, i) for i in range(200) if i % 20 == 7]
+    assert planted, "fixture must plant pairs"
+    for p in planted:
+        assert p in pairs and pairs[p] <= 2, f"planted pair {p} missed"
+    # exact byte-hash dedup must MISS every planted pair (one byte differs)
+    from btrdb_spark.functions import dedup as dd
+
+    blobs = media.select(
+        F.col("media_id").alias("doc_id"), F.base64("blob").alias("text")
+    )
+    exact = {
+        r["keeper_doc_id"]
+        for r in dd.exact_duplicates(blobs).filter(F.col("n_copies") > 1).collect()
+    }
+    assert not exact, "planted near-dups must not be byte-exact"

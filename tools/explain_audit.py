@@ -376,6 +376,17 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         ["partial_count"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
     ),
+    # r7: Arrow kernel for the hash only; banding/verify are JVM equi-join
+    # + bit_count — never row-at-a-time Python, never a nested loop
+    "image_phash_pairs": (
+        ["MapInPandas"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # r7: two pair sets full-outer-joined on (doc_a, doc_b)
+    "lsh_recall_audit": (
+        ["partial_count"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
 }
 
 
