@@ -1640,6 +1640,15 @@ def q_tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_wav_rms_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Windowed RMS loudness via the REAL WAV decode path; the oracle
+    recomputes the synthetic fixture's samples arithmetically without
+    touching the blob — an end-to-end codec proof
+    (functions/multimodal.py wav_rms_windows)."""
+    media = multimodal.synthetic_wav_media(load_table(spark, sf, "documents"))
+    return multimodal.wav_rms_windows(media, window_frames=50)
+
+
 def q_image_phash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Perceptual-hash image near-dup pairs over the planted-neardup PPM
     fixture: integer fixed-point DCT pHash in an Arrow kernel, then
@@ -1777,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r7 head: new rows lead so the driver's gate window certifies
         # them immediately.
+        "wav_rms_windows": q_wav_rms_windows,
         "image_phash_pairs": q_image_phash_pairs,
         "lsh_recall_audit": q_lsh_recall_audit,
         "session_window_stats": q_session_window_stats,
@@ -1973,6 +1983,9 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY totalprice DESC, o.o_orderkey LIMIT 100
     """
     oracles["lsh_recall_audit"] = _dd7.lsh_recall_audit_oracle_sql()
+    from btrdb_spark.functions import multimodal as _mm7
+
+    oracles["wav_rms_windows"] = _mm7.wav_rms_windows_oracle_sql(window_frames=50)
     # image_phash_pairs: deliberately NO oracle entry (rows-only check) —
     # DuckDB cannot decode the PPM blobs; see q_image_phash_pairs.
 

@@ -557,3 +557,85 @@ def synthetic_ppm_neardups(documents: DataFrame, dup_every: int = 20) -> DataFra
     return documents.select("doc_id").repartition(8, "doc_id").mapInPandas(
         kernel, MEDIA_SCHEMA
     )
+
+
+def wav_rms_windows(media: DataFrame, window_frames: int = 50) -> DataFrame:
+    """Windowed RMS loudness over decoded PCM16 audio: for each audio
+    blob, channel-0 samples split into fixed ``window_frames`` windows
+    (last window ragged), each reporting the integer sum of squares and
+    its RMS — the speech/music activity profile, and the audio analog of
+    aligned_windows.
+
+    The sum of squares is int64-exact (|s| < 2^15, so 2^30 per term —
+    ~2^33 per 50-frame window), and rms = sqrt(ss / n) is one IEEE
+    division + one sqrt, so the oracle recomputing the synthetic
+    fixture's samples ARITHMETICALLY (never decoding the blob) matches
+    the real decode path bit-for-bit — an end-to-end codec proof.
+
+    Output: (media_id, win, n_frames, sum_sq, rms), ordered.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, wins, ns, sss = [], [], [], []
+            for mid, mtype, blob in zip(
+                pdf["media_id"], pdf["media_type"], pdf["blob"]
+            ):
+                if mtype != "audio" or blob is None:
+                    continue
+                try:
+                    with wave.open(io.BytesIO(bytes(blob))) as f:
+                        if f.getsampwidth() != 2:
+                            continue
+                        n, ch = f.getnframes(), f.getnchannels()
+                        c0 = np.frombuffer(
+                            f.readframes(n), dtype="<i2"
+                        ).reshape(-1, ch)[:, 0].astype(np.int64)
+                except (wave.Error, ValueError):
+                    continue
+                for w0 in range(0, len(c0), window_frames):
+                    seg = c0[w0 : w0 + window_frames]
+                    ids.append(int(mid))
+                    wins.append(w0 // window_frames)
+                    ns.append(len(seg))
+                    sss.append(int((seg * seg).sum()))
+            yield pd.DataFrame(
+                {"media_id": ids, "win": wins, "n_frames": ns, "sum_sq": sss}
+            )
+
+    out = media.mapInPandas(
+        kernel, "media_id long, win long, n_frames long, sum_sq long"
+    )
+    return out.select(
+        "media_id",
+        "win",
+        "n_frames",
+        "sum_sq",
+        F.sqrt(
+            F.col("sum_sq").cast("double") / F.col("n_frames").cast("double")
+        ).alias("rms"),
+    ).orderBy("media_id", "win")
+
+
+def wav_rms_windows_oracle_sql(window_frames: int = 50) -> str:
+    """DuckDB mirror over the synthetic_wav_media closed form — the
+    oracle never touches the blob: sample[i] = (id*7 + i*13) % 65536 -
+    32768, n = 200 + (id%7)*40, windowed identically."""
+    return f"""
+        WITH spec AS (
+            SELECT doc_id AS media_id, 200 + (doc_id % 7) * 40 AS n
+            FROM documents
+        ), samples AS (
+            SELECT media_id, i,
+                   (media_id * 7 + i * 13) % 65536 - 32768 AS s
+            FROM spec, UNNEST(range(0, n)) AS t(i)
+        ), w AS (
+            SELECT media_id, i // {window_frames} AS win,
+                   COUNT(*) AS n_frames,
+                   CAST(SUM(s * s) AS BIGINT) AS sum_sq
+            FROM samples GROUP BY 1, 2
+        )
+        SELECT media_id, win, n_frames, sum_sq,
+               sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_frames AS DOUBLE)) AS rms
+        FROM w ORDER BY media_id, win
+    """

@@ -239,3 +239,27 @@ def test_phash_pairs_finds_planted_neardups(spark):
         for r in dd.exact_duplicates(blobs).filter(F.col("n_copies") > 1).collect()
     }
     assert not exact, "planted near-dups must not be byte-exact"
+
+
+def test_wav_rms_windows_codec_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from btrdb_spark.functions import multimodal as mm
+
+    docs = spark.range(12).select(F.col("id").alias("doc_id"))
+    media = mm.synthetic_wav_media(docs)
+    out = mm.wav_rms_windows(media, window_frames=50).collect()
+    # doc 0: n = 200 frames -> 4 windows of exactly 50
+    w0 = [r for r in out if r["media_id"] == 0]
+    assert [r["n_frames"] for r in w0] == [50, 50, 50, 50]
+    # closed-form check of window 0 of doc 3 (n = 320): s_i = (21+13i)%65536-32768
+    import math
+
+    s = [((3 * 7 + i * 13) % 65536) - 32768 for i in range(50)]
+    ss = sum(x * x for x in s)
+    r30 = [r for r in out if r["media_id"] == 3 and r["win"] == 0][0]
+    assert r30["sum_sq"] == ss
+    assert r30["rms"] == math.sqrt(ss / 50)
+    # ragged tail: doc 1 has n = 240 -> last window 40 frames
+    w1 = [r for r in out if r["media_id"] == 1]
+    assert [r["n_frames"] for r in w1] == [50, 50, 50, 50, 40]

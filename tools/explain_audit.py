@@ -387,6 +387,11 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         ["partial_count"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
     ),
+    # r7: Arrow decode kernel, per-window rows born executor-side
+    "wav_rms_windows": (
+        ["MapInPandas"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
 }
 
 
