@@ -48,7 +48,13 @@ def test_every_oracle_targets_a_registered_query():
     assert not missing, f"oracles without queries: {sorted(missing)}"
     # queries WITHOUT an oracle get only the weaker rows-only driver
     # check — keep that set explicit so additions are deliberate
-    rows_only = sorted(set(qs) - set(os_))
+    declared_rows_only = {
+        # r7: perceptual image hashing — DuckDB cannot decode the PPM
+        # blobs; the hash is pinned against a numpy reference and
+        # planted near-dups in tests/test_new_ops_r7.py instead
+        "image_phash_pairs",
+    }
+    rows_only = sorted(set(qs) - set(os_) - declared_rows_only)
     assert rows_only == [], f"undeclared rows-only queries: {rows_only}"
 
 
