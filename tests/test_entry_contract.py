@@ -9,8 +9,16 @@ def test_every_query_has_an_oracle():
     qs = set(e.queries())
     os_ = set(e.oracle_sql())
     # every declared query must be oracle-gated: a queries() entry without
-    # an oracle silently downgrades to the driver's weaker rows-only check
-    assert qs - os_ == set(), f"queries missing oracles: {sorted(qs - os_)}"
+    # an oracle silently downgrades to the driver's weaker rows-only check.
+    # Exceptions are DECLARED (and mirrored in test_registry_gate):
+    declared_rows_only = {
+        # r7: DuckDB cannot decode the PPM blobs; the perceptual hash is
+        # pinned against a numpy reference + planted near-dups instead
+        "image_phash_pairs",
+    }
+    assert qs - os_ - declared_rows_only == set(), (
+        f"queries missing oracles: {sorted(qs - os_ - declared_rows_only)}"
+    )
     assert os_ - qs == set(), f"oracles without queries: {sorted(os_ - qs)}"
 
 
