@@ -65,8 +65,11 @@ def seasonal_profile_deviation(events_ns: DataFrame) -> DataFrame:
 
     Output: (event_type, hour, base_mean, last_mean, abs_dev), ordered.
     """
-    day = F.floor(F.col("time_ns") / F.lit(DAY_NS)).cast("long")
-    hour = F.floor((F.col("time_ns") % F.lit(DAY_NS)) / F.lit(HOUR_NS)).cast("long")
+    # Integer `div`, not floor(double/double): int64 epoch-ns exceeds
+    # 2^53, so the long->double conversion can round a timestamp within
+    # ~128 ns of midnight across the day boundary.
+    day = F.expr(f"time_ns div {DAY_NS}").cast("long")
+    hour = F.expr(f"(time_ns % {DAY_NS}) div {HOUR_NS}").cast("long")
     base = events_ns.select(
         "event_type", day.alias("day"), hour.alias("hour"), "value"
     )
@@ -244,7 +247,7 @@ def theil_sen_daily_slope(events_ns: DataFrame) -> DataFrame:
 
     Output: (event_type, n_days, n_pairs, slope_per_day), ordered.
     """
-    day = F.floor(F.col("time_ns") / F.lit(DAY_NS)).cast("long")
+    day = F.expr(f"time_ns div {DAY_NS}").cast("long")
     daily = (
         events_ns.select("event_type", day.alias("day"), "value")
         .groupBy("event_type", "day")
@@ -276,7 +279,10 @@ def theil_sen_daily_slope(events_ns: DataFrame) -> DataFrame:
     ranked = slopes.withColumn("rn", F.row_number().over(w)).withColumn(
         "np", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
     )
-    med = ranked.filter(F.col("rn") == (F.col("np") + 1) / 2)
+    # Integer division, mirroring the oracle's (np + 1) // 2: float
+    # division yields x.5 for even pair counts and no rn would match,
+    # silently dropping the event_type.
+    med = ranked.filter(F.col("rn") == F.expr("(np + 1) div 2"))
     ndays = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
     return (
         med.join(F.broadcast(ndays), "event_type")
@@ -533,12 +539,18 @@ def session_window_stats(events_ns: DataFrame, gap_ns: int = 1_800_000_000_000) 
     ordered. session_start_ns is the first event's µs-truncated time.
     """
     ts = F.timestamp_micros(F.expr("time_ns div 1000"))
-    gap_s = gap_ns // 1_000_000_000
+    # Timestamps are µs-truncated, so the finest honorable gap is 1 µs;
+    # pass a µs-resolution interval (NOT whole seconds — silently
+    # truncating would sessionize differently from the oracle for any
+    # non-whole-second gap_ns).
+    if gap_ns % 1000 != 0:
+        raise ValueError("gap_ns must be a whole number of microseconds")
+    gap_us = gap_ns // 1000
     sess = (
         events_ns.select(
             "user_id", ts.alias("ts"), "event_type", "value"
         )
-        .groupBy("user_id", F.session_window("ts", f"{gap_s} seconds"))
+        .groupBy("user_id", F.session_window("ts", f"{gap_us} microseconds"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.count_distinct("event_type").alias("n_types"),

@@ -82,7 +82,8 @@ class BTrDBService:
     daemon thread; stop() shuts the listener down."""
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
-                 queries: dict | None = None, sf_dir: str | None = None):
+                 queries: dict | None = None, sf_dir: str | None = None,
+                 sf_dir_allow: list[str] | None = None):
         self.engine = engine
         self.host = host
         self.port = port
@@ -92,6 +93,19 @@ class BTrDBService:
         # instead of one handler per op.
         self.queries = queries or {}
         self.sf_dir = sf_dir
+        # Query-RPC path allowlist: a caller-supplied sfDir must resolve
+        # under one of these roots (default: the parent of the configured
+        # sf_dir, so sibling scale factors work but the RPC is not an
+        # arbitrary-directory read primitive on a remote-capable host).
+        import os
+
+        if sf_dir_allow is not None:
+            self._sf_allow = [os.path.realpath(p) for p in sf_dir_allow]
+        elif sf_dir:
+            self._sf_allow = [os.path.realpath(os.path.dirname(
+                os.path.realpath(sf_dir).rstrip("/")) or "/")]
+        else:
+            self._sf_allow = []
         self._sketches: dict = {}  # name -> StreamingQuery
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
@@ -304,6 +318,18 @@ class BTrDBService:
         sf_dir = req.get("sfDir") or self.sf_dir
         if not sf_dir:
             raise RpcError(400, "no sfDir configured for Query RPC")
+        if req.get("sfDir"):
+            # Allowlist check: without it a remote-capable host binding
+            # turns this RPC into an arbitrary-directory read primitive.
+            import os
+
+            real = os.path.realpath(sf_dir)
+            ok = any(
+                real == root or real.startswith(root.rstrip("/") + "/")
+                for root in self._sf_allow
+            )
+            if not ok:
+                raise RpcError(403, f"sfDir outside allowed roots: {sf_dir}")
         df = fn(self.engine.spark, sf_dir)
         if req.get("limit") is not None:
             df = df.limit(int(req["limit"]))
