@@ -856,28 +856,111 @@ class BTrDBEngine:
     @_locked
     def delete_range(self, uuid: str, start: int, end: int) -> int:
         """V3: range tombstone at a new version; flushes the buffer first so
-        buffered points in range are also deleted."""
-        if not (MIN_TIME <= start < end <= MAX_INSERT_TIME):
-            raise ValueError(f"bad delete range [{start}, {end})")
-        major, minor = self.stream_version(uuid)
-        if minor:
-            major, _ = self.flush(uuid)
-        new_major = VERSION_FIRST_DATA if major == VERSION_CREATED else major + 1
+        buffered points in range are also deleted. Delegates to the batch
+        path (one-element batch is the identical commit)."""
+        return self.delete_ranges([(uuid, start, end)])[uuid]
+
+    def points_pruned_multi(self, uuids: list[str]) -> DataFrame:
+        """Multi-stream cold points: uuid_bucket directory pruning for the
+        batch's bucket set, uuid IN-list pushed to parquet row groups."""
+        df = self._scan_memo("points")
+        if df is None:
+            return self.spark.createDataFrame([], POINTS_SCHEMA)
+        buckets = sorted({self._bucket_of(u) for u in uuids})
+        return df.filter(
+            F.col("uuid_bucket").isin(buckets) & F.col("uuid").isin(list(uuids))
+        ).select("uuid", "time", "value", "version")
+
+    def _stream_versions_multi(self, uuids: list[str]) -> dict[str, tuple[int, int]]:
+        """Batched stream_version: THREE jobs for the whole uuid set
+        (live-check, committed max, hot counts) instead of three per
+        stream — the dominant per-stream fixed cost of a batch delete."""
+        ulist = list(uuids)
+        found = {
+            r["uuid"]
+            for r in md.live(self.streams)
+            .filter(F.col("uuid").isin(ulist))
+            .select("uuid")
+            .distinct()
+            .collect()
+        }
+        missing = [u for u in ulist if u not in found]
+        if missing:
+            raise KeyError(f"no such stream: {missing[0]}")
+        committed = {
+            r["uuid"]: r["v"]
+            for r in self.points.filter(F.col("uuid").isin(ulist))
+            .select("uuid", "version")
+            .unionByName(
+                self.deletes.filter(F.col("uuid").isin(ulist)).select(
+                    "uuid", "version"
+                )
+            )
+            .groupBy("uuid")
+            .agg(F.max("version").alias("v"))
+            .collect()
+        }
+        hot_counts = {
+            r["uuid"]: r["n"]
+            for r in self.hot.filter(F.col("uuid").isin(ulist))
+            .groupBy("uuid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        return {
+            u: (committed.get(u, VERSION_CREATED), hot_counts.get(u, 0))
+            for u in ulist
+        }
+
+    @_locked
+    def delete_ranges(self, ranges: list[tuple[str, int, int]]) -> dict[str, int]:
+        """Batched V3 (verdict r7 ask #2): commit a batch of (uuid, start,
+        end) tombstones in ONE deletes append + ONE ladder snapshot job
+        per level for all touched (stream, bucket) pairs, so the
+        per-commit fixed cost — which dominates single deletes (~9.6 s per
+        stream at 100 M pts) — is paid once per batch.
+
+        Reference semantics preserved (quasar.go:481-514): each stream
+        gets its OWN new version; multiple ranges for one uuid in a batch
+        commit together at that stream's single new version (equivalent to
+        the reference's per-call bump for visibility: every tombstone in
+        the batch is at-or-before the stream's returned version). Streams
+        with buffered points are flushed first, per stream (buffered
+        streams are rare in the compliance-batch shape).
+
+        Returns {uuid: new_major}.
+        """
+        for u, s, e in ranges:
+            if not (MIN_TIME <= s < e <= MAX_INSERT_TIME):
+                raise ValueError(f"bad delete range [{s}, {e}) for {u}")
+        if not ranges:
+            return {}
+        uuids = list(dict.fromkeys(u for u, _, _ in ranges))
+        vers = self._stream_versions_multi(uuids)
+        versions: dict[str, int] = {}
+        for u in uuids:
+            major, minor = vers[u]
+            if minor:
+                major, _ = self.flush(u)
+            versions[u] = (
+                VERSION_FIRST_DATA if major == VERSION_CREATED else major + 1
+            )
         self.spark.createDataFrame(
-            [(uuid, start, end, new_major)], DELETES_SCHEMA
-        ).write.mode("append").parquet(self._append_dir("deletes"))
+            [(u, s, e, versions[u]) for u, s, e in ranges], DELETES_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(self._append_dir("deletes"))
         if self.ladder is not None:
             from .operators.raw import apply_deletes
-            from .plans.rollup import invalidate_buckets
+            from .plans.rollup import invalidate_buckets_multi
 
-            live = apply_deletes(self.stream_points(uuid), self.deletes)
-            # append rebase snapshots at the delete's version: historical
-            # reads keep their original partials, reads >= new_major start
-            # from the snapshot (plans/rollup.py apply_rebase)
-            invalidate_buckets(
-                self.ladder, live, uuid, start, end, version=new_major
-            )
-        return new_major
+            # post-delete live view of all touched streams (the new
+            # tombstones are already committed, so apply_deletes sees them)
+            live = apply_deletes(self.points_pruned_multi(uuids), self.deletes)
+            # append rebase snapshots at each stream's delete version:
+            # historical reads keep their original partials, reads >=
+            # new_major start from the snapshot (plans/rollup.py
+            # apply_rebase)
+            invalidate_buckets_multi(self.ladder, live, ranges, versions)
+        return versions
 
     def obliterate(self, uuid: str, defer_gc: bool = False) -> None:
         """S7: tombstone metadata and drop the stream's data.

@@ -791,3 +791,105 @@ def invalidate_buckets(
         if "rebase" in keep.columns:  # r5-era level with inline rebase rows
             recomputed = recomputed.withColumn("rebase", F.lit(False))
         ladder.rewrite_level(pw, lambda df: keep.unionByName(recomputed))
+
+
+def _merged_bucket_windows(
+    ranges: list[tuple[str, int, int]], width: int
+) -> list[tuple[str, int, int]]:
+    """Per-uuid bucket-aligned [lo, hi) windows for a batch of delete
+    ranges, MERGED after expansion: two ranges of one stream whose
+    bucket windows overlap at this level must become one window, or the
+    points-side join below would duplicate rows and double-count the
+    snapshot aggregates."""
+    by: dict[str, list[tuple[int, int]]] = {}
+    for u, s, e in ranges:
+        lo = s - (s % width + width) % width
+        hi = e - (e % width + width) % width + width
+        by.setdefault(u, []).append((lo, hi))
+    out: list[tuple[str, int, int]] = []
+    for u in sorted(by):
+        ivs = sorted(by[u])
+        cs, ce = ivs[0]
+        for s, e in ivs[1:]:
+            if s <= ce:
+                ce = max(ce, e)
+            else:
+                out.append((u, cs, ce))
+                cs, ce = s, e
+        out.append((u, cs, ce))
+    return out
+
+
+def invalidate_buckets_multi(
+    ladder: RollupLadder,
+    points: DataFrame,
+    ranges: list[tuple[str, int, int]],
+    versions: dict[str, int],
+) -> None:
+    """Batched `invalidate_buckets` — the compliance-delete path (verdict
+    r7 ask #2): GDPR/erasure deletes arrive as a batch of (uuid, range)
+    pairs, and the per-commit fixed cost (one snapshot job + one sidecar
+    append PER LADDER LEVEL) must be paid once per batch, not once per
+    stream. Reference semantics are preserved: each stream still gets its
+    OWN new version (quasar.go:481-514), carried in ``versions`` and
+    stamped per-uuid via a broadcast join instead of a literal.
+
+    ``points`` is the post-delete live view of ALL touched streams (the
+    caller composes apply_deletes over a multi-stream pruned read); the
+    per-level work is identical to the single-stream path — one rebase
+    snapshot row per previously-populated touched (uuid, bucket), cnt=0
+    placeholders for emptied buckets, one cnt=0 sentinel per stream — so
+    per-stream marginal cost is the touched-bucket work only.
+    """
+    if not ranges:
+        return
+    spark = ladder.spark
+    vdf = spark.createDataFrame(
+        sorted(versions.items()), "uuid string, version long"
+    )
+    for pw in ladder.levels:
+        width = 1 << pw
+        rng = spark.createDataFrame(
+            _merged_bucket_windows(ranges, width), "uuid string, lo long, hi long"
+        )
+        existing = (
+            ladder.read_level(pw)
+            .join(F.broadcast(rng), "uuid")
+            .filter(
+                (F.col("bucket_start") >= F.col("lo"))
+                & (F.col("bucket_start") < F.col("hi"))
+            )
+            .select("uuid", "bucket_start")
+            .distinct()
+        )
+        src = (
+            points.join(F.broadcast(rng), "uuid")
+            .filter((F.col("time") >= F.col("lo")) & (F.col("time") < F.col("hi")))
+            .select("uuid", "time", "value")
+        )
+        snap = rollup_points(src, pw, versioned=False)
+        full = (
+            existing.join(snap, ["uuid", "bucket_start"], "left")
+            .join(F.broadcast(vdf), "uuid")
+            .select(
+                "uuid",
+                "bucket_start",
+                F.col("version").cast("long").alias("version"),
+                F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+                F.col("vmin"),
+                F.col("vmax"),
+                F.coalesce(F.col("vsum"), F.lit(0).cast(DEC)).alias("vsum"),
+                F.lit(True).alias("rebase"),
+            )
+        )
+        sentinels = spark.createDataFrame(
+            [
+                (u, REBASE_SENTINEL_BUCKET, int(v), 0, None, None, None, True)
+                for u, v in sorted(versions.items())
+            ],
+            f"uuid string, bucket_start long, version long, cnt long, "
+            f"vmin double, vmax double, vsum {DEC}, rebase boolean",
+        ).withColumn("vsum", F.coalesce(F.col("vsum"), F.lit(0).cast(DEC)))
+        full.unionByName(sentinels).coalesce(1).write.mode("append").parquet(
+            ladder.store.current_dir(ladder.base, ladder._rb_name(pw), create=True)
+        )

@@ -226,6 +226,14 @@ class BTrDBService:
         v = self.engine.delete_range(req["uuid"], int(req["start"]), int(req["end"]))
         return {"versionMajor": v}, None
 
+    def rpc_DeleteRanges(self, req: dict):
+        """Batched DeleteRange (compliance-delete shape): one commit for a
+        list of {uuid, start, end}; each stream gets its own new version."""
+        vers = self.engine.delete_ranges(
+            [(r["uuid"], int(r["start"]), int(r["end"])) for r in req["ranges"]]
+        )
+        return {"versions": vers}, None
+
     def rpc_Obliterate(self, req: dict):
         self.engine.obliterate(req["uuid"], defer_gc=bool(req.get("deferGc", False)))
         return {}, None

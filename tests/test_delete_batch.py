@@ -1,0 +1,126 @@
+"""Batched delete_ranges (verdict r7 ask #2): one tombstone append + one
+ladder snapshot job per level for a whole (uuid, range) batch, with each
+stream keeping its OWN new version (quasar.go:481-514 semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from btrdb_spark.engine import BTrDBEngine
+from btrdb_spark.operators.windows import aligned_windows
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return BTrDBEngine(spark, str(tmp_path / "db"), flush_threshold=10**9, ladder=True)
+
+
+def _key(df):
+    return {
+        r["bucket_start"]: (r["cnt"], r["vmin"], r["vmean"], r["vmax"])
+        for r in df.collect()
+    }
+
+
+def _raw_answer(engine, u, pw):
+    pts, dels = engine._queryable(None, u)
+    return aligned_windows(pts, u, -(1 << 45), 1 << 61, pw, deletes=dels)
+
+
+def _seed(engine, names):
+    out = {}
+    for name in names:
+        u = engine.create_stream(f"batch/{name}")
+        pts = [(i * (1 << 18), float((i * 7) % 97)) for i in range(2000)]
+        engine.insert(u, pts, sync=True)
+        out[name] = u
+    return out
+
+
+def test_batch_versions_are_per_stream(engine):
+    us = _seed(engine, ["a", "b", "c"])
+    # give stream b an extra committed version so majors diverge
+    engine.insert(us["b"], [((1 << 40), 5.0)], sync=True)
+    before = {n: engine.stream_version(u)[0] for n, u in us.items()}
+    vers = engine.delete_ranges(
+        [
+            (us["a"], 1 << 24, 1 << 27),
+            (us["b"], 1 << 23, 1 << 26),
+            (us["c"], 1 << 25, 1 << 28),
+        ]
+    )
+    for n, u in us.items():
+        assert vers[u] == before[n] + 1
+        assert engine.stream_version(u)[0] == vers[u]
+
+
+def test_batch_matches_sequential_single_deletes(spark, tmp_path):
+    """The batch commit and N sequential delete_range calls must produce
+    identical post-delete reads (raw and ladder) for every stream."""
+    e1 = BTrDBEngine(spark, str(tmp_path / "seq"), flush_threshold=10**9, ladder=True)
+    e2 = BTrDBEngine(spark, str(tmp_path / "bat"), flush_threshold=10**9, ladder=True)
+    us1, us2 = _seed(e1, ["a", "b"]), _seed(e2, ["a", "b"])
+    cuts = {"a": (1 << 24, 1 << 27), "b": (1 << 23, 1 << 26)}
+    for n, (s, e) in cuts.items():
+        e1.delete_range(us1[n], s, e)
+    e2.delete_ranges([(us2[n], s, e) for n, (s, e) in cuts.items()])
+    for n in cuts:
+        raw1 = sorted(
+            (r["time"], r["value"])
+            for r in e1.raw_values(us1[n], -(1 << 45), 1 << 61).collect()
+        )
+        raw2 = sorted(
+            (r["time"], r["value"])
+            for r in e2.raw_values(us2[n], -(1 << 45), 1 << 61).collect()
+        )
+        assert raw1 == raw2 and raw1
+        lad1 = e1.aligned_windows(us1[n], -(1 << 45), 1 << 61, pw=26)
+        lad2 = e2.aligned_windows(us2[n], -(1 << 45), 1 << 61, pw=26)
+        assert "vsum" in lad2._jdf.queryExecution().executedPlan().toString()
+        assert _key(lad1) == _key(lad2) == _key(_raw_answer(e2, us2[n], 26))
+
+
+def test_batch_multiple_ranges_one_stream_single_version(engine):
+    us = _seed(engine, ["m"])
+    u = us["m"]
+    v0 = engine.stream_version(u)[0]
+    # two disjoint ranges plus one overlapping the first — all commit at
+    # ONE new version for the stream
+    vers = engine.delete_ranges(
+        [(u, 1 << 22, 1 << 24), (u, 1 << 26, 1 << 27), (u, (1 << 23), 1 << 25)]
+    )
+    assert vers == {u: v0 + 1}
+    got = engine.aligned_windows(u, -(1 << 45), 1 << 61, pw=26)
+    assert _key(got) == _key(_raw_answer(engine, u, 26))
+    # at-version read BEFORE the batch still sees everything
+    pre = engine.aligned_windows(u, -(1 << 45), 1 << 61, pw=26, version=v0)
+    assert sum(c for c, *_ in _key(pre).values()) == 2000
+
+
+def test_batch_flushes_buffered_streams(engine):
+    us = _seed(engine, ["f"])
+    u = us["f"]
+    engine.insert(u, [((1 << 24) + 3, 123.0)])  # buffered, in delete range
+    assert engine.stream_version(u)[1] == 1
+    engine.delete_ranges([(u, 1 << 24, 1 << 25)])
+    vals = [r["value"] for r in engine.raw_values(u, -(1 << 45), 1 << 61).collect()]
+    assert 123.0 not in vals
+    assert engine.stream_version(u)[1] == 0
+
+
+def test_batch_unknown_stream_rejected_atomically(engine):
+    us = _seed(engine, ["x"])
+    u = us["x"]
+    v0 = engine.stream_version(u)[0]
+    with pytest.raises(KeyError):
+        engine.delete_ranges([(u, 0, 1 << 20), ("nope", 0, 1 << 20)])
+    # nothing committed for the valid stream either
+    assert engine.stream_version(u)[0] == v0
+
+
+def test_batch_bad_range_rejected(engine):
+    us = _seed(engine, ["y"])
+    with pytest.raises(ValueError):
+        engine.delete_ranges([(us["y"], 10, 10)])
+    assert engine.delete_ranges([]) == {}

