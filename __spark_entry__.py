@@ -1665,8 +1665,12 @@ def q_lsh_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Recall/precision of the MinHash-LSH pair set against the exact
     n-gram-Jaccard pair set at the same threshold — the dedup-stack
     gauge (functions/dedup.py lsh_recall_audit; oracle composes the two
-    pair oracles verbatim)."""
-    return dedup.lsh_recall_audit(load_table(spark, sf, "documents"))
+    pair oracles verbatim). sample_mod=2: both legs run on the
+    deterministic md5 doc-sample (verdict r7 ask #3 — the exact leg is
+    the quadratic shape, and a recall gauge should run on a sample; the
+    docstring states the 100 TB sampling contract)."""
+    return dedup.lsh_recall_audit(load_table(spark, sf, "documents"),
+                                  sample_mod=2)
 
 
 def q_session_window_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -1982,7 +1986,7 @@ def oracle_sql() -> dict[str, str]:
         JOIN customer c ON o.o_custkey = c.c_custkey
         ORDER BY totalprice DESC, o.o_orderkey LIMIT 100
     """
-    oracles["lsh_recall_audit"] = _dd7.lsh_recall_audit_oracle_sql()
+    oracles["lsh_recall_audit"] = _dd7.lsh_recall_audit_oracle_sql(sample_mod=2)
     from btrdb_spark.functions import multimodal as _mm7
 
     oracles["wav_rms_windows"] = _mm7.wav_rms_windows_oracle_sql(window_frames=50)
