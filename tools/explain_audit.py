@@ -371,10 +371,16 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "partial_sum"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
     ),
-    # r7: outer join + two partial-agg'd groupBys
+    # r8 (verdict r7 ask #4): orders pre-aggregated to a per-custkey
+    # count table BEFORE the left join — the join input is the
+    # aggregate, never raw orders. Structural proxy: the pre-join count
+    # is a partial_count, and NO partial_sum may appear (the old
+    # join-then-aggregate shape counted orders via sum(CASE ...) over
+    # the join output).
     "tpch_q13": (
         ["partial_count"],
-        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
+         "partial_sum"],
     ),
     # r7: Arrow kernel for the hash only; banding/verify are JVM equi-join
     # + bit_count — never row-at-a-time Python, never a nested loop
