@@ -187,6 +187,30 @@ def _make_update_event_time(gap: int):
     return _update
 
 
+def streaming_session_window_stats(
+    stream_df: DataFrame, gap_ns: int = 1_800_000_000_000,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """The batch `session_window_stats` aggregation run STATEFUL (verdict
+    r7 ask #5): builds the µs-truncated ts column, attaches the event-time
+    watermark, and applies the IDENTICAL `session_window_agg` expression
+    from functions/analytics.py — n_types is size(collect_set(...)) in
+    both modes, so every aggregate is streaming-legal. Sink in APPEND
+    mode: a session row is emitted exactly once, when the watermark
+    passes its close; closed rows are bit-equal to the batch query's rows
+    for the same events (tests/test_streaming_session_window.py).
+    """
+    from ..functions.analytics import session_window_agg
+
+    keyed = stream_df.select(
+        "user_id",
+        F.timestamp_micros(F.expr("time_ns div 1000")).alias("ts"),
+        "event_type",
+        "value",
+    ).withWatermark("ts", watermark_delay)
+    return session_window_agg(keyed, gap_ns)
+
+
 def live_sessions_event_time(
     stream_df: DataFrame, gap: int, watermark_delay: str = "0 seconds"
 ) -> DataFrame:
