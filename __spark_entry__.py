@@ -1690,6 +1690,183 @@ def q_session_window_stats(spark: SparkSession, sf: str) -> DataFrame:
     return analytics.session_window_stats(events_with_time_ns(spark, sf))
 
 
+# =====================  r8 additions  =====================
+
+# batch tombstones for the compliance-delete fixture: multiple ranges per
+# stream (overlapping on '7', disjoint on '3'), per-stream versions —
+# the delete_ranges(list) commit shape (engine.py:delete_ranges)
+BATCH_DELETES = [
+    ("7", T0 + 10 * DAY, T0 + 15 * DAY, 13),
+    ("7", T0 + 14 * DAY, T0 + 18 * DAY, 13),
+    ("12", T0 + 2 * DAY, T0 + 4 * DAY, 12),
+    ("3", T0 + 1 * DAY, T0 + 2 * DAY, 11),
+    ("3", T0 + 20 * DAY, T0 + 22 * DAY, 11),
+]
+
+BATCH_DELETES_SQL = (
+    "(SELECT * FROM (VALUES "
+    + ", ".join(f"('{u}', {s}, {e}, {v})" for u, s, e, v in BATCH_DELETES)
+    + ") AS d(uuid, del_start, del_end, del_version))"
+)
+
+
+def q_raw_values_after_batch_delete(spark: SparkSession, sf: str) -> DataFrame:
+    """V3 batch shape (verdict r7 ask #2): raw read at version 14 against
+    a BATCH of tombstones — several ranges per stream, overlapping and
+    disjoint, committed at per-stream versions, exactly what
+    engine.delete_ranges(list) writes in one commit. Points hidden iff
+    some tombstone covers their time with point.version <= del_version
+    <= read version (operators/raw.py apply_deletes)."""
+    dels = spark.createDataFrame(
+        BATCH_DELETES, "uuid string, start long, end long, version long"
+    )
+    return raw_ops.raw_values(
+        events_as_points(spark, sf), None, T0, T1, version=14, deletes=dels
+    )
+
+
+def q_ks_value_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample KS drift per event_type between the first and second
+    half of January — integer-exact supremum, one final division
+    (functions/analytics.py ks_value_drift)."""
+    from btrdb_spark.functions import analytics
+
+    return analytics.ks_value_drift(
+        events_with_time_ns(spark, sf), split_ns=T0 + 15 * DAY
+    )
+
+
+def q_acf_daily_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily-count autocorrelation at lags 1-3 per event_type — integer-
+    exact mean-centering (scaled by n), one final division
+    (functions/analytics.py acf_daily_counts)."""
+    from btrdb_spark.functions import analytics
+
+    return analytics.acf_daily_counts(events_with_time_ns(spark, sf), max_lag=3)
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer fertility (subwords per word) + chars-per-word per
+    language — integer sums, final divisions (functions/text.py)."""
+    return text.tokenizer_fertility_by_lang(load_table(spark, sf, "documents"))
+
+
+def q_gini_source_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of per-source doc counts — the corpus
+    concentration gauge (functions/text.py gini_source_concentration)."""
+    return text.gini_source_concentration(load_table(spark, sf, "documents"))
+
+
+def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shipping priority: BUILDING-segment orders placed before
+    1996-07-01 with lineitems shipped after it, top 10 by revenue. The
+    plan a 100 TB star wants: customer (filtered, broadcast) prunes
+    orders, the one real shuffle is orders->lineitem on orderkey, the
+    aggregate groups on the join key so it rides the same exchange."""
+    cutoff = F.lit("1996-07-01").cast("timestamp")
+    cust = load_table(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < cutoff
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > cutoff
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            ).cast("double").alias("revenue")
+        )
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 order-priority checking, ADAPTED to the fixture schema
+    (lineitem carries no commitdate/receiptdate): count 1996-Q3 orders
+    per priority having at least one lineitem shipped more than 90 days
+    after the order date. Same plan shape as the real Q4: the EXISTS
+    becomes a left-semi join of orders against lineitem on orderkey with
+    the lateness predicate, then a tiny keyed count."""
+    orders = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 volume shipping between NATION_1 and NATION_2 (both
+    directions) by ship year: nation/customer/supplier broadcast dims,
+    the one real shuffle is orders->lineitem on orderkey, decimal-exact
+    revenue."""
+    nation = load_table(spark, sf, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    supp = load_table(spark, sf, "supplier").join(
+        F.broadcast(nation.select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    cust = load_table(spark, sf, "customer").join(
+        F.broadcast(nation.select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+        )),
+        F.col("c_nationkey") == F.col("cn_key"),
+    ).select("c_custkey", "cust_nation")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            ).cast("double").alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
 def q_knn_label_consistency(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding label-quality eval: exact top-5 cosine neighbors vote
     on each probe's label (ties -> smaller label), per-label accuracy —
@@ -1797,6 +1974,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only the first 50 of 78 were certified; those 28 lead here. New
     # queries should be inserted near the top for the same reason.
     return {
+        # r8 head: new rows lead so the driver's gate window certifies
+        # them immediately.
+        "raw_values_after_batch_delete": q_raw_values_after_batch_delete,
+        "ks_value_drift": q_ks_value_drift,
+        "acf_daily_counts": q_acf_daily_counts,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "gini_source_concentration": q_gini_source_concentration,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q7": q_tpch_q7,
         # r7 head: new rows lead so the driver's gate window certifies
         # them immediately.
         "wav_rms_windows": q_wav_rms_windows,
@@ -1996,6 +2183,70 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY totalprice DESC, o.o_orderkey LIMIT 100
     """
     oracles["lsh_recall_audit"] = _dd7.lsh_recall_audit_oracle_sql(sample_mod=2)
+
+    # ---- r8 oracles ----
+    from btrdb_spark.functions import analytics as _an8
+    from btrdb_spark.functions import text as _tx8
+
+    oracles["raw_values_after_batch_delete"] = f"""
+        SELECT p.uuid, p.time, p.value FROM {PTS} p
+        WHERE p.version <= 14 AND p.time >= {T0} AND p.time < {T1}
+          AND NOT EXISTS (
+            SELECT 1 FROM {BATCH_DELETES_SQL} d
+            WHERE d.del_version <= 14 AND d.uuid = p.uuid
+              AND p.time >= d.del_start AND p.time < d.del_end
+              AND p.version <= d.del_version)
+        ORDER BY p.uuid, p.time, p.value
+    """
+    oracles["ks_value_drift"] = _an8.ks_value_drift_oracle_sql(
+        split_ns=T0 + 15 * DAY
+    )
+    oracles["acf_daily_counts"] = _an8.acf_daily_counts_oracle_sql(max_lag=3)
+    oracles["tokenizer_fertility"] = _tx8.tokenizer_fertility_oracle_sql()
+    oracles["gini_source_concentration"] = _tx8.gini_source_oracle_sql()
+    oracles["tpch_q3"] = """
+        SELECT l.l_orderkey AS orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1996-07-01'
+          AND l.l_shipdate > TIMESTAMP '1996-07-01'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, orderkey ASC LIMIT 10
+    """
+    oracles["tpch_q4"] = """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o.o_orderdate < TIMESTAMP '1996-10-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+    oracles["tpch_q7"] = """
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+          AND cn.n_name IN ('NATION_1', 'NATION_2')
+          AND sn.n_name != cn.n_name
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """
     from btrdb_spark.functions import multimodal as _mm7
 
     oracles["wav_rms_windows"] = _mm7.wav_rms_windows_oracle_sql(window_frames=50)

@@ -618,3 +618,208 @@ def session_window_oracle_sql(gap_ns: int = 1_800_000_000_000) -> str:
         FROM grp GROUP BY user_id, sid
         ORDER BY user_id, session_start_ns
     """
+
+
+# ------------------------------------------------------------ drift (r8)
+
+
+def ks_value_drift(events_ns: DataFrame, split_ns: int) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift gauge per event_type: the KS
+    statistic between the value distributions BEFORE and AFTER
+    ``split_ns`` — the standard "did this metric's distribution move?"
+    monitor for a telemetry stream or a training-data feature.
+
+    Integer-exact: the supremum is computed over the UNSCALED integer
+    gap |c1_le*n2 - c2_le*n1| (c*_le = cumulative counts at each value,
+    RANGE frame so ties collapse correctly) and divided by n1*n2 ONCE at
+    the end — no per-step float CDFs to drift between engines. Types
+    with an empty half are dropped (no distribution to compare).
+
+    Scale: one window pass partitioned by event_type ordered by value —
+    the same shuffle a per-type sort costs, state O(1) per row. The max
+    and the final division are a per-type aggregate.
+
+    Output: (event_type, n_first, n_second, ks_stat), ordered by type.
+    """
+    e = events_ns.select(
+        "event_type",
+        "value",
+        F.when(F.col("time_ns") < split_ns, 1).otherwise(0).alias("h1"),
+        F.when(F.col("time_ns") >= split_ns, 1).otherwise(0).alias("h2"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("event_type")
+    cum = e.select(
+        "event_type",
+        F.sum("h1").over(w).alias("c1"),
+        F.sum("h2").over(w).alias("c2"),
+        F.sum("h1").over(wp).alias("n1"),
+        F.sum("h2").over(wp).alias("n2"),
+    )
+    agg = (
+        cum.filter((F.col("n1") > 0) & (F.col("n2") > 0))
+        .groupBy("event_type")
+        .agg(
+            F.max("n1").alias("n_first"),
+            F.max("n2").alias("n_second"),
+            F.max(
+                F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+            ).alias("gap"),
+        )
+    )
+    return agg.select(
+        "event_type",
+        "n_first",
+        "n_second",
+        (
+            F.col("gap").cast("double")
+            / (F.col("n_first") * F.col("n_second")).cast("double")
+        ).alias("ks_stat"),
+    ).orderBy("event_type")
+
+
+def ks_value_drift_oracle_sql(split_ns: int) -> str:
+    return f"""
+        WITH e AS (
+            SELECT event_type, value,
+                   CASE WHEN epoch_ns(ts) < {split_ns} THEN 1 ELSE 0 END AS h1,
+                   CASE WHEN epoch_ns(ts) >= {split_ns} THEN 1 ELSE 0 END AS h2
+            FROM events
+        ), cum AS (
+            SELECT event_type,
+                   SUM(h1) OVER (PARTITION BY event_type ORDER BY value
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+                   SUM(h2) OVER (PARTITION BY event_type ORDER BY value
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+                   SUM(h1) OVER (PARTITION BY event_type) AS n1,
+                   SUM(h2) OVER (PARTITION BY event_type) AS n2
+            FROM e
+        ), agg AS (
+            SELECT event_type,
+                   MAX(n1) AS n_first, MAX(n2) AS n_second,
+                   MAX(ABS(c1 * n2 - c2 * n1)) AS gap
+            FROM cum WHERE n1 > 0 AND n2 > 0
+            GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(n_first AS BIGINT) AS n_first,
+               CAST(n_second AS BIGINT) AS n_second,
+               CAST(gap AS DOUBLE) / CAST(n_first * n_second AS DOUBLE)
+                   AS ks_stat
+        FROM agg ORDER BY event_type
+    """
+
+
+# ------------------------------------------------- autocorrelation (r8)
+
+
+def acf_daily_counts(events_ns: DataFrame, max_lag: int = 3) -> DataFrame:
+    """Autocorrelation of DAILY EVENT COUNTS per event_type at lags
+    1..max_lag — the periodicity probe (is load yesterday predictive of
+    load today? is there a weekly echo?) every capacity model starts
+    from.
+
+    Integer-exact: with daily counts c_t (integers), mean-centered
+    products are scaled by n so every term stays integral —
+    r_k = Σ(n·c_t − S)(n·c_{t+k} − S) / Σ(n·c_t − S)², S = Σc — and the
+    single IEEE division happens on two exact int64 sums (domain: n ≤
+    season days, n·c < 2^40 at any realistic daily volume). Lag pairs
+    come from an equi-join on day+lag over the DAILY table (days x lags
+    rows per type, not data-sized); days missing from the data are
+    simply absent pairs (documented — counts tables from dense telemetry
+    have no holes).
+
+    Output: (event_type, lag, n_days, n_pairs, acf), ordered.
+    """
+    day = F.expr(f"time_ns div {DAY_NS}").cast("long")
+    daily = (
+        events_ns.select("event_type", day.alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
+    )
+    d = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type", "day", "n", "s",
+        (F.col("n") * F.col("c") - F.col("s")).alias("dev"),
+    )
+    lags = daily.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    # (day, lag) grid fans out via a tiny broadcast cross (the
+    # spectral_power grid shape), then pairs form by EQUI-join on
+    # (event_type, day + lag) — days x lags rows per type, never a
+    # days x days explosion
+    a = (
+        d.select("event_type", "day", "n", F.col("dev").alias("dev_a"))
+        .crossJoin(F.broadcast(lags))
+        .withColumn("day_b", F.col("day") + F.col("lag"))
+    )
+    b = d.select(
+        "event_type", F.col("day").alias("day_b"), F.col("dev").alias("dev_b")
+    )
+    pairs = a.join(b, ["event_type", "day_b"])
+    num = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("dev_a") * F.col("dev_b")).alias("num"),
+        F.max("n").alias("n_days"),
+    )
+    den = d.groupBy("event_type").agg(
+        F.sum(F.col("dev") * F.col("dev")).alias("den")
+    )
+    return (
+        num.join(F.broadcast(den), "event_type")
+        .filter(F.col("den") > 0)
+        .select(
+            "event_type",
+            "lag",
+            "n_days",
+            "n_pairs",
+            (F.col("num").cast("double") / F.col("den").cast("double")).alias(
+                "acf"
+            ),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+def acf_daily_counts_oracle_sql(max_lag: int = 3) -> str:
+    return f"""
+        WITH daily AS (
+            SELECT event_type, epoch_ns(ts) // {DAY_NS} AS day,
+                   COUNT(*) AS c
+            FROM events GROUP BY 1, 2
+        ), tot AS (
+            SELECT event_type, COUNT(*) AS n, SUM(c) AS s
+            FROM daily GROUP BY 1
+        ), d AS (
+            SELECT daily.event_type, day, n, s, n * c - s AS dev
+            FROM daily JOIN tot USING (event_type)
+        ), lags AS (
+            SELECT UNNEST(range(1, {max_lag + 1})) AS lag
+        ), pairs AS (
+            SELECT a.event_type, l.lag, a.n,
+                   a.dev AS dev_a, b.dev AS dev_b
+            FROM d a CROSS JOIN lags l
+            JOIN d b ON b.event_type = a.event_type
+                    AND b.day = a.day + l.lag
+        ), num AS (
+            SELECT event_type, lag, COUNT(*) AS n_pairs,
+                   SUM(dev_a * dev_b) AS num, MAX(n) AS n_days
+            FROM pairs GROUP BY 1, 2
+        ), den AS (
+            SELECT event_type, SUM(dev * dev) AS den FROM d GROUP BY 1
+        )
+        SELECT event_type, CAST(lag AS BIGINT) AS lag,
+               CAST(n_days AS BIGINT) AS n_days,
+               CAST(n_pairs AS BIGINT) AS n_pairs,
+               CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS acf
+        FROM num JOIN den USING (event_type)
+        WHERE den > 0
+        ORDER BY event_type, lag
+    """

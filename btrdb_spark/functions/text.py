@@ -1206,3 +1206,134 @@ def collocations_oracle_sql(k: int = 30, min_count: int = 5) -> str:
                CAST(c_y AS BIGINT) AS c_y, lift
         FROM scored ORDER BY lift DESC, bigram ASC LIMIT {k}
     """
+
+
+# ------------------------------------------------------------------ r8
+
+
+def tokenizer_fertility_by_lang(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer-fertility profile per language: whitespace tokens,
+    BPE-ish subword estimate (the token_counts len/4 heuristic), and the
+    fertility ratio (subwords per word) plus chars-per-word — the
+    pre-training readout that tells you which languages your tokenizer
+    over-fragments (fertility >> 1 means the context window buys fewer
+    words there).
+
+    Integer sums per language with single IEEE divisions at the end —
+    one scan, one keyed groupBy (lang cardinality output). The corpus
+    lang column is the grouping key (swap in lang_id for unlabeled
+    corpora).
+
+    Output: (lang, n_docs, n_tokens, n_bpe, fertility, chars_per_token),
+    ordered by lang.
+    """
+    toks = _tokens(F.col(text_col))
+    per_doc = documents.select(
+        "lang",
+        F.size(toks).cast("long").alias("nt"),
+        (F.length(F.col(text_col)) / F.lit(4)).cast("long").alias("nb"),
+        F.length(F.col(text_col)).cast("long").alias("nc"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("n_tokens"),
+        F.sum("nb").alias("n_bpe"),
+        F.sum("nc").alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_bpe",
+        (F.col("n_bpe").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "fertility"
+        ),
+        (
+            F.col("n_chars").cast("double") / F.col("n_tokens").cast("double")
+        ).alias("chars_per_token"),
+    ).orderBy("lang")
+
+
+def tokenizer_fertility_oracle_sql() -> str:
+    return """
+        WITH per_doc AS (
+            SELECT lang,
+                   len(string_split(text, ' ')) AS nt,
+                   CAST(length(text) // 4 AS BIGINT) AS nb,
+                   length(text) AS nc
+            FROM documents
+        ), agg AS (
+            SELECT lang, COUNT(*) AS n_docs, SUM(nt) AS n_tokens,
+                   SUM(nb) AS n_bpe, SUM(nc) AS n_chars
+            FROM per_doc GROUP BY lang
+        )
+        SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_bpe AS BIGINT) AS n_bpe,
+               CAST(n_bpe AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS fertility,
+               CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                   AS chars_per_token
+        FROM agg ORDER BY lang
+    """
+
+
+def gini_source_concentration(documents: DataFrame) -> DataFrame:
+    """Gini coefficient of the corpus's per-source document counts — the
+    one-number concentration gauge (0 = every source contributes equally,
+    →1 = one crawl dominates) that a mixture designer watches before
+    setting sampling weights.
+
+    Exact arithmetic: counts are integers, sources are ranked ascending
+    by (count, source) — the deterministic tie-break — and
+    G = 2·Σ(rank·c) / (n·Σc) − (n+1)/n is two IEEE divisions and one
+    subtraction of exact int64 aggregates, identical in both engines.
+
+    Scale: one keyed groupBy (source cardinality output) plus a window
+    over the SOURCE table (thousands of rows at worst — the single
+    partition it implies is source-sized, never data-sized).
+
+    Output: one row (n_sources, n_docs, gini).
+    """
+    from pyspark.sql import Window
+
+    counts = documents.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("c", "source")
+    ranked = counts.withColumn("i", F.row_number().over(w))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("c").alias("n_docs"),
+        F.sum(F.col("i") * F.col("c")).alias("ic"),
+    )
+    return agg.select(
+        "n_sources",
+        "n_docs",
+        (
+            (F.lit(2.0) * F.col("ic").cast("double"))
+            / (F.col("n_sources") * F.col("n_docs")).cast("double")
+            - (F.col("n_sources") + 1).cast("double")
+            / F.col("n_sources").cast("double")
+        ).alias("gini"),
+    )
+
+
+def gini_source_oracle_sql() -> str:
+    return """
+        WITH counts AS (
+            SELECT source, COUNT(*) AS c FROM documents GROUP BY source
+        ), ranked AS (
+            SELECT c, ROW_NUMBER() OVER (ORDER BY c, source) AS i FROM counts
+        ), agg AS (
+            SELECT COUNT(*) AS n_sources, SUM(c) AS n_docs,
+                   SUM(i * c) AS ic
+            FROM ranked
+        )
+        SELECT CAST(n_sources AS BIGINT) AS n_sources,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               (2.0 * CAST(ic AS DOUBLE))
+                   / CAST(n_sources * n_docs AS DOUBLE)
+               - CAST(n_sources + 1 AS DOUBLE) / CAST(n_sources AS DOUBLE)
+                   AS gini
+        FROM agg
+    """

@@ -21,6 +21,55 @@ SF_DIR = "/root/testdata/sf0.1"
 
 # query -> (must_contain, must_not_contain) fragments of the formatted plan
 RULES: dict[str, tuple[list[str], list[str]]] = {
+    # r8: batch-tombstone anti-join stays a broadcast (tombstones are a
+    # tiny dim), never a nested loop over points x tombstones rows
+    "raw_values_after_batch_delete": (
+        [],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
+    # r8: cumulative-CDF window partitioned by event_type; all counts
+    # integer, no Python, no pair explosion
+    "ks_value_drift": (
+        ["Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # r8: daily reduction first (partial_count), lag pairs by EQUI-join
+    # on (event_type, day+lag); the 3-row lag grid broadcast-fans (the
+    # spectral_power grid shape) — days x days explosion forbidden via
+    # the equi-join requirement on day_b
+    "acf_daily_counts": (
+        ["partial_count", "day_b"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
+    # r8: customer dim broadcast, decimal revenue partial-agg'd on the
+    # join key; the one shuffle is orders->lineitem
+    "tpch_q3": (
+        ["BroadcastHashJoin", "partial_sum"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # r8: the EXISTS is a LEFT-SEMI join (each order tested once), never
+    # an inner join that would duplicate orders per matching lineitem
+    "tpch_q4": (
+        ["LeftSemi", "partial_count"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # r8: nation-tagged supplier/customer dims broadcast; the one real
+    # shuffle is orders->lineitem on orderkey
+    "tpch_q7": (
+        ["BroadcastHashJoin", "partial_sum"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # r8: one keyed groupBy, integer partial sums, no joins
+    "tokenizer_fertility": (
+        ["partial_sum"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # r8: source-sized window (bounded single partition is by design,
+    # the value_quantile_sketch precedent), counts partial-agg'd
+    "gini_source_concentration": (
+        ["Window", "partial_count"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
     # fixture adapter truncates ts -> µs (oracle parity), which blocks scan
     # pushdown there; the engine-native layout is audited separately below
     "raw_values": ([], ["Exchange hashpartitioning"]),
