@@ -1967,13 +1967,37 @@ def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     return dd.ngram_novelty(load_table(spark, sf, "documents"), n=3)
 
 
+# Rotation block (r8, verdict r7 ask #8): the driver's gate window covers
+# roughly the first 50 entries, so entries certified ONLY in early rounds
+# age without re-checks. Each round the block below pulls the ~40 entries
+# with the OLDEST driver row up behind the new-query head, so every
+# query's driver certification stays a few rounds fresh. This r8 list is
+# the r1-r3-certified core surface (raw/windows/metadata/CSV/ANN/dedup).
+ROTATION_R8 = [
+    "corpus_clean", "align_multistream", "aligned_windows",
+    "aligned_windows_at_version_via_rollup", "aligned_windows_via_rollup",
+    "ann_ivf_topk", "ann_lsh_multiprobe_topk", "ann_lsh_topk",
+    "asof_join_backward", "asof_join_chunked", "changed_ranges",
+    "collection_rollup", "cosine_topk", "csv_raw", "csv_windows",
+    "csv_windows_arb", "dedup_exact", "embedding_neardup_pairs",
+    "find_gaps", "fingerprint", "frame_sample", "key_usage",
+    "key_usage_prefix", "label_centroids", "lang_id", "list_collections",
+    "lookup_streams", "lookup_streams_ann", "minhash_lsh_pairs",
+    "multimodal_features", "nearest_after", "nearest_before",
+    "ngram_jaccard_pairs", "ppm_decode_features", "ppm_resize_exact",
+    "raw_values", "raw_values_after_delete", "raw_values_at_version",
+    "resize", "segment_revenue", "semantic_dedup", "sessionize",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness gate walks this dict in
     # insertion order and may not reach the tail in one round, so entries
     # that have never received a driver CORRECTNESS row come FIRST — in r2
     # only the first 50 of 78 were certified; those 28 lead here. New
-    # queries should be inserted near the top for the same reason.
-    return {
+    # queries are inserted at the top, followed by the ROTATION_R8 block
+    # of stalest-certified entries (see above).
+    base = {
         # r8 head: new rows lead so the driver's gate window certifies
         # them immediately.
         "raw_values_after_batch_delete": q_raw_values_after_batch_delete,
@@ -2156,6 +2180,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_backward": q_asof_join_backward,
         "asof_join_chunked": q_asof_join_chunked,
     }
+    # new-entry head stays first (everything before the r7 marker), then
+    # the rotation block, then the rest in stable order (dict.update of
+    # existing keys does not move them)
+    n_new = 8  # r8 additions lead `base`
+    head = list(base)[:n_new] + ROTATION_R8
+    out = {n: base[n] for n in head}
+    out.update(base)
+    return out
 
 
 # =====================  oracles  =====================
