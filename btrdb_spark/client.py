@@ -107,6 +107,14 @@ class BTrDB:
         )
         return Stream(self.engine, u)
 
+    def delete_ranges(
+        self, ranges: Sequence[tuple[str, int, int]]
+    ) -> dict[str, int]:
+        """Batched range delete across streams (the compliance-erasure
+        shape): one commit for the whole (uuid, start, end) batch, each
+        stream bumped to its own new version — engine.delete_ranges."""
+        return self.engine.delete_ranges(list(ranges))
+
     def generate_csv(
         self,
         streams: Sequence["Stream | str"],

@@ -84,3 +84,14 @@ def test_discovery(conn):
     assert len(conn.streams_in_collection("")) == 3
     assert conn.stream_from_uuid(a.uuid).uuid == a.uuid
     assert conn.info()["n_streams"] == 3
+
+
+def test_batch_delete_via_client(conn):
+    a = conn.create(None, "batch/a")
+    b = conn.create(None, "batch/b")
+    a.insert([(i * NS, float(i)) for i in range(10)], sync=True)
+    b.insert([(i * NS, float(i)) for i in range(10)], sync=True)
+    vers = conn.delete_ranges([(a.uuid, 0, 5 * NS), (b.uuid, 5 * NS, 10 * NS)])
+    assert vers[a.uuid] == 11 and vers[b.uuid] == 11
+    assert [p.time for p in a.values(0, 100 * NS)] == [i * NS for i in range(5, 10)]
+    assert [p.time for p in b.values(0, 100 * NS)] == [i * NS for i in range(5)]
