@@ -1757,6 +1757,17 @@ def q_gini_source_concentration(spark: SparkSession, sf: str) -> DataFrame:
     return text.gini_source_concentration(load_table(spark, sf, "documents"))
 
 
+def q_ann_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-probe IVF recall vs exact cosine top-5 at the registry's own
+    parameters (16 first-n centroids, nprobe=2) — the lsh_recall_audit
+    pattern for the ANN stack (functions/similarity.py
+    ann_recall_audit; oracle composes the two leg oracles verbatim)."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.ann_recall_audit(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=2
+    )
+
+
 def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q3 shipping priority: BUILDING-segment orders placed before
     1996-07-01 with lineitems shipped after it, top 10 by revenue. The
@@ -2008,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q4": q_tpch_q4,
         "tpch_q7": q_tpch_q7,
+        "ann_recall_audit": q_ann_recall_audit,
         # r7 head: new rows lead so the driver's gate window certifies
         # them immediately.
         "wav_rms_windows": q_wav_rms_windows,
@@ -2183,7 +2195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # new-entry head stays first (everything before the r7 marker), then
     # the rotation block, then the rest in stable order (dict.update of
     # existing keys does not move them)
-    n_new = 8  # r8 additions lead `base`
+    n_new = 9  # r8 additions lead `base`
     head = list(base)[:n_new] + ROTATION_R8
     out = {n: base[n] for n in head}
     out.update(base)
@@ -3100,4 +3112,23 @@ def oracle_sql() -> dict[str, str]:
     oracles["repetition_scores"] = text.repetition_oracle_sql()
     oracles["props_extract_stats"] = events_fn.PROPS_EXTRACT_ORACLE
     oracles["event_funnel"] = events_fn.FUNNEL_ORACLE
+    # r8, composed LAST so both leg oracles exist: the lsh_recall_audit
+    # pattern for vector search — the two ANN leg oracles verbatim at
+    # their registry rows' parameters
+    oracles["ann_recall_audit"] = f"""
+        WITH exact_ AS (
+            SELECT query_id, neighbor_id FROM ({oracles["cosine_topk"]})
+        ), ivf_ AS (
+            SELECT query_id, neighbor_id FROM ({oracles["ann_ivf_topk"]})
+        ), j AS (
+            SELECT e.query_id,
+                   CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+            FROM exact_ e LEFT JOIN ivf_ i
+              ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+        )
+        SELECT query_id, COUNT(*) AS n_exact,
+               CAST(SUM(hit) AS BIGINT) AS n_hits,
+               CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+        FROM j GROUP BY query_id ORDER BY query_id
+    """
     return oracles

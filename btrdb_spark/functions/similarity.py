@@ -1959,3 +1959,51 @@ def knn_label_consistency_oracle_sql(k: int = 5, n_probes: int = 50) -> str:
                     AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS accuracy
         FROM pred GROUP BY label ORDER BY label
     """
+
+
+def ann_recall_audit(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-probe recall gauge for the IVF ANN stack (the lsh_recall_audit
+    pattern applied to vector search): the exact top-k cosine set joined
+    against the IVF top-k at identical parameters, integer hit counts,
+    one IEEE division per probe — the deployment dial that says how much
+    the nprobe/n_centroids operating point is actually costing in
+    neighbor recall, measured on the corpus itself.
+
+    At 100 TB both legs bound their scan the same way the base operators
+    do (the exact leg scans corpus x probes with a BROADCAST probe set —
+    size the probe sample accordingly; the IVF leg touches
+    nprobe/n_centroids of the corpus). The audit itself is one
+    (query_id, neighbor_id)-keyed join of two k-bounded sets.
+
+    Output: (query_id, n_exact, n_hits, recall), ordered by query_id.
+    """
+    exact = cosine_topk(corpus, probes, k=k, id_col=id_col, vec_col=vec_col)
+    approx = ann_ivf_topk(
+        corpus, probes, k=k, n_centroids=n_centroids, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+    )
+    j = exact.select("query_id", "neighbor_id").join(
+        approx.select("query_id", "neighbor_id").withColumn("hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    per = j.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+    )
+    return per.select(
+        "query_id",
+        "n_exact",
+        "n_hits",
+        (
+            F.col("n_hits").cast("double") / F.col("n_exact").cast("double")
+        ).alias("recall"),
+    ).orderBy("query_id")

@@ -41,6 +41,14 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         ["partial_count", "day_b"],
         ["CartesianProduct", "BatchEvalPython"],
     ),
+    # r8: both ANN legs bound their scan (broadcast probe set / nprobe
+    # cells); the audit join is keyed on (query_id, neighbor_id). The
+    # exact leg's probe broadcast is a BNLJ by design (the
+    # hybrid_rrf_topk precedent) — CartesianProduct and Python stay out
+    "ann_recall_audit": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
     # r8: customer dim broadcast, decimal revenue partial-agg'd on the
     # join key; the one shuffle is orders->lineitem
     "tpch_q3": (
