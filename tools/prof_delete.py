@@ -108,12 +108,16 @@ def main():
         # (marginal ~ 0) the amortized per-stream cost IS the fixed cost
         # split 16 ways — report both, plus the headline vs sequential.
         marginal = max((bat - one) / 15, 0.0)
+        # cost model: per-stream amortized = fixed/16 + marginal bucket
+        # work. The criterion checks the batch obeys the model within
+        # 25% (i.e. no hidden per-stream commit cost survived batching).
+        model = one / 16 + marginal
         print(
             f"batch delete_ranges: 1-stream {one:.1f}s, 16-stream {bat:.1f}s; "
             f"amortized {bat/16:.2f}s/stream vs sequential ~{one:.1f}s/stream "
             f"({one/(bat/16):.0f}x); marginal bucket work {marginal:.2f}s/stream; "
-            f"per-stream <= max(3x marginal, fixed/16): "
-            f"{bat/16 <= max(3*marginal, one/16) * 1.05}",
+            f"per-stream <= (fixed/16 + marginal) * 1.25: "
+            f"{bat/16 <= model * 1.25} ({bat/16:.2f} vs model {model:.2f})",
             flush=True,
         )
         s = best_of(stat)
