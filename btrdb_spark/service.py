@@ -304,9 +304,36 @@ class BTrDBService:
             req["checkpoint"].rstrip("/") + "_results"
         )
 
+        compact_every = int(req.get("compactEvery", 64))
+
         def _sink(batch_df, epoch_id):
             out = batch_df.withColumn("batch_id", F.lit(int(epoch_id)))
             out.coalesce(1).write.mode("append").parquet(results_dir)
+            # Bound file growth (append-only would accrue one file per
+            # epoch forever): every compact_every epochs, write one
+            # consolidated latest-per-group snapshot stamped with THIS
+            # epoch id, then delete strictly-older files. A concurrent
+            # Poll that already listed a deleted file tolerates it
+            # (ignoreMissingFiles on the read); every row a deleted file
+            # held is covered by the snapshot at an equal-or-newer
+            # batch_id, so latest-per-group resolution is unaffected.
+            if compact_every and int(epoch_id) > 0 and int(epoch_id) % compact_every == 0:
+                import glob as _glob
+                import os as _os
+
+                spark = batch_df.sparkSession
+                old = set(_glob.glob(f"{results_dir}/*.parquet"))
+                full = spark.read.parquet(results_dir).dropDuplicates()
+                mx = full.groupBy("group").agg(F.max("batch_id").alias("batch_id"))
+                snap = full.join(mx, ["group", "batch_id"]).withColumn(
+                    "batch_id", F.lit(int(epoch_id))
+                )
+                snap.coalesce(1).write.mode("append").parquet(results_dir)
+                for f in old:
+                    try:
+                        _os.remove(f)
+                    except OSError:
+                        pass
 
         q = (
             df.writeStream.foreachBatch(_sink)
@@ -333,7 +360,14 @@ class BTrDBService:
         _q, results_dir = ent
         if not _glob.glob(f"{results_dir}/*.parquet"):
             return {"columns": []}, None  # no epoch has landed yet
-        df = self.engine.spark.read.parquet(results_dir).dropDuplicates()
+        # ignoreMissingFiles: the sink's compaction may delete a file
+        # between this read's listing and its scan; every such row is
+        # covered by the compaction snapshot at an equal-or-newer epoch
+        df = (
+            self.engine.spark.read.option("ignoreMissingFiles", "true")
+            .parquet(results_dir)
+            .dropDuplicates()
+        )
         # latest epoch per group, keeping ALL of that epoch's rows (the
         # CMS top-k emits one row per (group, token))
         mx = df.groupBy("group").agg(F.max("batch_id").alias("batch_id"))

@@ -236,6 +236,57 @@ def test_streaming_sketch_rpcs(served, spark, tmp_path):
         cli.call("PollSketch", name="svc_hll")
 
 
+def test_sketch_results_compaction_bounds_files(served, spark, tmp_path):
+    """The foreachBatch sink compacts the results dir every
+    compactEvery epochs to one latest-per-group snapshot, so file count
+    stays bounded while Poll keeps serving the exact estimates."""
+    import glob
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from btrdb_spark.functions import sketches
+
+    _eng, cli = served
+    src = tmp_path / "ck_src"
+    src.mkdir()
+    all_rows = spark.range(500).select(
+        (F.col("id") % 2).cast("string").alias("g"), (F.col("id") % 250).alias("u")
+    )
+    batch = {r["g"]: r for r in sketches.distinct_kmv(all_rows, ["g"], "u", k=64).collect()}
+    # 6 files -> 6 epochs with maxFilesPerTrigger=1; compactEvery=2
+    for i in range(6):
+        all_rows.filter((F.col("u") % 6) == i).coalesce(1).write.parquet(
+            str(src / f"w{i}.parquet")
+        )
+    res_dir = str(tmp_path / "ck_results")
+    cli.call(
+        "StartSketch", kind="kmv", name="svc_kmv_c", path=str(src) + "/*",
+        schema="g string, u long", groupCol="g", keyCol="u", k=64,
+        checkpoint=str(tmp_path / "ck_ckpt"), results=res_dir,
+        maxFilesPerTrigger=1, compactEvery=2,
+    )
+    try:
+        latest: dict = {}
+        deadline = _t.time() + 90
+        while _t.time() < deadline:
+            _meta, got = cli.rows("PollSketch", name="svc_kmv_c")
+            latest = {r["group"]: r for r in got}
+            if set(latest) == {"0", "1"} and all(
+                latest[g]["est_distinct"] == batch[g]["est_distinct"]
+                for g in ("0", "1")
+            ):
+                break
+            _t.sleep(1)
+        for g in ("0", "1"):
+            assert latest[g]["est_distinct"] == batch[g]["est_distinct"]
+        # compaction ran: far fewer files than epochs+snapshots appended
+        n_files = len(glob.glob(f"{res_dir}/*.parquet"))
+        assert n_files <= 4, f"results dir not compacted: {n_files} files"
+    finally:
+        cli.call("StopSketch", name="svc_kmv_c")
+
+
 def test_sketch_poll_survives_restart(served, spark, tmp_path):
     """r7 verdict #6: the results table is durable — after the sketch
     query is killed and restarted with the same checkpoint + results
