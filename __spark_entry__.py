@@ -1757,6 +1757,15 @@ def q_gini_source_concentration(spark: SparkSession, sf: str) -> DataFrame:
     return text.gini_source_concentration(load_table(spark, sf, "documents"))
 
 
+def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences — integer counts from one LEAD window pass, P(to|from) a
+    single division (functions/analytics.py event_transition_matrix)."""
+    from btrdb_spark.functions import analytics
+
+    return analytics.event_transition_matrix(events_with_time_ns(spark, sf))
+
+
 def q_ann_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Per-probe IVF recall vs exact cosine top-5 at the registry's own
     parameters (16 first-n centroids, nprobe=2) — the lsh_recall_audit
@@ -2020,6 +2029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": q_tpch_q4,
         "tpch_q7": q_tpch_q7,
         "ann_recall_audit": q_ann_recall_audit,
+        "event_transitions": q_event_transitions,
         # r7 head: new rows lead so the driver's gate window certifies
         # them immediately.
         "wav_rms_windows": q_wav_rms_windows,
@@ -2195,7 +2205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # new-entry head stays first (everything before the r7 marker), then
     # the rotation block, then the rest in stable order (dict.update of
     # existing keys does not move them)
-    n_new = 9  # r8 additions lead `base`
+    n_new = 10  # r8 additions lead `base`
     head = list(base)[:n_new] + ROTATION_R8
     out = {n: base[n] for n in head}
     out.update(base)
@@ -2248,6 +2258,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["acf_daily_counts"] = _an8.acf_daily_counts_oracle_sql(max_lag=3)
     oracles["tokenizer_fertility"] = _tx8.tokenizer_fertility_oracle_sql()
     oracles["gini_source_concentration"] = _tx8.gini_source_oracle_sql()
+    oracles["event_transitions"] = _an8.event_transition_oracle_sql()
     oracles["tpch_q3"] = """
         SELECT l.l_orderkey AS orderkey,
                strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,

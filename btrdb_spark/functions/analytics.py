@@ -823,3 +823,70 @@ def acf_daily_counts_oracle_sql(max_lag: int = 3) -> str:
         WHERE den > 0
         ORDER BY event_type, lag
     """
+
+
+# ------------------------------------------------- transitions (r8)
+
+
+def event_transition_matrix(events_ns: DataFrame, min_count: int = 1) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: for each (from_type, to_type), the transition count and
+    probability P(to | from) — the behavioral model behind the
+    PageRank operator's edge weights, surfaced as its own readout
+    (what does a user do AFTER a purchase?).
+
+    Integer-exact: counts from one LEAD window pass per user (ordered by
+    time, event_id tiebreak — the deterministic total order), the
+    probability a single IEEE division of two exact int64 counts.
+
+    Scale: the window shuffle is keyed by user_id (the natural ingest
+    bucketing); the matrix aggregation is vocab² at worst — output-sized,
+    not data-sized.
+
+    Output: (from_type, to_type, n, p), ordered.
+    """
+    w = Window.partitionBy("user_id").orderBy("time_ns", "event_id")
+    pairs = (
+        events_ns.select("user_id", "time_ns", "event_id", "event_type")
+        .withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), "to_type")
+    )
+    cnt = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cnt.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        cnt.join(F.broadcast(tot), "from_type")
+        .filter(F.col("n") >= min_count)
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n").cast("double") / F.col("n_from").cast("double")).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+def event_transition_oracle_sql(min_count: int = 1) -> str:
+    return f"""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                   ) AS to_type
+            FROM events
+        ), cnt AS (
+            SELECT event_type AS from_type, to_type, COUNT(*) AS n
+            FROM seq WHERE to_type IS NOT NULL
+            GROUP BY 1, 2
+        ), tot AS (
+            SELECT from_type, SUM(n) AS n_from FROM cnt GROUP BY 1
+        )
+        SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+               CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
+        FROM cnt c JOIN tot t USING (from_type)
+        WHERE c.n >= {min_count}
+        ORDER BY c.from_type, c.to_type
+    """

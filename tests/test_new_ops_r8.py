@@ -107,3 +107,19 @@ def test_gini_uniform_is_zero_and_concentrated_is_high(spark):
     # 4 sources: counts (1,1,1,37) -> G = 2*(1+2+3+4*37)/(4*40) - 5/4
     assert g1["gini"] == 2.0 * 154.0 / 160.0 - 1.25
     assert g1["gini"] > 0.6
+
+
+def test_event_transition_matrix_probabilities(spark):
+    # user 1: a -> b -> a -> b ; user 2: a -> c
+    rows = [
+        (1, 0, "a", 0.0), (1, 1, "b", 0.0), (1, 2, "a", 0.0), (1, 3, "b", 0.0),
+        (2, 0, "a", 0.0), (2, 1, "c", 0.0),
+    ]
+    out = {(r["from_type"], r["to_type"]): r
+           for r in analytics.event_transition_matrix(_ev(spark, rows)).collect()}
+    # from a: 2x a->b (user1) + 1x a->c (user2) -> P(b|a)=2/3, P(c|a)=1/3
+    assert out[("a", "b")]["n"] == 2 and out[("a", "b")]["p"] == 2.0 / 3.0
+    assert out[("a", "c")]["n"] == 1 and out[("a", "c")]["p"] == 1.0 / 3.0
+    assert out[("b", "a")]["n"] == 1 and out[("b", "a")]["p"] == 1.0
+    # no cross-user transition (user boundary respected)
+    assert ("b", "c") not in out and ("c", "a") not in out

@@ -41,6 +41,12 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         ["partial_count", "day_b"],
         ["CartesianProduct", "BatchEvalPython"],
     ),
+    # r8: LEAD window keyed by user_id; vocab-sized from-totals broadcast
+    "event_transitions": (
+        ["Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
+         "SinglePartition"],
+    ),
     # r8: both ANN legs bound their scan (broadcast probe set / nprobe
     # cells); the audit join is keyed on (query_id, neighbor_id). The
     # exact leg's probe broadcast is a BNLJ by design (the

@@ -99,6 +99,12 @@ def main():
         "source_jaccard_kmv": lambda: __import__(
             "btrdb_spark.functions.sketches", fromlist=["x"]
         ).source_jaccard_kmv(docs).count(),
+        # r8 sampling contract at probe scale: the recall gauge on a
+        # 1/100 deterministic doc-sample of the 200k corpus — cost must
+        # track the SAMPLE (2k docs), not the corpus
+        "lsh_recall_audit_mod100": lambda: dedup.lsh_recall_audit(
+            docs, sample_mod=100
+        ).count(),
     }
     only = set(sys.argv[1:])
     if only:
