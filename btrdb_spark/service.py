@@ -255,6 +255,24 @@ class BTrDBService:
     # sink, latest epoch per group) — the live-dashboard loop, restart-
     # safe (test_sketch_poll_survives_restart).
 
+    def _check_remote_path(self, p: str, what: str) -> None:
+        """On a non-loopback binding, caller-supplied filesystem paths
+        (sketch source/checkpoint/results) must resolve under an allowed
+        root — otherwise StartSketch is an arbitrary read AND write
+        primitive (same class as the rpc_Query sfDir hole). Loopback
+        service (the default, and the test harness) stays unrestricted."""
+        if self.host in ("127.0.0.1", "localhost", "::1"):
+            return
+        import os
+
+        real = os.path.realpath(p)
+        ok = any(
+            real == root or real.startswith(root.rstrip("/") + "/")
+            for root in self._sf_allow
+        )
+        if not ok:
+            raise RpcError(403, f"{what} outside allowed roots: {p}")
+
     def rpc_StartSketch(self, req: dict):
         from . import streaming as _  # noqa: F401  (package presence)
         from .streaming import sketch as sk
@@ -264,6 +282,10 @@ class BTrDBService:
         if not name.isidentifier():
             raise RpcError(400, f"sketch name must be an identifier: {name}")
         path = req["path"]
+        self._check_remote_path(path.split("*")[0], "sketch source path")
+        self._check_remote_path(req["checkpoint"], "sketch checkpoint")
+        if req.get("results"):
+            self._check_remote_path(req["results"], "sketch results dir")
         schema = req["schema"]  # DDL string for the source files
         src = (
             self.engine.spark.readStream.schema(schema)
@@ -360,19 +382,40 @@ class BTrDBService:
         _q, results_dir = ent
         if not _glob.glob(f"{results_dir}/*.parquet"):
             return {"columns": []}, None  # no epoch has landed yet
-        # ignoreMissingFiles: the sink's compaction may delete a file
-        # between this read's listing and its scan; every such row is
-        # covered by the compaction snapshot at an equal-or-newer epoch
-        df = (
-            self.engine.spark.read.option("ignoreMissingFiles", "true")
-            .parquet(results_dir)
-            .dropDuplicates()
-        )
-        # latest epoch per group, keeping ALL of that epoch's rows (the
-        # CMS top-k emits one row per (group, token))
-        mx = df.groupBy("group").agg(F.max("batch_id").alias("batch_id"))
-        latest = df.join(mx, ["group", "batch_id"]).drop("batch_id")
-        return {"columns": latest.columns}, _batches(latest, latest.columns)
+        # The results table is bounded by design (groups x top-k rows),
+        # so materialize it eagerly with one retry: the sink's compaction
+        # may delete a file between this read's listing/schema-inference
+        # and its scan (ignoreMissingFiles covers the scan, the footer
+        # read it cannot), and the retry re-lists — every row a deleted
+        # file held is covered by the compaction snapshot at an
+        # equal-or-newer epoch.
+        last_err = None
+        for _attempt in range(3):
+            try:
+                df = (
+                    self.engine.spark.read.option("ignoreMissingFiles", "true")
+                    .parquet(results_dir)
+                    .dropDuplicates()
+                )
+                # latest epoch per group, keeping ALL of that epoch's
+                # rows (the CMS top-k emits one row per (group, token))
+                mx = df.groupBy("group").agg(F.max("batch_id").alias("batch_id"))
+                latest = df.join(mx, ["group", "batch_id"]).drop("batch_id")
+                cols = latest.columns
+                rows = [
+                    {c: r[c] for c in cols} for r in latest.collect()
+                ]
+                break
+            except Exception as ex:  # compaction race: re-list and retry
+                last_err = ex
+        else:
+            raise RpcError(503, f"results table unavailable: {last_err}")
+
+        def _chunks():
+            for lo in range(0, len(rows), RESULTS_BATCH_SIZE):
+                yield rows[lo:lo + RESULTS_BATCH_SIZE]
+
+        return {"columns": cols}, _chunks()
 
     def rpc_StopSketch(self, req: dict):
         ent = self._sketches.pop(req["name"], None)

@@ -113,3 +113,30 @@ def test_query_rpc_sfdir_allowlist(spark, tmp_path):
     with pytest.raises(RpcError) as ei:
         svc.rpc_Query({"name": "one", "sfDir": "/etc"})
     assert ei.value.code == 403
+
+
+def test_sketch_paths_gated_on_non_loopback(spark, tmp_path):
+    """On a non-loopback binding, StartSketch's caller-supplied paths
+    must resolve under an allowed root (it is otherwise an arbitrary
+    read AND write primitive); loopback stays unrestricted."""
+    from btrdb_spark.engine import BTrDBEngine
+    from btrdb_spark.service import BTrDBService, RpcError
+
+    eng = BTrDBEngine(spark, str(tmp_path / "store"))
+    allowed = tmp_path / "allowed"
+    allowed.mkdir()
+    svc = BTrDBService(eng, host="0.0.0.0", sf_dir_allow=[str(allowed)])
+    req = dict(
+        kind="kmv", name="x", schema="g string, u long",
+        groupCol="g", keyCol="u",
+        path=str(allowed / "src") + "/*.parquet",
+        checkpoint="/etc/evil_ckpt",
+    )
+    with pytest.raises(RpcError) as ei:
+        svc.rpc_StartSketch(req)
+    assert ei.value.code == 403
+    req2 = dict(req, checkpoint=str(allowed / "ckpt"),
+                path="/etc/*.parquet")
+    with pytest.raises(RpcError) as ei2:
+        svc.rpc_StartSketch(req2)
+    assert ei2.value.code == 403
