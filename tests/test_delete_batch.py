@@ -124,3 +124,36 @@ def test_batch_bad_range_rejected(engine):
     with pytest.raises(ValueError):
         engine.delete_ranges([(us["y"], 10, 10)])
     assert engine.delete_ranges([]) == {}
+
+
+def test_crash_between_tombstones_and_ladder_falls_back_exactly(
+    spark, tmp_path, monkeypatch
+):
+    """Crash window: tombstone batch committed, ladder snapshots never
+    written. The ladder gate must detect the uncovered delete versions
+    and fall back to the exact raw path instead of serving stale
+    pre-delete rollups (the batch analog of ADVICE r5 #4)."""
+    from btrdb_spark.plans import rollup as ru
+
+    eng = BTrDBEngine(spark, str(tmp_path / "cr"), flush_threshold=10**9, ladder=True)
+    us = _seed(eng, ["c1", "c2"])
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before ladder rebase")
+
+    monkeypatch.setattr(ru, "invalidate_buckets_multi", boom)
+    with pytest.raises(RuntimeError):
+        eng.delete_ranges(
+            [(us["c1"], 1 << 24, 1 << 27), (us["c2"], 1 << 23, 1 << 26)]
+        )
+    monkeypatch.undo()
+    # tombstones are committed (versions bumped) ...
+    for u in us.values():
+        assert eng.stream_version(u)[0] == 11
+    # ... and every read is still exact: raw fallback, no stale rollup
+    for u in us.values():
+        got = eng.aligned_windows(u, -(1 << 45), 1 << 61, pw=26)
+        assert _key(got) == _key(_raw_answer(eng, u, 26))
+        # the post-delete rows really are gone
+        n = sum(c for c, *_ in _key(got).values())
+        assert n < 2000
