@@ -1757,6 +1757,71 @@ def q_gini_source_concentration(spark: SparkSession, sf: str) -> DataFrame:
     return text.gini_source_concentration(load_table(spark, sf, "documents"))
 
 
+def q_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 top supplier: per-supplier revenue for 1996-Q1
+    lineitems, then the max-revenue supplier(s) — the aggregate-then-
+    max-of-aggregate shape (the revenue view joined against its own
+    max; both sides of the final join are supplier-sized)."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(38,6)"
+            )
+        ).alias("_r")
+    )
+    mx = rev.agg(F.max("_r").alias("_mx"))
+    supp = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("_r") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("long").alias("suppkey"),
+            "s_name",
+            F.col("_r").cast("double").alias("total_revenue"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue, ADAPTED to the fixture
+    schema (no p_container): for BRAND_1 parts, the yearly-average
+    revenue of lineitems whose quantity is below 20% of that part's
+    average quantity — the per-group-average-joined-back shape (the
+    correlated subquery becomes one keyed aggregate + an equi-join;
+    the brand dim broadcasts and prunes the fact first)."""
+    part = load_table(spark, sf, "part").filter(
+        F.col("p_brand") == "Brand#1"
+    ).select("p_partkey")
+    li = load_table(spark, sf, "lineitem").join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    # MEAN_SQL pattern: decimal-exact sum cast to double BEFORE the
+    # division (decimal-division rounding rules differ between engines)
+    avg_q = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avg")
+    ).select(F.col("l_partkey").alias("a_partkey"), "_avg")
+    small = li.join(
+        avg_q, F.col("l_partkey") == F.col("a_partkey")
+    ).filter(
+        F.col("l_quantity").cast("double") < F.lit(0.2) * F.col("_avg")
+    )
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small"),
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double")
+            / F.lit(7.0)
+        ).alias("avg_yearly"),
+    )
+
+
 def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event-type
     sequences — integer counts from one LEAD window pass, P(to|from) a
@@ -2030,6 +2095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         "ann_recall_audit": q_ann_recall_audit,
         "event_transitions": q_event_transitions,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
         # r7 head: new rows lead so the driver's gate window certifies
         # them immediately.
         "wav_rms_windows": q_wav_rms_windows,
@@ -2205,7 +2272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # new-entry head stays first (everything before the r7 marker), then
     # the rotation block, then the rest in stable order (dict.update of
     # existing keys does not move them)
-    n_new = 10  # r8 additions lead `base`
+    n_new = 12  # r8 additions lead `base`
     head = list(base)[:n_new] + ROTATION_R8
     out = {n: base[n] for n in head}
     out.update(base)
@@ -2259,6 +2326,39 @@ def oracle_sql() -> dict[str, str]:
     oracles["tokenizer_fertility"] = _tx8.tokenizer_fertility_oracle_sql()
     oracles["gini_source_concentration"] = _tx8.gini_source_oracle_sql()
     oracles["event_transitions"] = _an8.event_transition_oracle_sql()
+    oracles["tpch_q15"] = """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(38,6))) AS r
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        ), mx AS (SELECT MAX(r) AS m FROM rev)
+        SELECT CAST(s.s_suppkey AS BIGINT) AS suppkey, s.s_name,
+               CAST(rev.r AS DOUBLE) AS total_revenue
+        FROM rev JOIN mx ON rev.r = mx.m
+        JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+        ORDER BY suppkey
+    """
+    oracles["tpch_q17"] = """
+        WITH li AS (
+            SELECT l.* FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand = 'Brand#1'
+        ), avg_q AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                       / COUNT(*) AS a
+            FROM li GROUP BY l_partkey
+        )
+        SELECT COUNT(*) AS n_small,
+               CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+                   / 7.0 AS avg_yearly
+        FROM li JOIN avg_q q ON li.l_partkey = q.l_partkey
+        WHERE CAST(li.l_quantity AS DOUBLE) < 0.2 * q.a
+    """
     oracles["tpch_q3"] = """
         SELECT l.l_orderkey AS orderkey,
                strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,

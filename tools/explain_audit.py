@@ -73,6 +73,18 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "partial_sum"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
     ),
+    # r8: aggregate-then-max-of-aggregate — both final-join sides are
+    # supplier-sized, broadcast; the fact reduces in one keyed agg
+    "tpch_q15": (
+        ["BroadcastHashJoin", "partial_sum"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
+    # r8: brand dim broadcast prunes the fact FIRST; the correlated avg
+    # becomes one keyed aggregate equi-joined back
+    "tpch_q17": (
+        ["BroadcastHashJoin", "partial_sum"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
     # r8: one keyed groupBy, integer partial sums, no joins
     "tokenizer_fertility": (
         ["partial_sum"],
