@@ -1757,6 +1757,12 @@ def q_gini_source_concentration(spark: SparkSession, sf: str) -> DataFrame:
     return text.gini_source_concentration(load_table(spark, sf, "documents"))
 
 
+def q_source_dup_rates(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source exact-dup and cross-source-dup rates — the corpus-
+    hygiene readout (functions/dedup.py source_dup_rates)."""
+    return dedup.source_dup_rates(load_table(spark, sf, "documents"))
+
+
 def q_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q15 top supplier: per-supplier revenue for 1996-Q1
     lineitems, then the max-revenue supplier(s) — the aggregate-then-
@@ -2097,6 +2103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
+        "source_dup_rates": q_source_dup_rates,
         # r7 head: new rows lead so the driver's gate window certifies
         # them immediately.
         "wav_rms_windows": q_wav_rms_windows,
@@ -2272,7 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # new-entry head stays first (everything before the r7 marker), then
     # the rotation block, then the rest in stable order (dict.update of
     # existing keys does not move them)
-    n_new = 12  # r8 additions lead `base`
+    n_new = 13  # r8 additions lead `base`
     head = list(base)[:n_new] + ROTATION_R8
     out = {n: base[n] for n in head}
     out.update(base)
@@ -2326,6 +2333,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["tokenizer_fertility"] = _tx8.tokenizer_fertility_oracle_sql()
     oracles["gini_source_concentration"] = _tx8.gini_source_oracle_sql()
     oracles["event_transitions"] = _an8.event_transition_oracle_sql()
+    oracles["source_dup_rates"] = _dd7.source_dup_rates_oracle_sql()
     oracles["tpch_q15"] = """
         WITH rev AS (
             SELECT l_suppkey,

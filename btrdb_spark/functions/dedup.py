@@ -1358,3 +1358,78 @@ def lsh_recall_audit_oracle_sql(
                END AS precision
         FROM agg
     """
+
+
+def source_dup_rates(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-hygiene diagnostic per source: how much of each crawl is
+    exact-duplicate text, and how much of that duplication crosses into
+    OTHER sources (mirrored boilerplate / syndicated content) — the
+    readout that says which source to de-weight or re-clean before
+    mixing.
+
+    A doc is a dup if its md5 text hash occurs >1 time in the CORPUS;
+    a cross dup if the hash also occurs under a different source. One
+    hash-keyed groupBy (n_docs + distinct sources per hash), joined back
+    doc-sized; rates are single divisions of exact int64 counts.
+
+    Output: (source, n_docs, n_dup, n_cross_dup, dup_rate,
+    cross_dup_rate), ordered by source.
+    """
+    h = documents.select(
+        "source", _h64(F.col(text_col)).alias("h")
+    )
+    per_hash = h.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.count_distinct("source").alias("n_src"),
+    )
+    tagged = h.join(per_hash, "h").select(
+        "source",
+        F.when(F.col("n_occ") > 1, 1).otherwise(0).alias("is_dup"),
+        F.when(F.col("n_src") > 1, 1).otherwise(0).alias("is_cross"),
+    )
+    agg = tagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_dup"),
+        F.sum("is_cross").cast("long").alias("n_cross_dup"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_dup",
+        "n_cross_dup",
+        (F.col("n_dup").cast("double") / F.col("n_docs").cast("double")).alias(
+            "dup_rate"
+        ),
+        (
+            F.col("n_cross_dup").cast("double") / F.col("n_docs").cast("double")
+        ).alias("cross_dup_rate"),
+    ).orderBy("source")
+
+
+def source_dup_rates_oracle_sql() -> str:
+    return """
+        WITH h AS (
+            SELECT source,
+                   ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+            FROM documents
+        ), per_hash AS (
+            SELECT h, COUNT(*) AS n_occ, COUNT(DISTINCT source) AS n_src
+            FROM h GROUP BY h
+        ), tagged AS (
+            SELECT t.source,
+                   CASE WHEN p.n_occ > 1 THEN 1 ELSE 0 END AS is_dup,
+                   CASE WHEN p.n_src > 1 THEN 1 ELSE 0 END AS is_cross
+            FROM h t JOIN per_hash p USING (h)
+        ), agg AS (
+            SELECT source, COUNT(*) AS n_docs, SUM(is_dup) AS n_dup,
+                   SUM(is_cross) AS n_cross_dup
+            FROM tagged GROUP BY source
+        )
+        SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_dup AS BIGINT) AS n_dup,
+               CAST(n_cross_dup AS BIGINT) AS n_cross_dup,
+               CAST(n_dup AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate,
+               CAST(n_cross_dup AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                   AS cross_dup_rate
+        FROM agg ORDER BY source
+    """

@@ -73,6 +73,12 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "partial_sum"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
     ),
+    # r8: one hash-keyed groupBy + doc-sized join back; no pair
+    # expansion anywhere
+    "source_dup_rates": (
+        ["partial_count"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
     # r8: aggregate-then-max-of-aggregate — both final-join sides are
     # supplier-sized, broadcast; the fact reduces in one keyed agg
     "tpch_q15": (
