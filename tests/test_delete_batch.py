@@ -157,3 +157,42 @@ def test_crash_between_tombstones_and_ladder_falls_back_exactly(
         # the post-delete rows really are gone
         n = sum(c for c, *_ in _key(got).values())
         assert n < 2000
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_randomized_batch_equals_sequential(spark, tmp_path, seed):
+    """Randomized equivalence: for arbitrary (uuid, range) batches —
+    overlapping, nested, duplicated-stream, arbitrary order — the batch
+    commit and the same deletes applied sequentially produce identical
+    raw AND ladder reads for every stream."""
+    import random
+
+    rng = random.Random(seed)
+    e1 = BTrDBEngine(spark, str(tmp_path / f"s{seed}"), flush_threshold=10**9, ladder=True)
+    e2 = BTrDBEngine(spark, str(tmp_path / f"b{seed}"), flush_threshold=10**9, ladder=True)
+    names = ["r1", "r2", "r3"]
+    us1, us2 = _seed(e1, names), _seed(e2, names)
+    span = 2000 * (1 << 18)
+    ranges = []
+    for n in names:
+        for _ in range(rng.randint(1, 3)):
+            s = rng.randrange(0, span)
+            e = min(s + rng.randrange(1, span // 2), span + 1)
+            ranges.append((n, s, e))
+    rng.shuffle(ranges)
+    for n, s, e in ranges:  # sequential engine: one commit per range
+        e1.delete_range(us1[n], s, e)
+    e2.delete_ranges([(us2[n], s, e) for n, s, e in ranges])
+    for n in names:
+        raw1 = sorted(
+            (r["time"], r["value"])
+            for r in e1.raw_values(us1[n], -(1 << 45), 1 << 61).collect()
+        )
+        raw2 = sorted(
+            (r["time"], r["value"])
+            for r in e2.raw_values(us2[n], -(1 << 45), 1 << 61).collect()
+        )
+        assert raw1 == raw2
+        assert _key(
+            e1.aligned_windows(us1[n], -(1 << 45), 1 << 61, pw=26)
+        ) == _key(e2.aligned_windows(us2[n], -(1 << 45), 1 << 61, pw=26))
