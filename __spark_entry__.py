@@ -2076,8 +2076,10 @@ ROTATION_R8 = [
     "lookup_streams", "lookup_streams_ann", "minhash_lsh_pairs",
     "multimodal_features", "nearest_after", "nearest_before",
     "ngram_jaccard_pairs", "ppm_decode_features", "ppm_resize_exact",
-    "raw_values", "raw_values_after_delete", "raw_values_at_version",
-    "resize", "segment_revenue", "semantic_dedup", "sessionize",
+    "raw_values", "raw_values_after_delete",
+    # (trimmed to 37 so new-entries + rotation fit the ~50-row driver
+    # window; raw_values_at_version/resize/segment_revenue/
+    # semantic_dedup/sessionize lead the r9 rotation)
 ]
 
 
