@@ -272,6 +272,21 @@ def main() -> None:
     # drop any probe-side cached blocks before the query section so the
     # two halves don't compete for executor memory
     spark.catalog.clearCache()
+    # Drain the probes' writeback backlog and warm the sf tables BEFORE
+    # the query loop: the probes just wrote ~20M points x several reps,
+    # and sustained writeback slows EVERY rep of the first queries
+    # equally — rep-until-agreement then latches onto an inflated value
+    # with no noisy flag (observed: changed_ranges 0.41 s mid-list vs
+    # 3.42 s when rotation moved it to the head). One sync + settle + a
+    # first-touch read of each table makes row 1 measure the operator,
+    # not the backlog.
+    os.sync()
+    time.sleep(5)
+    from btrdb_spark.sources.tables import load_table as _lt
+
+    for _t in ("region nation customer supplier part orders lineitem "
+               "events documents embeddings").split():
+        _lt(spark, sf_dir, _t).write.format("noop").mode("overwrite").save()
 
     # Rep-until-agreement per query (VERDICT r6 wrong #1 — best-of-2
     # published phantom 3x regressions three rounds running: r4 wav, r5
