@@ -1902,7 +1902,8 @@ def q_tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
     late = orders.join(
         li,
         (F.col("l_orderkey") == F.col("o_orderkey"))
-        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)),
+        & (F.col("l_shipdate")
+           > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
         "left_semi",
     )
     return (

@@ -106,7 +106,7 @@ class BTrDBService:
                 os.path.realpath(sf_dir).rstrip("/")) or "/")]
         else:
             self._sf_allow = []
-        self._sketches: dict = {}  # name -> StreamingQuery
+        self._sketches: dict = {}  # name -> (StreamingQuery, results_dir)
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -284,8 +284,15 @@ class BTrDBService:
         path = req["path"]
         self._check_remote_path(path.split("*")[0], "sketch source path")
         self._check_remote_path(req["checkpoint"], "sketch checkpoint")
-        if req.get("results"):
-            self._check_remote_path(req["results"], "sketch results dir")
+        # Validate the results dir whether caller-supplied OR derived:
+        # the derived sibling ("<checkpoint>_results") is NOT guaranteed
+        # under an allowed root just because the checkpoint is (e.g. the
+        # allowed root IS the checkpoint path itself), and the sink
+        # writes there unchecked otherwise.
+        results_dir = req.get("results") or (
+            req["checkpoint"].rstrip("/") + "_results"
+        )
+        self._check_remote_path(results_dir, "sketch results dir")
         schema = req["schema"]  # DDL string for the source files
         src = (
             self.engine.spark.readStream.schema(schema)
@@ -321,10 +328,6 @@ class BTrDBService:
         # identical rows at the same batch_id; Poll's dropDuplicates
         # makes the replay idempotent.
         from pyspark.sql import functions as F
-
-        results_dir = req.get("results") or (
-            req["checkpoint"].rstrip("/") + "_results"
-        )
 
         compact_every = int(req.get("compactEvery", 64))
 
@@ -546,7 +549,7 @@ class BTrDBService:
         return self.port
 
     def stop(self) -> None:
-        for q in self._sketches.values():
+        for q, _results_dir in self._sketches.values():
             try:
                 q.stop()
             except Exception:
