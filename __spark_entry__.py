@@ -840,6 +840,47 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(load_table(spark, sf, "documents"), n=3, num_hashes=32, bands=8)
 
 
+def _dedup_index_over(spark: SparkSession, sf: str, corpus: DataFrame):
+    """Build a fresh DedupIndex over ``corpus`` in a temp dir (the gate
+    runs each query in a clean process; the persistent-index lifecycle —
+    incremental updates across micro-batches, epoch replay — is covered
+    by tests/test_dedup_index.py; this entry certifies the probe's
+    from-scratch equivalence contract)."""
+    import tempfile
+
+    from btrdb_spark.functions.dedup_index import DedupIndex
+
+    idx = DedupIndex(spark, tempfile.mkdtemp(prefix="dedup_index_"))
+    idx.update(corpus)
+    return idx
+
+
+def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental new-crawl dedup: LSH-probe a batch (doc_id % 10 == 0)
+    against the persisted index of the rest of the corpus. Contract: ==
+    minhash_lsh_pairs over ALL docs restricted to pairs touching the
+    batch — O(new docs) text work + an id/hash-only index scan instead of
+    a full-corpus rescan (functions/dedup_index.py)."""
+    docs = load_table(spark, sf, "documents")
+    idx = _dedup_index_over(spark, sf, docs.filter(F.col("doc_id") % 10 != 0))
+    return idx.probe(docs.filter(F.col("doc_id") % 10 == 0))
+
+
+def q_dedup_incremental_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-membership probe (the md5 sidecar): a 'recrawl' batch —
+    corpus docs with doc_id % 7 == 0 re-keyed to doc_id + 100000, same
+    text — must map each page back to its original keeper via the index's
+    hash table alone (broadcast batch vs streamed index scan, no corpus
+    text read)."""
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    idx = _dedup_index_over(spark, sf, corpus)
+    recrawl = corpus.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(100000)).alias("doc_id"), "text"
+    )
+    return idx.exact_probe(recrawl)
+
+
 def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # bits=32: 8-bit pigeonhole bands stay sparse (the r2 4-bit bands were
     # dense enough to dominate the bench; 64 is the documented 100 TB pick)
@@ -2092,6 +2133,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries are inserted at the top, followed by the ROTATION_R8 block
     # of stalest-certified entries (see above).
     base = {
+        # r9 head: new rows lead so the driver's gate window certifies
+        # them immediately.
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_exact": q_dedup_incremental_exact,
         # r8 head: new rows lead so the driver's gate window certifies
         # them immediately.
         "raw_values_after_batch_delete": q_raw_values_after_batch_delete,
@@ -2293,6 +2338,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     oracles: dict[str, str] = {}
+
+    # ---- r9 ----
+    from btrdb_spark.functions import dedup as _dd9
+
+    # incremental probe == from-scratch pairs restricted to the batch
+    oracles["dedup_incremental"] = f"""
+        SELECT doc_a, doc_b, est_jaccard
+        FROM ({_dd9.ORACLES["minhash_lsh_pairs"]})
+        WHERE doc_a % 10 = 0 OR doc_b % 10 = 0
+        ORDER BY doc_a, doc_b
+    """
+    oracles["dedup_incremental_exact"] = """
+        WITH corpus AS (SELECT doc_id, md5(text) AS h FROM documents
+                        WHERE doc_id % 10 != 0),
+        recrawl AS (SELECT doc_id + 100000 AS doc_id, md5(text) AS h
+                    FROM documents WHERE doc_id % 10 != 0 AND doc_id % 7 = 0)
+        SELECT r.doc_id, MIN(c.doc_id) AS keeper_doc_id
+        FROM recrawl r JOIN corpus c USING (h)
+        GROUP BY 1 ORDER BY 1
+    """
 
     # ---- r7 ----
     from btrdb_spark.functions import analytics as _an

@@ -206,6 +206,33 @@ def minhash_signatures(
     return mins.select("doc_id", F.array(*[f"s{i}" for i in range(num_hashes)]).alias("sig"))
 
 
+def band_rows_of(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(doc_id, band, band_hash) — one row per (doc, band), band_hash =
+    md5 of that band's signature slice joined with ','. Shared by the
+    one-shot pair query and the persistent incremental index
+    (dedup_index.py) so both produce bit-identical band keys."""
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda s: s.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bh"),
+    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     n: int = 3,
@@ -239,27 +266,7 @@ def minhash_lsh_pairs(
     # doc-sized; consumed by band_rows + both scoring join sides -> cache
     # so the shingle+hash pipeline runs once, not three times
     sigs = minhash_signatures(documents, n, num_hashes, text_col).cache()
-    # one row per (doc, band): hash of that band's signature slice
-    band_rows = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.md5(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda s: s.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("band_hash"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bh"),
-    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
+    band_rows = band_rows_of(sigs, bands, rows_per_band)
     # bucket-collect + in-bucket pair generation (no self-join shuffle)
     cand = (
         band_rows.groupBy("band", "band_hash")

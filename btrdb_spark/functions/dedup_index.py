@@ -1,0 +1,281 @@
+"""Persistent incremental dedup index — O(new docs) dedup of a new crawl.
+
+The one-shot operators (``dedup.minhash_lsh_pairs``, ``dedup.exact_duplicates``)
+rescan the whole corpus per run: at 100 TB that is a full shingle +
+minhash recompute of every document just to dedup today's crawl. This
+module persists the derivable state those operators rebuild each time —
+the MinHash signature table, its LSH band table, and the exact-dup
+content-hash table — as an append-only parquet index behind the same
+atomic generation pointers as the engine tables (store.py), maintained
+incrementally (one ``update()`` per ingest micro-batch, the
+plans/rollup.py ``ingest_batch`` pattern applied to documents).
+
+``probe(batch)`` then answers "which of these NEW docs duplicate the
+corpus (or each other)" touching only:
+
+- O(batch) text work — shingles/minhash for the new docs alone;
+- one scan of the band table with the (small) batch band-set broadcast —
+  no shuffle of the corpus-sized side, no corpus text read at all;
+- one scan of the signature table restricted to the matched old docs.
+
+The band + signature tables are id/hash-only (no text), ~100 bytes/doc —
+at a 1 B-doc corpus that is ~100 GB of parquet scanned in parallel vs
+re-processing 100 TB of text: the index IS the scale win. Equivalence
+contract (oracle-gated): ``probe(batch)`` over an index built from
+``corpus`` == ``minhash_lsh_pairs(corpus UNION batch)`` restricted to
+pairs with at least one side in ``batch``, bit-exact including
+est_jaccard, because signatures are a pure function of text.
+
+Reference parity note: the reference engine has no dedup surface; this
+is a training-data-pipeline extension (SURVEY.md §6). The maintenance
+pattern (append partials per batch + epoch replay guard) mirrors the
+rollup ladder's spine update (plans/rollup.py:540).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import band_rows_of, minhash_signatures
+
+
+class DedupIndex:
+    """Append-only MinHash-LSH + exact-hash index over a documents corpus.
+
+    Layout under ``base_dir`` (each behind a store generation pointer):
+
+    - ``sigs``   : (doc_id long, sig array<long>)     — MinHash signatures
+    - ``bands``  : (doc_id long, band int, band_hash string)
+    - ``hashes`` : (doc_id long, text_md5 string)     — exact-dup sidecar
+
+    Assumes doc_ids are unique across the corpus and never re-used for
+    different text (the ingest contract); ``update`` must not be fed the
+    same doc twice except as a crash replay of the same epoch (guarded).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        n: int = 3,
+        num_hashes: int = 32,
+        bands: int = 8,
+        text_col: str = "text",
+        backend=None,
+    ):
+        from .. import store as store_mod
+
+        assert num_hashes % bands == 0
+        self.spark = spark
+        self.base = base_dir
+        self.n = n
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.rows_per_band = num_hashes // bands
+        self.text_col = text_col
+        self.store = backend if backend is not None else store_mod.DEFAULT
+        os.makedirs(base_dir, exist_ok=True)
+
+    # ---- maintenance ----
+
+    def committed_epoch(self) -> int | None:
+        """Highest streaming epoch whose rows are durably appended, or
+        None if no epoch-stamped update ever ran (batch-mode updates)."""
+        import re as _re
+
+        path = self.store.resolve(self.base, "_epoch")
+        if path is None:
+            return None
+        m = _re.search(r"\.g(\d+)$", path)
+        return int(m.group(1)) if m else None
+
+    def _mark_epoch(self, epoch: int) -> None:
+        gen = os.path.join(self.base, f"_epoch.g{epoch}")
+        os.makedirs(gen, exist_ok=True)
+        self.store.publish(self.base, "_epoch", gen)
+        self.store.gc_generations(self.base, "_epoch", keep=2)
+
+    def update(self, new_docs: DataFrame, epoch: int | None = None) -> None:
+        """Append index rows for ``new_docs`` — O(batch) work.
+
+        ``epoch`` is the streaming replay guard (rollup.py ingest_batch
+        semantics): foreachBatch epochs arrive strictly in order, so a
+        replayed epoch <= the committed watermark is skipped whole. The
+        residual crash window (between the last table append and the
+        watermark flip) re-appends one batch; probe() tolerates the
+        resulting duplicate rows (candidates are DISTINCT, signature
+        lookups dedup on doc_id), so replay degrades cost, never
+        correctness — same contract as the hot-table sink.
+        """
+        if epoch is not None:
+            done = self.committed_epoch()
+            if done is not None and done >= epoch:
+                return
+        # one pass over the batch text: signatures once, bands + md5 from it
+        sigs = minhash_signatures(
+            new_docs, self.n, self.num_hashes, self.text_col
+        ).localCheckpoint()  # cut lineage: 3 appends must not re-shingle 3x
+        sigs.write.mode("append").parquet(
+            self.store.current_dir(self.base, "sigs", create=True)
+        )
+        band_rows_of(sigs, self.bands, self.rows_per_band).write.mode(
+            "append"
+        ).parquet(self.store.current_dir(self.base, "bands", create=True))
+        new_docs.select(
+            "doc_id", F.md5(F.col(self.text_col)).alias("text_md5")
+        ).write.mode("append").parquet(
+            self.store.current_dir(self.base, "hashes", create=True)
+        )
+        if epoch is not None:
+            self._mark_epoch(epoch)
+
+    def _table(self, name: str) -> DataFrame | None:
+        path = self.store.resolve(self.base, name)
+        if path is None:
+            return None
+        import glob as _glob
+
+        if not _glob.glob(os.path.join(path, "*.parquet")):
+            return None
+        return self.spark.read.parquet(path)
+
+    # ---- probes ----
+
+    def probe(self, batch_docs: DataFrame) -> DataFrame:
+        """(doc_a, doc_b, est_jaccard) for every LSH candidate pair with at
+        least one side in ``batch_docs`` — batch-vs-corpus AND
+        batch-vs-batch; == from-scratch minhash_lsh_pairs(corpus ∪ batch)
+        restricted to those pairs. The corpus side is touched only via
+        the id/hash-only index tables: the band scan streams against the
+        broadcast batch band-set (no corpus shuffle), and the signature
+        scan is restricted to the matched old docs.
+        """
+        from .dedup import _pairs_from_bucket
+
+        batch_sigs = minhash_signatures(
+            batch_docs, self.n, self.num_hashes, self.text_col
+        ).cache()
+        batch_bands = band_rows_of(
+            batch_sigs, self.bands, self.rows_per_band
+        ).cache()
+
+        # batch-vs-batch: in-bucket pair generation, the one-shot path
+        intra = (
+            batch_bands.groupBy("band", "band_hash")
+            .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+            .filter(F.size("ds") > 1)
+            .select(F.explode(_pairs_from_bucket(F.col("ds"))).alias("p"))
+            .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        )
+
+        idx_bands = self._table("bands")
+        if idx_bands is not None:
+            # batch-vs-corpus: broadcast the batch band rows (batch-sized
+            # by contract) so the corpus band table only streams — the
+            # index scan is the entire per-probe corpus cost.
+            hit = idx_bands.join(
+                F.broadcast(
+                    batch_bands.select(
+                        "band",
+                        "band_hash",
+                        F.col("doc_id").alias("new_id"),
+                    )
+                ),
+                ["band", "band_hash"],
+            ).select(
+                F.least("doc_id", "new_id").alias("doc_a"),
+                F.greatest("doc_id", "new_id").alias("doc_b"),
+            )
+            cand = intra.unionByName(hit).distinct()
+        else:
+            cand = intra.distinct()
+
+        # score: signature lookup for the old side, batch cache for the new.
+        # Restrict the index sig scan to candidate ids FIRST (broadcast the
+        # id set), dedup after the restriction — never a corpus-wide
+        # dropDuplicates. Duplicate index rows (crash-replay residue) thus
+        # cannot double pairs.
+        idx_sigs = self._table("sigs")
+        all_sigs = batch_sigs
+        if idx_sigs is not None:
+            cand_ids = (
+                cand.select(F.col("doc_a").alias("doc_id"))
+                .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+                .distinct()
+            )
+            old_sigs = (
+                idx_sigs.join(F.broadcast(cand_ids), "doc_id")
+                .dropDuplicates(["doc_id"])
+            )
+            all_sigs = batch_sigs.unionByName(old_sigs)
+        sa = all_sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+        sb = all_sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+        matches = F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+        )
+        return (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                (matches / F.lit(self.num_hashes)).alias("est_jaccard"),
+            )
+            .orderBy("doc_a", "doc_b")
+        )
+
+    def exact_probe(self, batch_docs: DataFrame) -> DataFrame:
+        """(doc_id, keeper_doc_id) — batch docs whose exact text already
+        exists in the indexed corpus, keeper = min corpus doc_id with that
+        text. Batch-vs-batch exact dups are NOT reported here (run
+        dedup_exact on the batch for those); this is the 'is this crawl
+        page already in the corpus' membership test. The md5 table plays
+        the Bloom-sidecar role exactly (zero false positives); join is
+        broadcast-batch vs streamed index scan.
+        """
+        idx = self._table("hashes")
+        batch_h = batch_docs.select(
+            "doc_id", F.md5(F.col(self.text_col)).alias("text_md5")
+        )
+        if idx is None:
+            return batch_h.select(
+                "doc_id", F.lit(None).cast("long").alias("keeper_doc_id")
+            ).filter(F.lit(False))
+        return (
+            idx.withColumnRenamed("doc_id", "old_id")
+            .join(F.broadcast(batch_h), "text_md5")
+            .groupBy("doc_id")
+            .agg(F.min("old_id").alias("keeper_doc_id"))
+            .orderBy("doc_id")
+        )
+
+
+def attach_document_ingest(
+    stream_df: DataFrame,
+    index: DedupIndex,
+    checkpoint_dir: str,
+    docs_dir: str | None = None,
+    trigger_seconds: int = 1,
+):
+    """Wire a streaming documents source into the dedup index: each
+    micro-batch appends the batch's index rows (epoch-guarded, so a
+    crash replay is skipped) and, optionally, the raw docs to a corpus
+    parquet dir. The streaming checkpoint is the WAL — the ingest.py
+    hot-table contract applied to documents. Returns the StreamingQuery.
+    """
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint()  # stabilize: read source once
+        if docs_dir is not None:
+            batch_df.write.mode("append").parquet(docs_dir)
+        index.update(batch_df, epoch=int(epoch_id))
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
