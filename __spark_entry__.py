@@ -1869,6 +1869,311 @@ def q_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier, ADAPTED to the fixture schema (no
+    partsupp: a supplier's cost for a part = the minimum unit price
+    l_extendedprice/l_quantity it ever shipped that part at). For small-size
+    LARGE parts and EUROPE suppliers, return the supplier(s) achieving
+    each part's minimum cost — the correlated-MIN-subquery shape: one
+    keyed aggregate per (part, supplier), a per-part MIN equi-joined
+    back, dims broadcast."""
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    eur_nations = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    supp = load_table(spark, sf, "supplier").join(
+        F.broadcast(eur_nations), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    part = load_table(spark, sf, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "LARGE")
+    ).select("p_partkey", "p_name")
+    li = load_table(spark, sf, "lineitem").join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).join(
+        F.broadcast(supp.select("s_suppkey")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    )
+    cost = li.groupBy("p_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost")
+    )
+    min_cost = cost.groupBy("p_partkey").agg(
+        F.min("supply_cost").alias("_mc")
+    ).withColumnRenamed("p_partkey", "m_partkey")
+    best = cost.join(
+        min_cost,
+        (F.col("p_partkey") == F.col("m_partkey"))
+        & (F.col("supply_cost") == F.col("_mc")),
+    )
+    return (
+        best.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(part), "p_partkey")
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 product-type profit by nation and year, ADAPTED (no
+    partsupp supply-cost term): profit = revenue of 'widget' parts,
+    grouped by the supplier's nation and order year. part + supplier +
+    nation broadcast; the one real shuffle is orders->lineitem."""
+    part = load_table(spark, sf, "part").filter(
+        F.col("p_name").contains("widget")
+    ).select("p_partkey")
+    nation = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    supp = load_table(spark, sf, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "n_name")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    li = (
+        load_table(spark, sf, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        li.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            ).cast("double").alias("sum_profit")
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shipping-mode priority counts, ADAPTED (no l_shipmode /
+    commitdate / receiptdate): lineitems shipped in 1997 classify as LATE
+    (shipped > 30 days after the order date) or ONTIME; per class, count
+    high-priority (1-URGENT / 2-HIGH) and low-priority orders — the
+    CASE-conditional-aggregation shape over one orderkey join."""
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.select(
+            F.when(
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+                F.lit("LATE"),
+            ).otherwise(F.lit("ONTIME")).alias("ship_class"),
+            high.alias("_high"),
+        )
+        .groupBy("ship_class")
+        .agg(
+            F.sum(F.when(F.col("_high"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(F.col("_high"), 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 supplier count by part attributes, ADAPTED (supplier
+    relationships come from lineitem, the 'complaints' exclusion becomes
+    negative-balance suppliers): distinct suppliers per (brand, type,
+    size) for parts not Brand#1 / not PROMO / small sizes, excluding
+    suppliers with s_acctbal < 0 — the NOT-IN-subquery becomes a
+    broadcast left-anti join; count distinct rides one shuffle."""
+    part = load_table(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 2, 3, 4, 5, 6, 7, 8))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = load_table(spark, sf, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    li = load_table(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue under a disjunction of brand/size/
+    quantity brackets, ADAPTED (no p_container / l_shipmode): the
+    OR-of-ANDs predicate Catalyst must push through the broadcast join —
+    one scan of each table, no fact re-read per bracket."""
+    part = load_table(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(bracket).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(38,6)"
+            )
+        ).cast("double").alias("revenue")
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 potential part promotion, ADAPTED (no partsupp
+    availqty): EUROPE suppliers who shipped more than 50 units of
+    some 'small' part — the nested correlated IN becomes a keyed
+    aggregate with HAVING feeding a left-semi join; nation filter
+    broadcast."""
+    part = load_table(spark, sf, "part").filter(
+        F.col("p_name").startswith("small")
+    ).select("p_partkey")
+    li = load_table(spark, sf, "lineitem").join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    heavy_shippers = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("_q"))
+        .filter(F.col("_q") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    eur = load_table(spark, sf, "nation").join(
+        F.broadcast(
+            load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+        ),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    supp = load_table(spark, sf, "supplier").join(
+        F.broadcast(eur), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        supp.join(
+            heavy_shippers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 suppliers who kept orders waiting, ADAPTED (lateness =
+    shipped > 60 days after the order date): for finished (status F)
+    orders, count each EUROPE supplier's late lineitems on orders
+    where ANOTHER supplier also participated (EXISTS -> left-semi with a
+    suppkey-inequality residual) but NO other supplier was late
+    (NOT EXISTS -> left-anti, same shape) — the multi-EXISTS join shape
+    a metadata pipeline's blame queries hit."""
+    orders = load_table(spark, sf, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = (
+        load_table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "_late",
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        )
+        .select("l_orderkey", "l_suppkey", "_late")
+    )
+    nation = load_table(spark, sf, "nation").join(
+        F.broadcast(
+            load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+        ),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    supp = load_table(spark, sf, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    l1 = li.filter(F.col("_late")).join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select(F.col("l_orderkey").alias("o1"), F.col("l_suppkey").alias("k1"), "s_name")
+    others = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("k2"))
+    late_others = li.filter(F.col("_late")).select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("k3")
+    )
+    waiting = l1.join(
+        others,
+        (F.col("o1") == F.col("o2")) & (F.col("k1") != F.col("k2")),
+        "left_semi",
+    ).join(
+        late_others,
+        (F.col("o1") == F.col("o3")) & (F.col("k1") != F.col("k3")),
+        "left_anti",
+    )
+    return (
+        waiting.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 global-sales-opportunity, ADAPTED (no c_phone: 'country
+    code' = c_nationkey in a fixed set): customers in those nations with
+    above-average positive balance and no orders since 1999 (every
+    fixture customer has SOME order, so 'lapsed' replaces 'never
+    ordered') — the scalar-subquery
+    threshold (decimal-exact mean, the MEAN_SQL pattern) broadcast as a
+    1-row frame + a left-anti join against orders."""
+    nations = [1, 3, 5, 7, 9]
+    cust = load_table(spark, sf, "customer").filter(
+        F.col("c_nationkey").isin(nations)
+    ).select("c_custkey", "c_nationkey", "c_acctbal")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avg")
+    )
+    orders = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event-type
     sequences — integer counts from one LEAD window pass, P(to|from) a
@@ -2137,6 +2442,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # them immediately.
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_exact": q_dedup_incremental_exact,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
         # r8 head: new rows lead so the driver's gate window certifies
         # them immediately.
         "raw_values_after_batch_delete": q_raw_values_after_batch_delete,
@@ -2348,6 +2661,133 @@ def oracle_sql() -> dict[str, str]:
         FROM ({_dd9.ORACLES["minhash_lsh_pairs"]})
         WHERE doc_a % 10 = 0 OR doc_b % 10 = 0
         ORDER BY doc_a, doc_b
+    """
+    oracles["tpch_q2"] = """
+        WITH eur_supp AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'EUROPE'
+        ), pt AS (
+            SELECT p_partkey, p_name FROM part
+            WHERE p_size <= 10 AND p_type = 'LARGE'
+        ), cost AS (
+            SELECT p_partkey, l_suppkey,
+                   MIN(l_extendedprice / l_quantity) AS supply_cost
+            FROM lineitem l JOIN pt ON l.l_partkey = pt.p_partkey
+            WHERE l.l_suppkey IN (SELECT s_suppkey FROM eur_supp)
+            GROUP BY 1, 2
+        )
+        SELECT s.s_acctbal, s.s_name, s.n_name, c.p_partkey, pt.p_name,
+               c.supply_cost
+        FROM cost c
+        JOIN eur_supp s ON c.l_suppkey = s.s_suppkey
+        JOIN pt USING (p_partkey)
+        WHERE c.supply_cost = (
+            SELECT MIN(c2.supply_cost) FROM cost c2
+            WHERE c2.p_partkey = c.p_partkey)
+        ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, c.p_partkey
+        LIMIT 100
+    """
+    oracles["tpch_q9"] = """
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(38,6))) AS DOUBLE) AS sum_profit
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE p.p_name LIKE '%widget%'
+        GROUP BY 1, 2 ORDER BY nation, o_year DESC
+    """
+    oracles["tpch_q12"] = """
+        SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+                    THEN 'LATE' ELSE 'ONTIME' END AS ship_class,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1 ORDER BY 1
+    """
+    oracles["tpch_q16"] = """
+        SELECT p.p_brand, p.p_type, p.p_size,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND p.p_type NOT LIKE 'PROMO%'
+          AND p.p_size IN (1, 2, 3, 4, 5, 6, 7, 8)
+          AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
+    oracles["tpch_q19"] = """
+        SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 20 AND 30)
+    """
+    oracles["tpch_q20"] = """
+        SELECT s.s_name, s.s_acctbal
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+          AND s.s_suppkey IN (
+            SELECT l.l_suppkey
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_name LIKE 'small%'
+            GROUP BY l.l_suppkey, l.l_partkey
+            HAVING SUM(CAST(l.l_quantity AS DECIMAL(38,6))) > 50)
+        ORDER BY s.s_name
+    """
+    oracles["tpch_q21"] = """
+        WITH li AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+        )
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM li l1
+        JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE l1.late AND r.r_name = 'EUROPE'
+          AND EXISTS (
+            SELECT 1 FROM li l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM li l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100
+    """
+    oracles["tpch_q22"] = """
+        SELECT c.c_nationkey AS cntrycode, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                   AS totacctbal
+        FROM customer c
+        WHERE c.c_nationkey IN (1, 3, 5, 7, 9)
+          AND c.c_acctbal > (
+            SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(*)
+            FROM customer c2
+            WHERE c2.c_acctbal > 0 AND c2.c_nationkey IN (1, 3, 5, 7, 9))
+          AND NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY 1 ORDER BY 1
     """
     oracles["dedup_incremental_exact"] = """
         WITH corpus AS (SELECT doc_id, md5(text) AS h FROM documents

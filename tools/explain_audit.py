@@ -102,6 +102,60 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         ["Window", "partial_count"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
     ),
+    # r9: incremental probe — the batch band-set BROADCASTS so the
+    # corpus-sized index side never shuffles; no pair explosion
+    "dedup_incremental": (
+        ["BroadcastHashJoin", "partial_min"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # r9: md5-membership probe — broadcast batch hashes vs streamed index
+    "dedup_incremental_exact": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # r9: correlated-MIN shape — dims broadcast, both aggregates keyed
+    "tpch_q2": (
+        ["BroadcastHashJoin", "partial_min"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # r9: part/supplier/nation broadcast; one real shuffle (orderkey)
+    "tpch_q9": (
+        ["BroadcastHashJoin", "partial_sum"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # r9: CASE conditional aggregation over one orderkey join
+    "tpch_q12": (
+        ["partial_sum"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # r9: the NOT IN is a broadcast LEFT-ANTI, never a per-row subquery
+    "tpch_q16": (
+        ["LeftAnti", "BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # r9: disjunctive bracket predicate stays inside ONE broadcast join
+    "tpch_q19": (
+        ["BroadcastHashJoin", "partial_sum"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # r9: nested correlated IN = keyed agg + HAVING feeding a LEFT-SEMI
+    "tpch_q20": (
+        ["LeftSemi", "partial_sum"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # r9: EXISTS -> left-semi, NOT EXISTS -> left-anti, both hashed on
+    # orderkey with the suppkey inequality as a residual condition
+    "tpch_q21": (
+        ["LeftSemi", "LeftAnti"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # r9: scalar-subquery threshold broadcasts as a 1-row frame (that
+    # BNLJ is the hybrid_rrf_topk precedent — by design); the NOT
+    # EXISTS is a left-anti on custkey
+    "tpch_q22": (
+        ["LeftAnti", "partial_sum"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
     # fixture adapter truncates ts -> µs (oracle parity), which blocks scan
     # pushdown there; the engine-native layout is audited separately below
     "raw_values": ([], ["Exchange hashpartitioning"]),
