@@ -1703,10 +1703,10 @@ def q_image_phash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Perceptual-hash image near-dup pairs over the planted-neardup PPM
     fixture: integer fixed-point DCT pHash in an Arrow kernel, then
     pigeonhole-banded candidate join + bit_count verification — all JVM
-    after the hash. NO SQL ORACLE (DuckDB cannot decode PPM; the hash is
-    pinned against a numpy reference and planted dups in
-    tests/test_new_ops_r7.py) — the driver records the rows-only check
-    (functions/multimodal.py image_phash/phash_pairs)."""
+    after the hash. Oracle (r9): the planted raster is a pure integer
+    function of doc_id and PPM round-trips losslessly, so DuckDB
+    re-derives luma -> resize -> fixed-point DCT -> median bits -> bands
+    -> pairs arithmetically (multimodal.phash_pairs_oracle_sql)."""
     media = multimodal.synthetic_ppm_neardups(load_table(spark, sf, "documents"))
     return multimodal.phash_pairs(media, max_hamming=7)
 
@@ -2654,6 +2654,11 @@ def oracle_sql() -> dict[str, str]:
 
     # ---- r9 ----
     from btrdb_spark.functions import dedup as _dd9
+    from btrdb_spark.functions import multimodal as _mm9
+
+    # the last rows-only entry gets a full arithmetic oracle: DuckDB
+    # recomputes the planted rasters' pHashes from doc_id arithmetic
+    oracles["image_phash_pairs"] = _mm9.phash_pairs_oracle_sql(max_hamming=7)
 
     # incremental probe == from-scratch pairs restricted to the batch
     oracles["dedup_incremental"] = f"""

@@ -639,3 +639,105 @@ def wav_rms_windows_oracle_sql(window_frames: int = 50) -> str:
                sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_frames AS DOUBLE)) AS rms
         FROM w ORDER BY media_id, win
     """
+
+
+def phash_pairs_oracle_sql(max_hamming: int = 7, dup_every: int = 20) -> str:
+    """DuckDB oracle for ``phash_pairs(synthetic_ppm_neardups(documents))``
+    — a full arithmetic re-derivation, no image codec needed: the planted
+    raster is a pure integer function of doc_id and PPM encode/decode is
+    lossless, so the oracle recomputes byte -> BT.601 luma -> nearest
+    32x32 resize -> two-stage fixed-point DCT (>>20 requant, matching
+    numpy's arithmetic shift — DuckDB's BIGINT >> is arithmetic too) ->
+    lower-median bit threshold -> signed 64-bit hash -> pigeonhole bands
+    -> Hamming-verified pairs, entirely in SQL over integer columns.
+    The only shared artifact with the Spark kernel is the quantized DCT
+    cosine table, emitted here as literals from the closed-form spec
+    round(cos(pi*(2j+1)k/64) * 2^20); every arithmetic step downstream is
+    independently recomputed (the spectral_power literal-table trick).
+    """
+    import math
+
+    n, q = 32, 1 << 20
+    dct_flat = [
+        round(math.cos(math.pi * (2 * j + 1) * k / (2 * n)) * q)
+        for k in range(n)
+        for j in range(n)
+    ]
+    dct_lit = "[" + ",".join(str(v) for v in dct_flat) + "]"
+    # signed two's-complement weights: bit 0 (MSB) carries -2^63
+    weights = [-(1 << 63)] + [1 << (63 - i) for i in range(1, 64)]
+    w_lit = "[" + ",".join(str(v) for v in weights) + "]"
+    return f"""
+        WITH media AS (
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % {dup_every} = 7 THEN doc_id - 1
+                        ELSE doc_id END AS src,
+                   (doc_id % {dup_every} = 7) AS bumped
+            FROM documents
+        ), dims AS (
+            SELECT media_id, src, bumped,
+                   8 + src % 5 AS w, 6 + src % 3 AS h
+            FROM media
+        ), grid AS (
+            SELECT d.media_id, d.src, d.bumped, d.w, d.h, y.y, x.x,
+                   ((y.y * d.h) // 32) * d.w + ((x.x * d.w) // 32) AS p
+            FROM dims d,
+                 (SELECT UNNEST(range(0, 32)) AS y) y,
+                 (SELECT UNNEST(range(0, 32)) AS x) x
+        ), lum AS (
+            -- byte(f) = ((src*2654435761 + f*40503) XOR f*f) % 256, the
+            -- planted generator; the one-byte bump hits flat index 0
+            SELECT media_id, y, x,
+                   (77 * (CASE WHEN bumped AND 3 * p = 0 THEN
+                       (xor(src * 2654435761 + (3*p) * 40503,
+                            (3*p) * (3*p)) % 256 + 1) % 256
+                     ELSE xor(src * 2654435761 + (3*p) * 40503,
+                              (3*p) * (3*p)) % 256 END)
+                  + 150 * (xor(src * 2654435761 + (3*p+1) * 40503,
+                               (3*p+1) * (3*p+1)) % 256)
+                  +  29 * (xor(src * 2654435761 + (3*p+2) * 40503,
+                               (3*p+2) * (3*p+2)) % 256)) >> 8 AS g
+            FROM grid
+        ), dct AS (
+            SELECT i // 32 AS k, i % 32 AS j, ({dct_lit})[i + 1] AS c
+            FROM (SELECT UNNEST(range(0, 1024)) AS i)
+        ), y1 AS (
+            SELECT l.media_id, d.k, l.x,
+                   SUM(d.c * l.g) >> 20 AS v
+            FROM lum l JOIN dct d ON d.j = l.y
+            GROUP BY 1, 2, 3
+        ), y2 AS (
+            SELECT y1.media_id, y1.k, d.k AS l,
+                   CAST(SUM(d.c * y1.v) AS BIGINT) >> 20 AS v
+            FROM y1 JOIN dct d ON d.j = y1.x
+            WHERE y1.k < 8 AND d.k < 8
+            GROUP BY 1, 2, 3
+        ), blk AS (
+            SELECT media_id, k * 8 + l AS idx, v,
+                   ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY v) AS rn
+            FROM y2
+        ), med AS (
+            SELECT media_id, v AS med FROM blk WHERE rn = 32
+        ), hash AS (
+            SELECT b.media_id,
+                   CAST(SUM(CASE WHEN b.v > m.med THEN 1 ELSE 0 END
+                            * ({w_lit})[b.idx + 1]) AS BIGINT) AS phash
+            FROM blk b JOIN med m USING (media_id)
+            GROUP BY 1
+        ), bands AS (
+            SELECT media_id, phash, band,
+                   (phash >> (band * 8)) & 255 AS bb
+            FROM hash, (SELECT UNNEST(range(0, 8)) AS band)
+        ), cand AS (
+            SELECT DISTINCT a.media_id AS media_id, b.media_id AS media_id2,
+                   a.phash AS h1, b.phash AS h2
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bb = b.bb
+                 AND a.media_id < b.media_id
+        )
+        SELECT media_id, media_id2,
+               CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(h1, h2)) <= {max_hamming}
+        ORDER BY media_id, media_id2
+    """

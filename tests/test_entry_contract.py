@@ -10,12 +10,9 @@ def test_every_query_has_an_oracle():
     os_ = set(e.oracle_sql())
     # every declared query must be oracle-gated: a queries() entry without
     # an oracle silently downgrades to the driver's weaker rows-only check.
-    # Exceptions are DECLARED (and mirrored in test_registry_gate):
-    declared_rows_only = {
-        # r7: DuckDB cannot decode the PPM blobs; the perceptual hash is
-        # pinned against a numpy reference + planted near-dups instead
-        "image_phash_pairs",
-    }
+    # Exceptions are DECLARED (and mirrored in test_registry_gate); none
+    # remain since r9 gave image_phash_pairs its arithmetic oracle.
+    declared_rows_only: set[str] = set()
     assert qs - os_ - declared_rows_only == set(), (
         f"queries missing oracles: {sorted(qs - os_ - declared_rows_only)}"
     )

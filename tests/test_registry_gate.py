@@ -53,12 +53,8 @@ def test_every_oracle_targets_a_registered_query():
     assert not missing, f"oracles without queries: {sorted(missing)}"
     # queries WITHOUT an oracle get only the weaker rows-only driver
     # check — keep that set explicit so additions are deliberate
-    declared_rows_only = {
-        # r7: perceptual image hashing — DuckDB cannot decode the PPM
-        # blobs; the hash is pinned against a numpy reference and
-        # planted near-dups in tests/test_new_ops_r7.py instead
-        "image_phash_pairs",
-    }
+    # none remain: r9 gave image_phash_pairs an arithmetic SQL oracle
+    declared_rows_only: set[str] = set()
     rows_only = sorted(set(qs) - set(os_) - declared_rows_only)
     assert rows_only == [], f"undeclared rows-only queries: {rows_only}"
 
@@ -68,8 +64,8 @@ def test_never_certified_entries_lead_the_gate_order():
     head of the registry until a driver round certifies them."""
     import json
 
-    # declared rows-only entries (no DuckDB oracle) can never earn a
-    # hash_match; rows+schema IS their full certification
+    # image_phash_pairs was declared rows-only through r8 (it gained a
+    # full oracle in r9); its historical rows+schema rows still count
     rows_only = {"image_phash_pairs"}
     certified = set()
     for fn in sorted(os.listdir("/root/repo")):
