@@ -246,6 +246,21 @@ def main() -> None:
         (r["query_id"], r["neighbor_id"])
         for r in sim.ann_pq_topk(emb, probes, pq_books, k=5).collect()
     }
+    # r9: reranked IVF-PQ at the ladder's top rung (64 cells, nprobe=48,
+    # residual m=8/nbits=8, shortlist=50 + exact rerank) — the >=0.95
+    # operating point on sf0.01; PQ noise cannot reorder the final top-5
+    rr_raw = sim.load_sorted_embeddings(f"{sf_dir}/embeddings.parquet")
+    rr_cents_np = sim.train_kmeans_centroids(rr_raw, k=64)
+    rr_books, rr_anchors_np = sim.train_residual_pq(rr_raw, rr_cents_np, m=8, nbits=8)
+    rerank = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.ann_ivfpq_rerank_topk(
+            emb, probes, sim.centroids_df(spark, rr_cents_np), rr_books,
+            sim.centroids_df(spark, rr_anchors_np),
+            k=5, nprobe=48, shortlist=50,
+        ).collect()
+    }
+    rerank_recall = round(len(exact & rerank) / len(exact), 3) if exact else None
     lsh_recall = round(len(exact & lsh) / len(exact), 3) if exact else None
     mp_recall = round(len(exact & mp) / len(exact), 3) if exact else None
     ivf_recall = round(len(exact & ivf) / len(exact), 3) if exact else None
@@ -346,6 +361,7 @@ def main() -> None:
             "ann_ivf_recall_at5": ivf_recall,
             "ann_ivf_kmeans_recall_at5": kivf_recall,
             "ann_pq_recall_at5": pq_recall,
+            "ann_rerank_recall_at5": rerank_recall,
             "probe_stable": probe_flags,
         },
         "noisy_queries": noisy,

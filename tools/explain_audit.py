@@ -200,6 +200,10 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
     # IVF-PQ: cell routing + code scan, probe side broadcast on the cell key
     "ann_ivfpq_topk": (["BroadcastHashJoin", "ArrowEvalPython"], ["CartesianProduct", "BatchEvalPython"]),
     "ann_ivfpq_residual_topk": (["BroadcastHashJoin", "ArrowEvalPython"], ["CartesianProduct", "BatchEvalPython"]),
+    # r9: exact rerank — the shortlist (queries x 50 rows) broadcasts
+    # into the corpus join, full vectors fetched for candidates only
+    "ann_ivfpq_rerank_topk": (["BroadcastHashJoin", "ArrowEvalPython"], ["CartesianProduct", "BatchEvalPython"]),
+    "ann_rerank_recall_ladder": (["BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython"]),
     # CUSUM: sequential kernel is the documented Arrow case; mean frame broadcast
     "cusum_alarms": (["MapInPandas", "BroadcastHashJoin"], ["BatchEvalPython", "CartesianProduct"]),
     # SAX: bucket-mean groupBy + broadcast stats + lead window + top-k window
