@@ -1056,6 +1056,31 @@ def q_stream_correlations(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stream_correlations_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Capped fleet correlation: each stream's 3 strongest partners by
+    |corr| — the large-S variant whose output (and final shuffle) is
+    S*k-shaped instead of S^2-shaped, with an exact zero-variance
+    prefilter before the pair fan-out."""
+    from btrdb_spark.operators import correlate
+
+    return correlate.stream_correlations_topk(
+        events_as_points(spark, sf), pw=42, k=3, min_overlap=8
+    )
+
+
+def q_stream_correlations_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Sub-quadratic top-k partner search: sign-LSH over centered
+    bucket-mean vectors prunes candidates before the exact Pearson —
+    the plan that survives a 10x fleet where the all-pairs join cannot
+    (tools/prof_corr.py)."""
+    from btrdb_spark.operators import correlate
+
+    return correlate.stream_correlations_topk_lsh(
+        events_as_points(spark, sf), pw=42, k=3, min_overlap=8,
+        n_planes=8, n_tables=8,
+    )
+
+
 def q_ngram_contamination(spark: SparkSession, sf: str) -> DataFrame:
     """Decontamination scan: corpus docs sharing an 8-gram with the
     'eval set' (stand-in: doc_id < 5); eval grams broadcast."""
@@ -1986,6 +2011,93 @@ def q_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 national market share, ADAPTED to the fixture schema
+    (p_type domain is the fixture's 6 classes): among ECONOMY-part
+    revenue sold to EUROPE customers in 1995-1996, the share supplied by
+    NATION_5 per order year. Dims (part, supplier+nation, region)
+    broadcast; the two real shuffles are orders->customer and
+    lineitem->orders — at 100 TB those are the fact joins that must
+    shuffle, everything else rides the broadcast."""
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    eur = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey")
+    cust = load_table(spark, sf, "customer").join(
+        F.broadcast(eur), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey")
+    orders = (
+        load_table(spark, sf, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") <= F.lit("1996-12-31").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    part = load_table(spark, sf, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    supp = load_table(spark, sf, "supplier").join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    li = (
+        load_table(spark, sf, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    return (
+        li.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("n_name") == "NATION_5", vol).otherwise(
+                    F.lit(0).cast("decimal(38,6)")
+                )
+            ).cast("double").alias("_num"),
+            F.sum(vol).cast("double").alias("_den"),
+        )
+        .select(
+            "o_year", (F.col("_num") / F.col("_den")).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 important stock, ADAPTED (no partsupp: a part's 'value'
+    held by NATION_7's suppliers = the summed extendedprice those
+    suppliers ever shipped it at). Returns parts whose value exceeds
+    0.1% of the national total — the scalar-subquery HAVING shape. The
+    threshold is a 1-row aggregate broadcast-crossJoined back, and the
+    comparison is decimal-exact (value*1000 > total) so no fractional
+    rounding can flip a boundary row."""
+    nation = load_table(spark, sf, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    ).select("n_nationkey")
+    supp = load_table(spark, sf, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    li = load_table(spark, sf, "lineitem").join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    val = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("_v")
+    )
+    total = val.agg(F.sum("_v").alias("_t"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("_v") * 1000 > F.col("_t"))
+        .select("p_partkey", F.col("_v").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
 def q_tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q12 shipping-mode priority counts, ADAPTED (no l_shipmode /
     commitdate / receiptdate): lineitems shipped in 1997 classify as LATE
@@ -2481,8 +2593,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_exact": q_dedup_incremental_exact,
         "ann_ivfpq_rerank_topk": q_ann_ivfpq_rerank_topk,
         "ann_rerank_recall_ladder": q_ann_rerank_recall_ladder,
+        "stream_correlations_topk": q_stream_correlations_topk,
+        "stream_correlations_topk_lsh": q_stream_correlations_topk_lsh,
         "tpch_q2": q_tpch_q2,
+        "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
         "tpch_q12": q_tpch_q12,
         "tpch_q16": q_tpch_q16,
         "tpch_q19": q_tpch_q19,
@@ -2778,6 +2894,42 @@ def oracle_sql() -> dict[str, str]:
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE p.p_name LIKE '%widget%'
         GROUP BY 1, 2 ORDER BY nation, o_year DESC
+    """
+    oracles["tpch_q8"] = """
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CASE WHEN n2.n_name = 'NATION_5'
+                    THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(38,6))
+                    ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(38,6))) AS DOUBLE) AS mkt_share
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region r ON n1.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+          AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                                AND TIMESTAMP '1996-12-31'
+        GROUP BY 1 ORDER BY 1
+    """
+    oracles["tpch_q11"] = """
+        WITH val AS (
+            SELECT l.l_partkey AS p_partkey,
+                   SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS v
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_7'
+            GROUP BY 1
+        )
+        SELECT p_partkey, CAST(v AS DOUBLE) AS part_value
+        FROM val
+        WHERE v * 1000 > (SELECT SUM(v) FROM val)
+        ORDER BY part_value DESC, p_partkey
     """
     oracles["tpch_q12"] = """
         SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
@@ -3646,6 +3798,14 @@ def oracle_sql() -> dict[str, str]:
     )
     # ladder path proves bit-identity against the SAME raw-path oracle
     oracles["stream_correlations_via_rollup"] = oracles["stream_correlations"]
+    oracles["stream_correlations_topk"] = corr_ops.correlations_topk_oracle_sql(
+        PTS, pw=42, k=3, min_overlap=8
+    )
+    oracles["stream_correlations_topk_lsh"] = (
+        corr_ops.correlations_topk_lsh_oracle_sql(
+            PTS, pw=42, k=3, min_overlap=8, n_planes=8, n_tables=8
+        )
+    )
     oracles["ewma"] = rs_ops.ewma_oracle_sql(PTS, alpha=0.25)
     oracles["cusum_alarms"] = rs_ops.cusum_oracle_sql(PTS, k=8.0, h=64.0)
     oracles["find_peaks"] = rs_ops.find_peaks_oracle_sql(PTS, w=5)

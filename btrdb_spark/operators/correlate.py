@@ -182,6 +182,348 @@ def _pearson_from_pairs(paired: DataFrame, keys: list[str], min_overlap: int) ->
     )
 
 
+def stream_correlations_topk(
+    points: DataFrame,
+    pw: int = 42,
+    k: int = 3,
+    min_overlap: int = 8,
+) -> DataFrame:
+    """Top-k most-correlated partner streams per stream — the capped
+    variant of stream_correlations for large fleets (S in the
+    thousands), where the full S^2/2 pair list is itself the problem.
+
+    Two exact cost reducers before the quadratic stage:
+
+    1. **Variance prefilter**: streams whose quantized bucket means take
+       a single distinct value are dropped BEFORE pairing. This is
+       exact, not a heuristic — zero variance over the full bucket set
+       implies zero variance over every common-bucket subset, so every
+       pair involving such a stream is discarded by the ``varx > 0``
+       filter anyway. In real telemetry fleets (status flags, constant
+       setpoints) this removes a large fraction of S before the S^2
+       fan-out.
+    2. **Output cap**: after the Pearson aggregation, each stream keeps
+       only its k strongest partners by |corr| (row_number window,
+       deterministic |corr| desc / partner asc order), so the result and
+       the final shuffle are S*k-shaped, not S^2-shaped.
+
+    The intermediate pair fan-out remains bucket-keyed (S'^2/2 per
+    bucket over the surviving streams) — that is inherent to measuring
+    every candidate pair; at 100 TB the means come from the rollup
+    ladder (output-shaped input) and AQE splits skewed buckets.
+
+    Output: (uuid, partner, n_buckets, corr, rk), rk in [1, k], one
+    row per (stream, kept partner); pairs appear once per direction.
+    """
+    width = 1 << pw
+    from ..functions import decsum
+
+    m = (
+        points.withColumn("bucket", bucket_start(F.col("time"), width))
+        .groupBy("uuid", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"), *decsum.sum_aggs(F.col("value")))
+        .select(
+            "uuid",
+            "bucket",
+            F.floor(
+                (decsum.vsum().cast("double") / F.col("cnt")) * F.lit(_Q)
+            ).cast("long").alias("mq"),
+        )
+    )
+    # checkpoint BEFORE deriving the prefilter so the points scan runs
+    # once — both the ndv aggregate and the join probe read the tiny
+    # materialized means frame
+    m = m.localCheckpoint()
+    live = (
+        m.groupBy("uuid")
+        .agg(F.count_distinct("mq").alias("_ndv"))
+        .filter(F.col("_ndv") > 1)
+        .select("uuid")
+    )
+    m = m.join(F.broadcast(live), "uuid")
+    pairs = correlations_from_bucket_means(m, min_overlap)
+    return _topk_per_stream(pairs, k)
+
+
+def stream_correlations_topk_lsh(
+    points: DataFrame,
+    pw: int = 42,
+    k: int = 3,
+    min_overlap: int = 8,
+    n_planes: int = 8,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Sub-quadratic top-k correlated partners via sign-LSH candidate
+    pruning — the escape hatch from the S^2 pair fan-out that the exact
+    variants cannot avoid (measured in tools/prof_corr.py: pair rows
+    scale ~S^2, ~7.6M at the sf0.1 fleet, ~100x that at 10x streams).
+
+    Key identity: Pearson correlation of two streams' bucket-mean series
+    IS the cosine of their mean-centered vectors over the global bucket
+    axis (missing buckets imputed at the stream mean, i.e. centered 0).
+    So top-|corr| partner search is the ANN problem the embedding stack
+    already solves, and the same random-hyperplane LSH applies:
+
+    1. bucket means (uuid, bucket, mq) — exact, rollup-ladder-servable;
+    2. center per stream: zq = floor(mq - sx/n) (one IEEE double
+       expression, engine-portable), dropping zero-variance streams;
+    3. signatures: for plane j, proj_j = sum_b zq_b * coef(bucket, j)
+       with 16-bit coefficients md5-derived IN-ENGINE from the bucket
+       value (|zq| < 2^40, |coef| < 2^15, <= 2^13 buckets: the int64
+       sum cannot overflow), sign bits packed into n_tables bucket ids;
+    4. candidates: signature equi-join per table — plus a join against
+       the BITWISE-COMPLEMENT bucket, so corr ~ -1 pairs (all sign bits
+       flipped) are also caught; the complement probe rides the same
+       equi-join via a 2-way explode, never a BNLJ;
+    5. exact Pearson (identical arithmetic to stream_correlations) on
+       candidate pairs only, then per-stream top-k by |corr|.
+
+    Cost: signatures are linear (stream_buckets x planes rows); the
+    candidate join is bucket-keyed with collision-probability-sized
+    output. Approximation is contained to candidate RECALL — every
+    emitted corr value is exact, and the DuckDB oracle replicates the
+    candidate generation bit-for-bit (md5 coefficients, same double
+    centering), so the gate certifies the whole plan.
+
+    Output: (uuid, partner, n_buckets, corr, rk) like
+    stream_correlations_topk, restricted to LSH candidates.
+    """
+    width = 1 << pw
+    from ..functions import decsum
+
+    P, T = n_planes, n_tables
+    m = (
+        points.withColumn("bucket", bucket_start(F.col("time"), width))
+        .groupBy("uuid", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"), *decsum.sum_aggs(F.col("value")))
+        .select(
+            "uuid",
+            "bucket",
+            F.floor(
+                (decsum.vsum().cast("double") / F.col("cnt")) * F.lit(_Q)
+            ).cast("long").alias("mq"),
+        )
+    ).localCheckpoint()
+    tot = m.groupBy("uuid").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("mq").alias("sxs"),
+        F.count_distinct("mq").alias("ndv"),
+    )
+    zc = m.join(F.broadcast(tot.filter(F.col("ndv") > 1)), "uuid").select(
+        "uuid",
+        "bucket",
+        F.floor(
+            F.col("mq").cast("double")
+            - F.col("sxs").cast("double") / F.col("nb").cast("double")
+        ).cast("long").alias("zq"),
+    )
+    js = F.array(*[F.lit(j) for j in range(P * T)])
+    coef = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        F.col("bucket").cast("string"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        - F.lit(1 << 15)
+    )
+    proj = (
+        zc.select("uuid", "bucket", "zq", F.explode(js).alias("j"))
+        .select("uuid", "j", (F.col("zq") * coef).alias("term"))
+        .groupBy("uuid", "j")
+        .agg(F.sum("term").alias("proj"))
+    )
+    sig = (
+        proj.select(
+            "uuid",
+            F.expr(f"j DIV {P}").alias("tbl"),
+            F.when(
+                F.col("proj") >= 0,
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(j % {P} AS INT))"),
+            ).otherwise(F.lit(0).cast("long")).alias("w"),
+        )
+        .groupBy("uuid", "tbl")
+        .agg(F.sum("w").alias("sig"))
+    )
+    mask = (1 << P) - 1
+    a = sig.select(F.col("uuid").alias("uuid_a"), "tbl", F.col("sig").alias("ba"))
+    b = sig.select(
+        F.col("uuid").alias("uuid_b"),
+        F.col("tbl").alias("tbl_b"),
+        F.explode(
+            F.array(F.col("sig"), F.lit(mask).cast("long") - F.col("sig"))
+        ).alias("probe"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("tbl") == F.col("tbl_b"))
+            & (F.col("ba") == F.col("probe"))
+            & (F.col("uuid_a") < F.col("uuid_b")),
+        )
+        .select("uuid_a", "uuid_b")
+        .distinct()
+    )
+    pa = m.select(F.col("uuid").alias("uuid_a"), "bucket", F.col("mq").alias("xa"))
+    pb = m.select(
+        F.col("uuid").alias("_ub"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("mq").alias("xb"),
+    )
+    paired = (
+        cand.join(pa, "uuid_a")
+        .join(
+            pb,
+            (F.col("uuid_b") == F.col("_ub"))
+            & (F.col("bucket") == F.col("bucket_b")),
+        )
+        .drop("_ub")
+    )
+    pairs = _pearson_from_pairs(paired, ["uuid_a", "uuid_b"], min_overlap)
+    return _topk_per_stream(pairs, k)
+
+
+def _topk_per_stream(pairs: DataFrame, k: int) -> DataFrame:
+    """Symmetrize a (uuid_a, uuid_b, n_buckets, corr) pair frame and keep
+    each stream's k strongest partners by |corr| (deterministic
+    |corr| desc / partner asc order)."""
+    both = pairs.select(
+        F.col("uuid_a").alias("uuid"), F.col("uuid_b").alias("partner"),
+        "n_buckets", "corr",
+    ).unionByName(
+        pairs.select(
+            F.col("uuid_b").alias("uuid"), F.col("uuid_a").alias("partner"),
+            "n_buckets", "corr",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("uuid").orderBy(F.abs(F.col("corr")).desc(), "partner")
+    return (
+        both.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def correlations_topk_lsh_oracle_sql(
+    points_sql: str,
+    pw: int = 42,
+    k: int = 3,
+    min_overlap: int = 8,
+    n_planes: int = 8,
+    n_tables: int = 8,
+) -> str:
+    """DuckDB mirror of stream_correlations_topk_lsh: identical md5
+    coefficients, centering doubles, signature packing, complement
+    probe, exact Pearson tail."""
+    width = 1 << pw
+    P, T = n_planes, n_tables
+    mask = (1 << P) - 1
+    return f"""
+        WITH m AS (
+            SELECT uuid,
+                   (time // {width}) * {width} AS bucket,
+                   CAST(FLOOR((CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)) * {_Q!r}) AS BIGINT) AS mq
+            FROM {points_sql} p GROUP BY 1, 2
+        ), tot AS (
+            SELECT uuid, COUNT(*) AS nb, SUM(mq) AS sxs,
+                   COUNT(DISTINCT mq) AS ndv
+            FROM m GROUP BY 1
+        ), zc AS (
+            SELECT m.uuid, m.bucket,
+                   CAST(FLOOR(CAST(mq AS DOUBLE)
+                        - CAST(sxs AS DOUBLE) / CAST(nb AS DOUBLE)) AS BIGINT) AS zq
+            FROM m JOIN tot ON m.uuid = tot.uuid WHERE tot.ndv > 1
+        ), pj AS (
+            SELECT generate_series AS j FROM generate_series(0, {P * T - 1})
+        ), proj AS (
+            SELECT uuid, j,
+                   SUM(zq * (('0x' || substr(md5(CAST(bucket AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 4))::BIGINT - 32768)) AS proj
+            FROM zc CROSS JOIN pj GROUP BY 1, 2
+        ), sig AS (
+            SELECT uuid, j // {P} AS tbl,
+                   SUM(CASE WHEN proj >= 0
+                       THEN (CAST(1 AS BIGINT) << CAST(j % {P} AS INT))
+                       ELSE 0 END) AS sig
+            FROM proj GROUP BY 1, 2
+        ), cand AS (
+            SELECT DISTINCT a.uuid AS uuid_a, b.uuid AS uuid_b
+            FROM sig a JOIN sig b
+              ON a.tbl = b.tbl AND a.uuid < b.uuid
+             AND (a.sig = b.sig OR a.sig = {mask} - b.sig)
+        ), paired AS (
+            SELECT c.uuid_a, c.uuid_b, ma.mq AS xa, mb.mq AS xb
+            FROM cand c
+            JOIN m ma ON ma.uuid = c.uuid_a
+            JOIN m mb ON mb.uuid = c.uuid_b AND mb.bucket = ma.bucket
+        ), stats AS (
+            SELECT uuid_a, uuid_b, COUNT(*) AS n,
+                   SUM(xa) AS sx, SUM(xb) AS sy,
+                   SUM(xa * xb) AS sxy, SUM(xa * xa) AS sxx, SUM(xb * xb) AS syy
+            FROM paired GROUP BY 1, 2
+        ), corr_rows AS (
+            SELECT uuid_a, uuid_b, CAST(n AS BIGINT) AS n_buckets,
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+            FROM stats
+            WHERE n >= {min_overlap}
+              AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+              AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+        ), both_dir AS (
+            SELECT uuid_a AS uuid, uuid_b AS partner, n_buckets, corr
+            FROM corr_rows
+            UNION ALL
+            SELECT uuid_b AS uuid, uuid_a AS partner, n_buckets, corr
+            FROM corr_rows
+        ), ranked AS (
+            SELECT uuid, partner, n_buckets, corr,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY uuid
+                       ORDER BY ABS(corr) DESC, partner) AS BIGINT) AS rk
+            FROM both_dir
+        )
+        SELECT uuid, partner, n_buckets, corr, rk
+        FROM ranked WHERE rk <= {k}
+    """
+
+
+def correlations_topk_oracle_sql(
+    points_sql: str, pw: int = 42, k: int = 3, min_overlap: int = 8
+) -> str:
+    """DuckDB mirror of stream_correlations_topk: full-pair CTE (the
+    prefilter is exact, so the oracle needs no equivalent), both
+    directions, row_number by |corr| desc / partner asc."""
+    base = correlations_oracle_sql(points_sql, pw, min_overlap)
+    return f"""
+        WITH pairs AS ({base}),
+        both_dir AS (
+            SELECT uuid_a AS uuid, uuid_b AS partner, n_buckets, corr
+            FROM pairs
+            UNION ALL
+            SELECT uuid_b AS uuid, uuid_a AS partner, n_buckets, corr
+            FROM pairs
+        ), ranked AS (
+            SELECT uuid, partner, n_buckets, corr,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY uuid
+                       ORDER BY ABS(corr) DESC, partner) AS BIGINT) AS rk
+            FROM both_dir
+        )
+        SELECT uuid, partner, n_buckets, corr, rk
+        FROM ranked WHERE rk <= {k}
+    """
+
+
 def lag_correlations(
     points: DataFrame,
     pw: int = 42,

@@ -1,0 +1,99 @@
+"""Fleet-scale probe for stream_correlations (verdict r8 #6): measure
+the exact all-pairs plan and the LSH-pruned top-k plan as the stream
+count grows, to locate the S^2 cliff and demonstrate the escape.
+
+Ladder: full all-pairs at 1x and 4x streams (pair rows scale ~R^2:
+7.6M -> ~121M at the sf0.1 fixture); LSH top-k additionally at 10x
+(~757M pair rows for the exact plan — the point where all-pairs stops
+being a sane interactive query on one node). Also reports LSH recall:
+the fraction of each stream's exact top-1 partner recovered by the
+pruned plan at 1x.
+
+Stream replication is deterministic: each fixture stream (user_id)
+spawns R copies uuid = "<user_id>#<r>" with values shifted by a
+per-replica affine tweak (value * (1 + r/64) + r), preserving nonzero
+variance so the zero-variance prefilter removes nothing — worst case
+for the pair fan-out.
+
+Run: python tools/prof_corr.py  (sf0.1 fixture, local[32])
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from btrdb_spark.session import get_spark
+from btrdb_spark.sources.tables import events_as_points
+from btrdb_spark.operators import correlate
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicated_points(spark, r):
+    pts = events_as_points(spark, SF)
+    if r == 1:
+        return pts
+    reps = F.array(*[F.lit(i) for i in range(r)])
+    return (
+        pts.select("uuid", "time", "value", F.explode(reps).alias("_r"))
+        .select(
+            F.concat_ws("#", "uuid", F.col("_r").cast("string")).alias("uuid"),
+            "time",
+            (
+                F.col("value") * (1 + F.col("_r").cast("double") / F.lit(64.0))
+                + F.col("_r").cast("double")
+            ).alias("value"),
+        )
+    )
+
+
+def main():
+    spark = get_spark("prof_corr")
+    out = {}
+    for r in (1, 4, 10):
+        pts = replicated_points(spark, r).localCheckpoint()
+        n_streams = pts.select("uuid").distinct().count()
+        row = {"streams": n_streams}
+        if r <= 4:
+            t0 = time.time()
+            row["full_pairs"] = correlate.stream_correlations(
+                pts, pw=42, min_overlap=8
+            ).count()
+            row["full_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        row["lsh_rows"] = correlate.stream_correlations_topk_lsh(
+            pts, pw=42, k=3, min_overlap=8
+        ).count()
+        row["lsh_sec"] = round(time.time() - t0, 2)
+        out[f"r{r}"] = row
+        print(json.dumps({f"r{r}": row}), flush=True)
+
+    # recall at 1x: exact top-1 partner per stream vs the LSH result set
+    pts = replicated_points(spark, 1).localCheckpoint()
+    exact1 = (
+        correlate.stream_correlations_topk(pts, pw=42, k=1, min_overlap=8)
+        .select("uuid", "partner")
+    )
+    lsh = correlate.stream_correlations_topk_lsh(
+        pts, pw=42, k=3, min_overlap=8
+    ).select("uuid", "partner")
+    hit = exact1.join(lsh, ["uuid", "partner"]).count()
+    total = exact1.count()
+    summary = {
+        "top1_recall_at_1x": round(hit / max(total, 1), 3),
+        "full_sec_1x_to_4x": round(
+            out["r4"]["full_sec"] / max(out["r1"]["full_sec"], 0.01), 1
+        ),
+        "lsh_sec_1x_to_10x": round(
+            out["r10"]["lsh_sec"] / max(out["r1"]["lsh_sec"], 0.01), 1
+        ),
+    }
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()
