@@ -2554,28 +2554,35 @@ def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     return dd.ngram_novelty(load_table(spark, sf, "documents"), n=3)
 
 
-# Rotation block (r8, verdict r7 ask #8): the driver's gate window covers
-# roughly the first 50 entries, so entries certified ONLY in early rounds
-# age without re-checks. Each round the block below pulls the ~40 entries
-# with the OLDEST driver row up behind the new-query head, so every
-# query's driver certification stays a few rounds fresh. This r8 list is
-# the r1-r3-certified core surface (raw/windows/metadata/CSV/ANN/dedup).
-ROTATION_R8 = [
-    "corpus_clean", "align_multistream", "aligned_windows",
-    "aligned_windows_at_version_via_rollup", "aligned_windows_via_rollup",
-    "ann_ivf_topk", "ann_lsh_multiprobe_topk", "ann_lsh_topk",
-    "asof_join_backward", "asof_join_chunked", "changed_ranges",
-    "collection_rollup", "cosine_topk", "csv_raw", "csv_windows",
-    "csv_windows_arb", "dedup_exact", "embedding_neardup_pairs",
-    "find_gaps", "fingerprint", "frame_sample", "key_usage",
-    "key_usage_prefix", "label_centroids", "lang_id", "list_collections",
-    "lookup_streams", "lookup_streams_ann", "minhash_lsh_pairs",
-    "multimodal_features", "nearest_after", "nearest_before",
-    "ngram_jaccard_pairs", "ppm_decode_features", "ppm_resize_exact",
-    "raw_values", "raw_values_after_delete",
-    # (trimmed to 37 so new-entries + rotation fit the ~50-row driver
-    # window; raw_values_at_version/resize/segment_revenue/
-    # semantic_dedup/sessionize lead the r9 rotation)
+# Rotation block (r9; the scheme began in r8, verdict r7 ask #8): the
+# driver's gate window covers roughly the first 50 entries, so entries
+# certified ONLY in early rounds age without re-checks. Each round the
+# block below pulls the entries with the OLDEST driver row up behind the
+# new-query head, so every query's driver certification stays a few
+# rounds fresh. The r9 list = image_phash_pairs (first round WITH an
+# oracle — r8 gave it the arithmetic SQL oracle, so the driver can now
+# upgrade its rows-only row to exact-hash), the whole r2-certified
+# block, lang_id_lexicon_join (r4), and the oldest 18 of the r3 block
+# (the remaining 10 r3 entries lead the r10 rotation).
+ROTATION_R9 = [
+    "image_phash_pairs",
+    # r2-certified block
+    "raw_values_at_version", "resize", "segment_revenue", "semantic_dedup",
+    "sessionize", "simhash_pairs", "text_quality", "token_counts",
+    "tpch_q1", "vocab_topk", "wav_decode_features", "windows_1h",
+    "windows_1h_hybrid", "windows_sliding",
+    # r4-certified
+    "lang_id_lexicon_join",
+    # r3-certified (first 18; remaining 10 -> ROTATION_R10:
+    # resample_linear, resample_locf, rolling_zscore, sdt_compress,
+    # stratified_sample, stream_correlations, stream_correlations_via_rollup,
+    # stream_rate, tfidf_top_terms, topk_docs_per_lang, train_val_test_split,
+    # value_quantiles)
+    "ann_ivf_kmeans_topk", "asof_join_forward", "asof_join_tolerance",
+    "bm25_topk", "centroid_classify", "cohort_retention", "distillate_sum",
+    "diurnal_profile", "ewma", "global_shuffle", "neardup_clusters",
+    "neardup_keep_best", "ngram_contamination", "ngram_jaccard_pairs_capped",
+    "pii_scrub", "range_join_stats", "resample_linear", "resample_locf",
 ]
 
 
@@ -2792,11 +2799,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_backward": q_asof_join_backward,
         "asof_join_chunked": q_asof_join_chunked,
     }
-    # new-entry head stays first (everything before the r7 marker), then
+    # new-entry head stays first (everything before the r8 marker), then
     # the rotation block, then the rest in stable order (dict.update of
     # existing keys does not move them)
-    n_new = 13  # r8 additions lead `base`
-    head = list(base)[:n_new] + ROTATION_R8
+    n_new = 16  # r9 additions lead `base`
+    head = list(base)[:n_new] + ROTATION_R9
     out = {n: base[n] for n in head}
     out.update(base)
     return out

@@ -38,6 +38,7 @@ table (MERGE + transaction log); the engine relies only on
 from __future__ import annotations
 
 import os
+import re
 import threading
 import time as timelib
 import uuid as uuidlib
@@ -64,6 +65,9 @@ from .schemas import (
 
 MAX_INSERT_SIZE = 25000        # grpcinterface/serve.go:57
 FLUSH_THRESHOLD = 32768        # pqm.go:29
+
+# version-slot claim generations: ver_<uuid>.g<slot>c<writer_nonce>
+_CLAIM_RE = re.compile(r"\.g(\d+)c[0-9a-f]+$")
 MAX_BUFFER_AGE_S = 8 * 3600.0  # pqm.go:29-35 MaxPQMBufferAge (8 h)
 # Cold-table partition fanout (hash ring analog). Sized ~2x local cores so
 # the bucketed commit write saturates the box (measured 3.2x bulk_load vs
@@ -130,6 +134,9 @@ class BTrDBEngine:
         # the commit-protocol backend (store.StoreBackend): POSIX pointer
         # files by default; any lakehouse-shaped backend plugs in here
         self.store = store_backend if store_backend is not None else store.DEFAULT
+        # distinguishes this engine's version-slot claims from a racing
+        # process's claims for the SAME slot (see _claim_version_slot)
+        self._writer_id = uuidlib.uuid4().hex[:8]
         # Serializes MUTATIONS (appends, flushes, rewrites, GC) so an
         # off-thread maintenance pass can never snapshot-then-republish a
         # table while a foreground write lands in the superseded
@@ -569,12 +576,57 @@ class BTrDBEngine:
         )
 
     @_locked
+    def _claim_version_slot(self, uuid: str, want: int) -> int:
+        """Cross-process serialization of per-stream version assignment —
+        the gap the in-process RLock cannot cover (two engine PROCESSES
+        on one base dir both computing data-max+1 would stamp a delete
+        tombstone and an insert commit with the SAME version).
+
+        Each version-bumping commit first CLAIMS its version number as a
+        store-CAS pointer flip on a per-stream ``ver_<uuid>`` manifest
+        whose generation number IS the version. The claim happens BEFORE
+        any data append: two racing writers target slot
+        max(data_max+1, last_claim+1); exactly one ``publish`` succeeds
+        and the loser raises store.CommitConflict before any of its rows
+        become visible — fail-loud, same contract as compact_points.
+        Because a winner's claim is visible even while its data append is
+        still in flight, a later claimer's max() can never re-issue that
+        version: uniqueness holds without waiting for data visibility.
+        A claim whose holder crashed before appending just skips that
+        number — versions are monotonic, not dense (the reference also
+        burns CGeneration numbers on aborted commits). Superseded claim
+        dirs are empty and pruned best-effort.
+
+        The claim path carries a per-engine nonce (``.g<slot>c<writer>``)
+        so two writers racing for the same slot build DIFFERENT
+        generation paths — without it, the ManifestLog's idempotent-
+        replay rule (same gen path re-published == replay, succeeds)
+        would let BOTH claimants win the slot."""
+        name = f"ver_{uuid}"
+        cur = self.store.resolve(self.base, name)
+        claimed = -1
+        if cur is not None:
+            m = _CLAIM_RE.search(os.path.basename(cur))
+            if m:
+                claimed = int(m.group(1))
+        slot = max(int(want), claimed + 1)
+        gen = os.path.join(self.base, f"{name}.g{slot}c{self._writer_id}")
+        os.makedirs(gen, exist_ok=True)
+        self.store.publish(self.base, name, gen, expected=cur)
+        if cur is not None:
+            try:
+                os.rmdir(cur)
+            except OSError:
+                pass
+        return slot
+
     def flush(self, uuid: str) -> tuple[int, int]:
         """S4: commit the hot buffer into the cold points table at major+1."""
         major, minor = self.stream_version(uuid)
         if minor == 0:
             return major, 0
         new_major = VERSION_FIRST_DATA if major == VERSION_CREATED else major + 1
+        new_major = self._claim_version_slot(uuid, new_major)
         mine = self.hot.filter(F.col("uuid") == uuid)
         (
             mine.select(
@@ -942,8 +994,8 @@ class BTrDBEngine:
             major, minor = vers[u]
             if minor:
                 major, _ = self.flush(u)
-            versions[u] = (
-                VERSION_FIRST_DATA if major == VERSION_CREATED else major + 1
+            versions[u] = self._claim_version_slot(
+                u, VERSION_FIRST_DATA if major == VERSION_CREATED else major + 1
             )
         self.spark.createDataFrame(
             [(u, s, e, versions[u]) for u, s, e in ranges], DELETES_SCHEMA

@@ -1287,6 +1287,11 @@ def lsh_recall_audit(
         documents = documents.filter(
             (_h64(F.col("doc_id").cast("string")) % F.lit(int(sample_mod))) == 0
         )
+    # Both legs (and their internal size/bucket passes) re-derive from
+    # `documents`; materialize the sampled frame once so the parquet
+    # scan + md5 sample filter runs a single time and every downstream
+    # stage reads the tiny in-memory sample (sample-sized by contract).
+    documents = documents.select("doc_id", text_col).localCheckpoint()
     exact = ngram_jaccard_pairs(documents, n=n, threshold=threshold,
                                 text_col=text_col).select("doc_a", "doc_b")
     lsh = (

@@ -15,6 +15,8 @@ import time
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from btrdb_spark import store
 from btrdb_spark.engine import BTrDBEngine
 from btrdb_spark.store import CommitConflict, ManifestLogStore, PosixStore
@@ -267,3 +269,95 @@ def test_two_engines_conflicting_rewrite_fails_loud(spark, tmp_path, monkeypatch
         e1.compact_points()
     # the winner's committed compaction is still live and readable
     assert e1.raw_values(u, 0, 10**9).count() == 20
+
+
+def test_concurrent_delete_ranges_and_ingest_single_winner(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r8 #8: delete_ranges racing a sync insert on the SAME
+    stream from another engine process (two backend instances over one
+    base dir, ManifestLog CAS). Before the version-slot claim
+    (engine._claim_version_slot) both writers computed data-max+1 and
+    could stamp a tombstone and an insert with the SAME version; now the
+    loser's claim raises CommitConflict BEFORE any tombstone row is
+    visible, a retry lands at a strictly higher version, and the
+    concurrent insert's points survive untouched."""
+    base = str(tmp_path / "db")
+    s1, s2 = ManifestLogStore(), ManifestLogStore()
+    e1 = BTrDBEngine(spark, base, store_backend=s1)
+    u = e1.create_stream("race/dr")
+    e1.insert(u, [(i, float(i)) for i in range(10)], sync=True)  # v10
+    e2 = BTrDBEngine(spark, base, store_backend=s2)
+
+    fired = {"done": False}
+    orig = s1.publish
+
+    def racing_publish(b, name, gen_path, expected=None):
+        if name.startswith("ver_") and not fired["done"]:
+            fired["done"] = True
+            # the concurrent writer commits its insert first (claims v11)
+            e2.insert(u, [(100 + i, float(i)) for i in range(5)], sync=True)
+        return orig(b, name, gen_path, expected=expected)
+
+    monkeypatch.setattr(s1, "publish", racing_publish)
+    with pytest.raises(CommitConflict):
+        e1.delete_ranges([(u, 0, 5)])
+    # the loser wrote NO tombstone
+    assert e1.deletes.filter(F.col("uuid") == u).count() == 0
+    # retry on top of the winner succeeds at a strictly higher version
+    v_del = e1.delete_ranges([(u, 0, 5)])[u]
+    pts = e1.points.filter(F.col("uuid") == u)
+    point_versions = sorted(
+        r["version"] for r in pts.select("version").distinct().collect()
+    )
+    assert point_versions == [10, 11]
+    assert v_del > max(point_versions)
+    # per-stream version monotonicity: no version is shared between a
+    # points commit and a delete tombstone
+    del_versions = {
+        r["version"]
+        for r in e1.deletes.filter(F.col("uuid") == u)
+        .select("version")
+        .distinct()
+        .collect()
+    }
+    assert del_versions == {v_del}
+    assert del_versions.isdisjoint(set(point_versions))
+    # the concurrent insert survives the delete of [0, 5)
+    assert e1.raw_values(u, 0, 10**9).count() == 10 + 5 - 5
+
+
+def test_concurrent_delete_ranges_both_engines_distinct_versions(
+    spark, tmp_path, monkeypatch
+):
+    """Two delete_ranges on the same stream from two processes: the
+    loser conflicts at its claim, retries, and the two tombstones land
+    at DISTINCT versions in claim order."""
+    base = str(tmp_path / "db")
+    s1, s2 = ManifestLogStore(), ManifestLogStore()
+    e1 = BTrDBEngine(spark, base, store_backend=s1)
+    u = e1.create_stream("race/dd")
+    e1.insert(u, [(i, float(i)) for i in range(10)], sync=True)  # v10
+    e2 = BTrDBEngine(spark, base, store_backend=s2)
+
+    fired = {"done": False}
+    orig = s1.publish
+
+    def racing_publish(b, name, gen_path, expected=None):
+        if name.startswith("ver_") and not fired["done"]:
+            fired["done"] = True
+            e2.delete_ranges([(u, 0, 2)])  # wins v11
+        return orig(b, name, gen_path, expected=expected)
+
+    monkeypatch.setattr(s1, "publish", racing_publish)
+    with pytest.raises(CommitConflict):
+        e1.delete_ranges([(u, 2, 4)])
+    v1 = e1.delete_ranges([(u, 2, 4)])[u]  # retry -> v12
+    dels = sorted(
+        r["version"]
+        for r in e1.deletes.filter(F.col("uuid") == u)
+        .select("version")
+        .collect()
+    )
+    assert dels == [11, 12] and v1 == 12
+    assert e1.raw_values(u, 0, 10**9).count() == 6
