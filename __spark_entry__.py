@@ -881,6 +881,28 @@ def q_dedup_incremental_exact(spark: SparkSession, sf: str) -> DataFrame:
     return idx.exact_probe(recrawl)
 
 
+def q_ann_index_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ANN: probe a batch (vec_id % 10 == 0) against the
+    persisted IVF index of the rest of the corpus, built in TWO update()
+    batches to exercise the incremental path. Contract: ==
+    ann_ivf_topk(corpus, batch, centroids=<same>) bit-exact — O(batch)
+    assignment + a cell-pruned posting scan instead of a full-corpus
+    coarse quantization per query (functions/ann_index.py, the embedding
+    twin of the r9 DedupIndex)."""
+    import tempfile
+
+    from btrdb_spark.functions.ann_index import AnnIndex
+
+    emb = load_table(spark, sf, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    idx = AnnIndex(spark, tempfile.mkdtemp(prefix="ann_index_"))
+    idx.set_centroids(corpus.filter(F.col("vec_id") < 16))
+    idx.update(corpus.filter(F.col("vec_id") % 3 != 0))
+    idx.update(corpus.filter(F.col("vec_id") % 3 == 0))
+    return idx.probe(batch, k=5, nprobe=2)
+
+
 def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # bits=32: 8-bit pigeonhole bands stay sparse (the r2 4-bit bands were
     # dense enough to dominate the bench; 64 is the documented 100 TB pick)
@@ -2573,16 +2595,16 @@ ROTATION_R9 = [
     "windows_1h_hybrid", "windows_sliding",
     # r4-certified
     "lang_id_lexicon_join",
-    # r3-certified (first 18; remaining 10 -> ROTATION_R10:
-    # resample_linear, resample_locf, rolling_zscore, sdt_compress,
-    # stratified_sample, stream_correlations, stream_correlations_via_rollup,
-    # stream_rate, tfidf_top_terms, topk_docs_per_lang, train_val_test_split,
+    # r3-certified (first 17; remaining 11 -> ROTATION_R10:
+    # resample_locf, rolling_zscore, sdt_compress, stratified_sample,
+    # stream_correlations, stream_correlations_via_rollup, stream_rate,
+    # tfidf_top_terms, topk_docs_per_lang, train_val_test_split,
     # value_quantiles)
     "ann_ivf_kmeans_topk", "asof_join_forward", "asof_join_tolerance",
     "bm25_topk", "centroid_classify", "cohort_retention", "distillate_sum",
     "diurnal_profile", "ewma", "global_shuffle", "neardup_clusters",
     "neardup_keep_best", "ngram_contamination", "ngram_jaccard_pairs_capped",
-    "pii_scrub", "range_join_stats", "resample_linear", "resample_locf",
+    "pii_scrub", "range_join_stats", "resample_linear",
 ]
 
 
@@ -2600,6 +2622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_exact": q_dedup_incremental_exact,
         "ann_ivfpq_rerank_topk": q_ann_ivfpq_rerank_topk,
         "ann_rerank_recall_ladder": q_ann_rerank_recall_ladder,
+        "ann_index_probe": q_ann_index_probe,
         "stream_correlations_topk": q_stream_correlations_topk,
         "stream_correlations_topk_lsh": q_stream_correlations_topk_lsh,
         "tpch_q2": q_tpch_q2,
@@ -2802,7 +2825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # new-entry head stays first (everything before the r8 marker), then
     # the rotation block, then the rest in stable order (dict.update of
     # existing keys does not move them)
-    n_new = 16  # r9 additions lead `base`
+    n_new = 17  # r9 additions lead `base`
     head = list(base)[:n_new] + ROTATION_R9
     out = {n: base[n] for n in head}
     out.update(base)
@@ -3024,6 +3047,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
               AND o.o_orderdate >= TIMESTAMP '1999-01-01')
         GROUP BY 1 ORDER BY 1
+    """
+    # incremental IVF index probe == one-shot ann_ivf over the same
+    # corpus/centroids (corpus = vec_id % 10 != 0; centroids = its
+    # vec_id < 16 members; batch = vec_id % 10 == 0)
+    oracles["ann_index_probe"] = """
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings
+        ), cents AS (
+            SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM vecs
+            WHERE vec_id < 16 AND vec_id % 10 != 0
+        ), assign AS (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY list_dot_product(vecs.v, cents.cv)
+                                / (vecs.nrm * cents.cnrm) DESC,
+                                cell ASC) AS cell_rank
+            FROM vecs CROSS JOIN cents
+        ), corpus_cells AS (
+            SELECT vec_id, cell FROM assign
+            WHERE cell_rank = 1 AND vec_id % 10 != 0
+        ), probe_cells AS (
+            SELECT vec_id, cell FROM assign
+            WHERE cell_rank <= 2 AND vec_id % 10 = 0
+        ), scored AS (
+            SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(c.v, p.v) / (c.nrm * p.nrm) AS cosine
+            FROM probe_cells pc
+            JOIN corpus_cells cc ON cc.cell = pc.cell
+            JOIN vecs p ON p.vec_id = pc.vec_id
+            JOIN vecs c ON c.vec_id = cc.vec_id AND c.vec_id <> p.vec_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
     """
     oracles["dedup_incremental_exact"] = """
         WITH corpus AS (SELECT doc_id, md5(text) AS h FROM documents

@@ -285,6 +285,17 @@ def stream_correlations_topk_lsh(
     candidate generation bit-for-bit (md5 coefficients, same double
     centering), so the gate certifies the whole plan.
 
+    OPERATING ENVELOPE (measured, tools/prof_corr.py): the cosine
+    identity holds on the GLOBAL bucket axis with missing buckets
+    imputed at the stream mean, while pairwise Pearson uses each pair's
+    COMMON buckets only. On DENSE fleets (every stream reports ~every
+    bucket — the PMU/grid target) the two agree and recall follows
+    (1-theta/pi)^planes theory; on SPARSE, partially-overlapping
+    streams (fixture at pw=42: ~11% density, ~7 shared buckets/pair) a
+    pair can be perfectly correlated on its shared buckets yet
+    near-orthogonal globally, and recall collapses — use the exact
+    variants (or coarsen pw until streams are dense) in that regime.
+
     Output: (uuid, partner, n_buckets, corr, rk) like
     stream_correlations_topk, restricted to LSH candidates.
     """

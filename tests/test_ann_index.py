@@ -1,0 +1,105 @@
+"""Incremental ANN index (functions/ann_index.py): probe equivalence vs
+the one-shot ann_ivf_topk, incremental maintenance across micro-batches,
+epoch replay guard, crash-residue tolerance, and the streaming
+foreachBatch sink."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from btrdb_spark.functions import similarity
+from btrdb_spark.functions.ann_index import AnnIndex, attach_embedding_ingest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+
+
+def _rows(df):
+    return sorted(
+        (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9))
+        for r in df.collect()
+    )
+
+
+def _one_shot(corpus, batch, cents, k=5, nprobe=2):
+    return similarity.ann_ivf_topk(
+        corpus, batch, k=k, nprobe=nprobe, centroids=cents
+    )
+
+
+def test_probe_equals_one_shot(spark, tmp_path):
+    emb = _emb(spark)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    cents = corpus.filter(F.col("vec_id") < 16)
+    idx = AnnIndex(spark, str(tmp_path / "idx"))
+    idx.set_centroids(cents)
+    idx.update(corpus)
+    got = _rows(idx.probe(batch, k=5, nprobe=2))
+    want = _rows(_one_shot(corpus, batch, cents))
+    assert got == want and len(got) > 0
+
+
+def test_incremental_updates_accumulate(spark, tmp_path):
+    """Corpus indexed in three micro-batches; after each update, probing
+    equals one-shot IVF over the indexed-so-far corpus."""
+    emb = _emb(spark)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    cents = corpus.filter(F.col("vec_id") < 16)
+    idx = AnnIndex(spark, str(tmp_path / "idx"))
+    idx.set_centroids(cents)
+    seen = None
+    for m in range(3):
+        part = corpus.filter(F.col("vec_id") % 3 == m)
+        idx.update(part)
+        seen = part if seen is None else seen.unionByName(part)
+        got = _rows(idx.probe(batch, k=5, nprobe=2))
+        want = _rows(_one_shot(seen, batch, cents))
+        assert got == want
+    assert len(got) > 0
+
+
+def test_epoch_replay_guard_and_crash_residue(spark, tmp_path):
+    """A replayed epoch <= the watermark is skipped whole; a simulated
+    crash-window double-append (same rows, no epoch) leaves probe results
+    unchanged because posting rows dedup on vec_id."""
+    emb = _emb(spark)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    cents = corpus.filter(F.col("vec_id") < 16)
+    idx = AnnIndex(spark, str(tmp_path / "idx"))
+    idx.set_centroids(cents)
+    idx.update(corpus, epoch=0)
+    baseline = _rows(idx.probe(batch, k=5, nprobe=2))
+    idx.update(corpus, epoch=0)  # replay: skipped by watermark
+    assert _rows(idx.probe(batch, k=5, nprobe=2)) == baseline
+    idx.update(corpus.limit(20))  # crash residue: duplicate posting rows
+    assert _rows(idx.probe(batch, k=5, nprobe=2)) == baseline
+
+
+def test_streaming_ingest_sink(spark, tmp_path):
+    """attach_embedding_ingest maintains the index from a file stream;
+    after the availableNow drain, probe == one-shot over the streamed
+    corpus."""
+    emb = _emb(spark)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    cents = corpus.filter(F.col("vec_id") < 16)
+    src = str(tmp_path / "src")
+    corpus.write.parquet(src)
+    idx = AnnIndex(spark, str(tmp_path / "idx"))
+    idx.set_centroids(cents)
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    q = attach_embedding_ingest(
+        stream, idx, str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(120)
+    got = _rows(idx.probe(batch, k=5, nprobe=2))
+    want = _rows(_one_shot(corpus, batch, cents))
+    assert got == want and len(got) > 0

@@ -72,37 +72,51 @@ def main():
         out[f"r{r}"] = row
         print(json.dumps({f"r{r}": row}), flush=True)
 
-    # Recall at 1x, stratified by |corr|: sign-LSH collision probability
-    # is (1 - theta/pi)^planes — it is built to surface STRONG pairs
-    # (the coupled-feeder use case), not the weak-correlation bulk, so
-    # the honest gauge is recall as a function of exact |corr|.
+    # Recall at 1x, stratified by |corr|, at TWO bucket widths.
+    #
+    # Sign-LSH collision probability is (1 - theta/pi)^planes on the
+    # GLOBAL bucket axis with missing buckets imputed at the stream
+    # mean. Pairwise Pearson, by contrast, is computed over each pair's
+    # COMMON buckets only. The two agree when streams are DENSE (every
+    # stream reports ~every bucket — the grid/PMU fleet the operator
+    # targets) and diverge when streams are sparse with small overlaps:
+    # a pair perfectly correlated on its 8 shared buckets can still be
+    # near-orthogonal over the 590-bucket axis where each side carries
+    # ~55 unshared buckets. The fixture at pw=42 IS that sparse regime
+    # (~11% bucket density), so recall there is the honest floor;
+    # pw=45 coarsens to ~85% density — the dense regime — where the LSH
+    # theory applies. Both are reported.
     pts = replicated_points(spark, 1).localCheckpoint()
-    exact = correlate.stream_correlations(pts, pw=42, min_overlap=8).select(
-        "uuid_a", "uuid_b", F.abs(F.col("corr")).alias("ac")
-    ).localCheckpoint()
-    lshp = (
-        correlate.stream_correlations_topk_lsh(
-            pts, pw=42, k=10**9, min_overlap=8
+    for pw in (42, 45):
+        exact = correlate.stream_correlations(
+            pts, pw=pw, min_overlap=8
+        ).select(
+            "uuid_a", "uuid_b", F.abs(F.col("corr")).alias("ac")
+        ).localCheckpoint()
+        lshp = (
+            correlate.stream_correlations_topk_lsh(
+                pts, pw=pw, k=10**9, min_overlap=8
+            )
+            .filter(F.col("uuid") < F.col("partner"))
+            .select(
+                F.col("uuid").alias("uuid_a"), F.col("partner").alias("uuid_b")
+            )
         )
-        .filter(F.col("uuid") < F.col("partner"))
-        .select(
-            F.col("uuid").alias("uuid_a"), F.col("partner").alias("uuid_b")
-        )
-    )
-    joined = exact.join(
-        lshp.withColumn("hit", F.lit(1)), ["uuid_a", "uuid_b"], "left"
-    )
-    recall = {}
-    for lo in (0.5, 0.7, 0.9, 0.95):
-        row = joined.filter(F.col("ac") >= lo).agg(
-            F.count(F.lit(1)).alias("n"), F.sum(F.coalesce("hit", F.lit(0))).alias("h")
-        ).collect()[0]
-        recall[f"recall_corr_ge_{lo}"] = (
-            round(row["h"] / row["n"], 3) if row["n"] else None
-        )
-        recall[f"n_corr_ge_{lo}"] = row["n"]
+        joined = exact.join(
+            lshp.withColumn("hit", F.lit(1)), ["uuid_a", "uuid_b"], "left"
+        ).localCheckpoint()
+        recall = {"pw": pw}
+        for lo in (0.5, 0.7, 0.9, 0.95):
+            row = joined.filter(F.col("ac") >= lo).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.coalesce("hit", F.lit(0))).alias("h"),
+            ).collect()[0]
+            recall[f"recall_corr_ge_{lo}"] = (
+                round(row["h"] / row["n"], 3) if row["n"] else None
+            )
+            recall[f"n_corr_ge_{lo}"] = row["n"]
+        print(json.dumps(recall), flush=True)
     summary = {
-        **recall,
         "full_sec_1x_to_4x": round(
             out["r4"]["full_sec"] / max(out["r1"]["full_sec"], 0.01), 1
         ),
