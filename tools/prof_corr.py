@@ -116,7 +116,27 @@ def main():
             )
             recall[f"n_corr_ge_{lo}"] = row["n"]
         print(json.dumps(recall), flush=True)
+    # Planted-pair recall: at r>=2 the replicas of one base stream are
+    # affine transforms with IDENTICAL bucket support — true corr = 1.0
+    # pairs both on common buckets and globally, i.e. the coupled-feeder
+    # shape the operator exists to find. The definitive gauge.
+    pts4 = replicated_points(spark, 4).localCheckpoint()
+    lsh4 = correlate.stream_correlations_topk_lsh(pts4, pw=42, k=3, min_overlap=8)
+    sib = lsh4.withColumn(
+        "is_sib",
+        (
+            F.substring_index(F.col("uuid"), "#", 1)
+            == F.substring_index(F.col("partner"), "#", 1)
+        ).cast("int"),
+    )
+    per = sib.groupBy("uuid").agg(F.max("is_sib").alias("found"))
+    row = per.agg(F.count("*").alias("n"), F.sum("found").alias("f")).collect()[0]
+    top1 = sib.filter(F.col("rk") == 1).agg(
+        F.avg("is_sib").alias("r")
+    ).collect()[0]
     summary = {
+        "planted_pair_recall_top3": round(row["f"] / row["n"], 4),
+        "planted_top1_is_sibling": round(top1["r"], 4),
         "full_sec_1x_to_4x": round(
             out["r4"]["full_sec"] / max(out["r1"]["full_sec"], 0.01), 1
         ),
