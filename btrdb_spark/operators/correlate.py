@@ -333,7 +333,14 @@ def stream_correlations_topk_lsh(
             - F.col("sxs").cast("double") / F.col("nb").cast("double")
         ).cast("long").alias("zq"),
     )
-    js = F.array(*[F.lit(j) for j in range(P * T)])
+    # Engine-portable 16-bit coefficients per (bucket, plane), computed
+    # ONCE over the distinct buckets (~timespan/2^pw rows * P*T md5
+    # evaluations, 38k at the fixture) and broadcast as a per-bucket
+    # coefficient ARRAY — not per exploded (row, plane) pair (6M md5s,
+    # measured 2x the whole operator). Projections then fold in a single
+    # uuid-keyed groupBy with P*T integer sum buffers; integer addition
+    # is order-independent, so the values (and the oracle) are unchanged.
+    spark = points.sparkSession
     coef = (
         F.conv(
             F.substring(
@@ -352,23 +359,46 @@ def stream_correlations_topk_lsh(
         ).cast("long")
         - F.lit(1 << 15)
     )
-    proj = (
-        zc.select("uuid", "bucket", "zq", F.explode(js).alias("j"))
-        .select("uuid", "j", (F.col("zq") * coef).alias("term"))
-        .groupBy("uuid", "j")
-        .agg(F.sum("term").alias("proj"))
-    )
-    sig = (
-        proj.select(
-            "uuid",
-            F.expr(f"j DIV {P}").alias("tbl"),
-            F.when(
-                F.col("proj") >= 0,
-                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(j % {P} AS INT))"),
-            ).otherwise(F.lit(0).cast("long")).alias("w"),
+    jd = spark.range(P * T).select(F.col("id").cast("int").alias("j"))
+    coefs_arr = (
+        m.select("bucket").distinct()
+        .crossJoin(F.broadcast(jd))
+        .select("bucket", "j", coef.alias("c"))
+        .groupBy("bucket")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "c"))),
+                lambda x: x["c"],
+            ).alias("cs")
         )
-        .groupBy("uuid", "tbl")
-        .agg(F.sum("w").alias("sig"))
+    )
+    terms = zc.join(F.broadcast(coefs_arr), "bucket").select(
+        "uuid",
+        F.transform(F.col("cs"), lambda c: c * F.col("zq")).alias("t"),
+    )
+    proj = terms.groupBy("uuid").agg(
+        *[F.sum(F.col("t")[j]).alias(f"p{j}") for j in range(P * T)]
+    )
+    sig_cols = []
+    for t in range(T):
+        bits = None
+        for b in range(P):
+            bit = F.when(
+                F.col(f"p{t * P + b}") >= 0, F.lit(1 << b).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            bits = bit if bits is None else bits + bit
+        sig_cols.append(bits.alias(f"s{t}"))
+    sig = (
+        proj.select("uuid", *sig_cols)
+        .select(
+            "uuid",
+            F.posexplode(F.array(*[F.col(f"s{t}") for t in range(T)])),
+        )
+        .select(
+            "uuid",
+            F.col("pos").cast("long").alias("tbl"),
+            F.col("col").alias("sig"),
+        )
     )
     mask = (1 << P) - 1
     a = sig.select(F.col("uuid").alias("uuid_a"), "tbl", F.col("sig").alias("ba"))
