@@ -156,6 +156,38 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         ["LeftAnti", "partial_sum"],
         ["CartesianProduct", "BatchEvalPython"],
     ),
+    # r9: market-share — dims broadcast; the two fact joins (orders->
+    # customer, lineitem->orders) are the only shuffles
+    "tpch_q8": (
+        ["BroadcastHashJoin", "partial_sum"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # r9: scalar-threshold compare rides a broadcast 1-row frame (the
+    # tpch_q22/hybrid_rrf precedent); value agg is keyed + partial
+    "tpch_q11": (
+        ["partial_sum"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
+    # r9: exact top-k partners — prefilter broadcast, bucket equi-join
+    # pair stage, one window over S*k rows; never a nested loop
+    "stream_correlations_topk": (
+        ["partial_count", "Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+    ),
+    # r9: LSH-pruned top-k — the plane fan-out is a broadcast of a tiny
+    # literal frame (sanctioned BNLJ, the centroid_classify precedent);
+    # candidate and Pearson joins are hash equi-joins
+    "stream_correlations_topk_lsh": (
+        ["BroadcastHashJoin", "partial_sum", "Window"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
+    # r9: incremental IVF probe — centroid assignment broadcasts the
+    # quantizer (sanctioned BNLJ), the posting join is a hash equi-join
+    # on cell with the batch side broadcast
+    "ann_index_probe": (
+        ["BroadcastHashJoin", "Window"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
     # fixture adapter truncates ts -> µs (oracle parity), which blocks scan
     # pushdown there; the engine-native layout is audited separately below
     "raw_values": ([], ["Exchange hashpartitioning"]),
