@@ -892,6 +892,27 @@ def q_dedup_incremental_exact(spark: SparkSession, sf: str) -> DataFrame:
     return idx.exact_probe(recrawl)
 
 
+def _ann_index_over(spark: SparkSession, sf: str):
+    """Cached AnnIndex over the mod-10 corpus split (built once per
+    process per sf, in two update batches — the incremental path; see
+    _dedup_index_over for the cost-model rationale)."""
+    import tempfile
+
+    from btrdb_spark.functions.ann_index import AnnIndex
+
+    ck = ("ann", sf, "mod10")
+    if ck not in _INDEX_CACHE:
+        corpus = load_table(spark, sf, "embeddings").filter(
+            F.col("vec_id") % 10 != 0
+        )
+        idx = AnnIndex(spark, tempfile.mkdtemp(prefix="ann_index_"))
+        idx.set_centroids(corpus.filter(F.col("vec_id") < 16))
+        idx.update(corpus.filter(F.col("vec_id") % 3 != 0))
+        idx.update(corpus.filter(F.col("vec_id") % 3 == 0))
+        _INDEX_CACHE[ck] = idx
+    return _INDEX_CACHE[ck]
+
+
 def q_ann_index_probe(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental ANN: probe a batch (vec_id % 10 == 0) against the
     persisted IVF index of the rest of the corpus, built in TWO update()
@@ -900,21 +921,16 @@ def q_ann_index_probe(spark: SparkSession, sf: str) -> DataFrame:
     assignment + a cell-pruned posting scan instead of a full-corpus
     coarse quantization per query (functions/ann_index.py, the embedding
     twin of the r9 DedupIndex)."""
-    import tempfile
-
-    from btrdb_spark.functions.ann_index import AnnIndex
-
     emb = load_table(spark, sf, "embeddings")
-    corpus = emb.filter(F.col("vec_id") % 10 != 0)
     batch = emb.filter(F.col("vec_id") % 10 == 0)
-    ck = ("ann", sf, "mod10")
-    if ck not in _INDEX_CACHE:
-        idx = AnnIndex(spark, tempfile.mkdtemp(prefix="ann_index_"))
-        idx.set_centroids(corpus.filter(F.col("vec_id") < 16))
-        idx.update(corpus.filter(F.col("vec_id") % 3 != 0))
-        idx.update(corpus.filter(F.col("vec_id") % 3 == 0))
-        _INDEX_CACHE[ck] = idx
-    return _INDEX_CACHE[ck].probe(batch, k=5, nprobe=2)
+    return _ann_index_over(spark, sf).probe(batch, k=5, nprobe=2)
+
+
+def q_ann_index_cell_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF posting-list balance of the incremental ANN index — probe
+    cost is proportional to probed posting mass, so max(frac)*n_cells is
+    the retrain trigger (functions/ann_index.py cell_stats)."""
+    return _ann_index_over(spark, sf).cell_stats()
 
 
 def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -2609,8 +2625,8 @@ ROTATION_R9 = [
     "windows_1h_hybrid", "windows_sliding",
     # r4-certified
     "lang_id_lexicon_join",
-    # r3-certified (first 17; remaining 11 -> ROTATION_R10:
-    # resample_locf, rolling_zscore, sdt_compress, stratified_sample,
+    # r3-certified (first 16; remaining 12 -> ROTATION_R10:
+    # resample_linear, resample_locf, rolling_zscore, sdt_compress, stratified_sample,
     # stream_correlations, stream_correlations_via_rollup, stream_rate,
     # tfidf_top_terms, topk_docs_per_lang, train_val_test_split,
     # value_quantiles)
@@ -2618,7 +2634,7 @@ ROTATION_R9 = [
     "bm25_topk", "centroid_classify", "cohort_retention", "distillate_sum",
     "diurnal_profile", "ewma", "global_shuffle", "neardup_clusters",
     "neardup_keep_best", "ngram_contamination", "ngram_jaccard_pairs_capped",
-    "pii_scrub", "range_join_stats", "resample_linear",
+    "pii_scrub", "range_join_stats",
 ]
 
 
@@ -2637,6 +2653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_rerank_topk": q_ann_ivfpq_rerank_topk,
         "ann_rerank_recall_ladder": q_ann_rerank_recall_ladder,
         "ann_index_probe": q_ann_index_probe,
+        "ann_index_cell_stats": q_ann_index_cell_stats,
         "stream_correlations_topk": q_stream_correlations_topk,
         "stream_correlations_topk_lsh": q_stream_correlations_topk_lsh,
         "tpch_q2": q_tpch_q2,
@@ -2839,7 +2856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # new-entry head stays first (everything before the r8 marker), then
     # the rotation block, then the rest in stable order (dict.update of
     # existing keys does not move them)
-    n_new = 17  # r9 additions lead `base`
+    n_new = 18  # r9 additions lead `base`
     head = list(base)[:n_new] + ROTATION_R9
     out = {n: base[n] for n in head}
     out.update(base)
@@ -3103,6 +3120,35 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """
+    # posting balance of the same index: counts per assigned cell
+    oracles["ann_index_cell_stats"] = """
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings
+        ), cents AS (
+            SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM vecs
+            WHERE vec_id < 16 AND vec_id % 10 != 0
+        ), assign AS (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY list_dot_product(vecs.v, cents.cv)
+                                / (vecs.nrm * cents.cnrm) DESC,
+                                cell ASC) AS cell_rank
+            FROM vecs CROSS JOIN cents
+        ), corpus_cells AS (
+            SELECT vec_id, cell FROM assign
+            WHERE cell_rank = 1 AND vec_id % 10 != 0
+        ), per AS (
+            SELECT cell, COUNT(*) AS n_vecs FROM corpus_cells GROUP BY 1
+        )
+        SELECT cell, n_vecs,
+               CAST(n_vecs AS DOUBLE)
+               / CAST((SELECT SUM(n_vecs) FROM per) AS DOUBLE) AS frac
+        FROM per ORDER BY cell
     """
     oracles["dedup_incremental_exact"] = """
         WITH corpus AS (SELECT doc_id, md5(text) AS h FROM documents

@@ -214,6 +214,39 @@ class AnnIndex:
         )
 
 
+    def cell_stats(self) -> DataFrame:
+        """Posting-list balance per IVF cell: (cell, n_vecs, frac) — THE
+        operational gauge for an IVF index. probe() cost is proportional
+        to the probed cells' posting mass, so a skewed quantizer (one
+        cell holding half the corpus) silently turns nprobe=2 into a
+        half-corpus scan; watch max(frac)*n_cells and retrain/rebuild
+        when it drifts (the faiss imbalance_factor readout). Duplicate
+        posting rows (crash-replay residue) are deduped on vec_id before
+        counting, so the gauge reads logical corpus size."""
+        idx = self._table("cells")
+        if idx is None:
+            return self.spark.createDataFrame(
+                [], "cell long, n_vecs long, frac double"
+            )
+        per = (
+            idx.dropDuplicates(["vec_id"])
+            .groupBy(F.col("cell").cast("long").alias("cell"))
+            .agg(F.count(F.lit(1)).alias("n_vecs"))
+        )
+        total = per.agg(F.sum("n_vecs").alias("_t"))
+        return (
+            per.crossJoin(F.broadcast(total))
+            .select(
+                "cell",
+                "n_vecs",
+                (F.col("n_vecs").cast("double") / F.col("_t").cast("double")).alias(
+                    "frac"
+                ),
+            )
+            .orderBy("cell")
+        )
+
+
 def attach_embedding_ingest(
     stream_df: DataFrame,
     index: AnnIndex,
