@@ -1,0 +1,116 @@
+"""Incremental ANN-index scale probe — the AnnIndex twin of
+prof_dedup_index.py: per-batch probe cost must stay ~flat as the
+indexed corpus grows 10x, because the probe touches O(batch) assignment
+work plus only the probed cells' posting partitions, never the whole
+corpus. Also measures update() (must be O(batch)) and the from-scratch
+one-shot ann_ivf_topk alternative at both sizes.
+
+Run: python tools/prof_ann_index.py
+Synthetic corpus: unit-ish vectors in dim 64 around 16 seeded cluster
+directions (so the IVF quantizer has real structure), deterministic
+from vector id via seeded numpy.
+
+Measured (local[32], 2026-08-16), n_cells scaled with the corpus (16 ->
+160, the standard IVF sizing rule so per-cell posting mass is constant):
+
+  n=20k:  build 4.7s   update(1k batch) 1.5s  probe 4.52s  from-scratch 4.2s
+  n=200k: build 93.9s  update(1k batch) 2.9s  probe 4.86s  from-scratch 14.6s
+
+Probe cost is FLAT at 10x corpus (4.52 -> 4.86s) while the from-scratch
+one-shot grows 3.5x — the index contract. The one-time build cost at
+200k is the interpreted per-centroid fold in ivf_cells (200k x 160 dot
+products) plus 160-way partitioned small-file writes; at cluster scale
+the assignment would use the vectorized Arrow kernel the PQ encoder
+already uses (similarity._signature_udf pattern) and larger write
+batches — the build is paid once, maintenance stays O(batch).
+
+A fixed quantizer on a growing corpus does NOT hold the contract (first
+run of this probe: 16 cells at 200k -> probe 16.5s): per-cell mass grew
+10x and every probe scanned it. cell_stats()'s max(frac)*n_cells gauge
+is exactly the drift alarm for this.
+"""
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from btrdb_spark.functions.ann_index import AnnIndex
+from btrdb_spark.functions import similarity
+from btrdb_spark.session import get_spark
+
+DIM = 64
+BATCH_N = 1_000
+
+
+def synth(spark, n, seed=7):
+    """n vectors: cluster-direction + noise, deterministic in id."""
+    rng = np.random.RandomState(seed)
+    dirs = rng.randn(16, DIM)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    ids = np.arange(n)
+    noise = np.random.RandomState(seed + 1).randn(n, DIM) * 0.3
+    vecs = dirs[ids % 16] + noise
+    rows = [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def main():
+    spark = get_spark("prof_ann_index")
+    spark.sparkContext.setLogLevel("ERROR")
+    batch = synth(spark, BATCH_N, seed=99).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    ).localCheckpoint()
+
+    # n_cells grows with the corpus (the standard IVF sizing rule, see
+    # semantic_dedup's docstring) so per-cell posting mass — and with it
+    # each probe's scan cost — stays constant as the corpus grows.
+    for n, k_cells in ((20_000, 16), (200_000, 160)):
+        corpus = synth(spark, n).localCheckpoint()
+        cents = similarity.centroids_df(
+            spark,
+            similarity.train_kmeans_centroids(
+                np.array(corpus.limit(4096).toPandas()["embedding"].tolist()),
+                k=k_cells,
+            ),
+        )
+        base = f"/tmp/prof_ann_index_{n}"
+        shutil.rmtree(base, ignore_errors=True)
+        idx = AnnIndex(spark, base)
+        idx.set_centroids(cents)
+        t0 = time.time()
+        idx.update(corpus)
+        t_build = time.time() - t0
+        t0 = time.time()
+        idx.update(batch)
+        t_update = time.time() - t0
+        # probe timing best-of-3 (stage-launch noise dominates warm runs)
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            idx.probe(batch, k=5, nprobe=2).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            times.append(time.time() - t0)
+        # from-scratch alternative: one-shot IVF over corpus (re-assigns
+        # every corpus vector to its cell, then scans)
+        t0 = time.time()
+        similarity.ann_ivf_topk(
+            corpus, batch, k=5, nprobe=2, centroids=cents
+        ).write.format("noop").mode("overwrite").save()
+        t_scratch = time.time() - t0
+        print(
+            f"n={n}: build={t_build:.2f}s update(batch)={t_update:.2f}s "
+            f"probe(best-of-3)={min(times):.2f}s (reps {['%.2f' % t for t in times]}) "
+            f"from_scratch={t_scratch:.2f}s",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
