@@ -612,7 +612,12 @@ class BTrDBEngine:
         slot = max(int(want), claimed + 1)
         gen = os.path.join(self.base, f"{name}.g{slot}c{self._writer_id}")
         os.makedirs(gen, exist_ok=True)
-        self.store.publish(self.base, name, gen, expected=cur)
+        # A fresh stream resolves cur=None; expected=None would make the
+        # publish UNCONDITIONAL and both racers of the FIRST commit would
+        # win the same version (ADVICE r9 #2) — expect-absent closes it.
+        self.store.publish(
+            self.base, name, gen, expected=cur if cur is not None else store.EXPECT_ABSENT
+        )
         if cur is not None:
             try:
                 os.rmdir(cur)
@@ -620,6 +625,7 @@ class BTrDBEngine:
                 pass
         return slot
 
+    @_locked
     def flush(self, uuid: str) -> tuple[int, int]:
         """S4: commit the hot buffer into the cold points table at major+1."""
         major, minor = self.stream_version(uuid)

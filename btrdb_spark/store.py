@@ -66,6 +66,24 @@ import re
 _GEN_RE = re.compile(r"\.g(\d+)$")
 
 
+class _ExpectAbsent:
+    """Sentinel for ``publish(expected=EXPECT_ABSENT)``: the publish
+    succeeds ONLY if the table has never been published (no live
+    generation). This is the create-CAS leg the plain expected-path CAS
+    cannot express — ``expected=None`` means *unconditional* by contract,
+    so a first-commit race (two processes both resolving None for a fresh
+    stream's version pointer) needs an explicit expect-absent mode or
+    both racers 'win' and stamp the same version (ADVICE r9 #2)."""
+
+    __slots__ = ()
+
+    def __repr__(self) -> str:  # aids conflict messages
+        return "EXPECT_ABSENT"
+
+
+EXPECT_ABSENT = _ExpectAbsent()
+
+
 class CommitConflict(RuntimeError):
     """Another writer published a different generation since this writer
     resolved the table — the reference's per-uuid cluster write lock
@@ -104,7 +122,11 @@ class StoreBackend:
         ``expected``, the backend raises CommitConflict instead of
         superseding the concurrent winner — true compare-and-swap, the
         multi-process safety net the engine's in-process RLock cannot
-        provide."""
+        provide. ``expected=EXPECT_ABSENT`` is the create-CAS leg: the
+        publish succeeds only if NO live generation exists, so two
+        writers racing a table's very first commit get exactly one
+        winner (a resolved ``None`` passed through as ``expected=None``
+        would make both unconditional — ADVICE r9 #2)."""
         raise NotImplementedError
 
     # ---- shared generation logic ----
@@ -243,7 +265,17 @@ class PosixStore(StoreBackend):
             os.ftruncate(fd, 0)
             os.write(fd, str(os.getpid()).encode())  # debuggability only
             cur = self.resolve(base, name)
-            if cur is not None and os.path.abspath(cur) != os.path.abspath(expected):
+            if expected is EXPECT_ABSENT:
+                if cur is not None and os.path.abspath(cur) != os.path.abspath(
+                    gen_path
+                ):
+                    raise CommitConflict(
+                        f"{name}: expected no live generation but found "
+                        f"{os.path.basename(cur)}; re-resolve and rebuild on top"
+                    )
+            elif cur is not None and os.path.abspath(cur) != os.path.abspath(
+                expected
+            ):
                 raise CommitConflict(
                     f"{name}: live generation {os.path.basename(cur)} != expected "
                     f"{os.path.basename(expected)}; re-resolve and rebuild on top"
@@ -278,7 +310,13 @@ class InMemoryPointerStore(StoreBackend):
         self, base: str, name: str, gen_path: str, expected: str | None = None
     ) -> None:
         key = (os.path.abspath(base), name)
-        if expected is not None:
+        if expected is EXPECT_ABSENT:
+            cur = self._ptr.get(key)
+            if cur is not None and cur != os.path.basename(gen_path):
+                raise CommitConflict(
+                    f"{name}: expected no live generation but found {cur}"
+                )
+        elif expected is not None:
             cur = self._ptr.get(key)
             if cur is not None and cur != os.path.basename(expected):
                 raise CommitConflict(
@@ -436,6 +474,30 @@ class ManifestLogStore(StoreBackend):
                 os.close(dfd)
             self._prune_log(log_dir, upto=n - self.LOG_KEEP)
             return True
+
+        if expected is EXPECT_ABSENT:
+            # create-CAS: succeed only if the table has no live generation.
+            # Racing first-committers compute the same slot; the O_EXCL
+            # claim picks exactly one winner (ADVICE r9 #2).
+            head = self._highest_valid(log_dir)
+            if head is not None:
+                if head[1] == gen:
+                    return  # idempotent replay: this generation already won
+                raise CommitConflict(
+                    f"{name}: expected no live generation but found "
+                    f"{head[1]}; re-resolve and rebuild on top"
+                )
+            entries = self._entries(log_dir)
+            slot = (entries[-1][0] + 1) if entries else 0
+            if _claim(slot):
+                return
+            other = self._read_entry(os.path.join(log_dir, f"{slot:020}.json"))
+            if other == gen:
+                return  # concurrent replay of the same generation
+            raise CommitConflict(
+                f"{name}: slot {slot} committed concurrently while this "
+                "writer expected the table absent; re-resolve and rebuild"
+            )
 
         if expected is not None:
             # The COMMIT NUMBER is the CAS token (Delta-style, ADVICE r5

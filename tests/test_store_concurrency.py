@@ -361,3 +361,107 @@ def test_concurrent_delete_ranges_both_engines_distinct_versions(
     )
     assert dels == [11, 12] and v1 == 12
     assert e1.raw_values(u, 0, 10**9).count() == 6
+
+
+@pytest.mark.parametrize(
+    "backend",
+    [PosixStore, ManifestLogStore, store.InMemoryPointerStore],
+)
+def test_expect_absent_create_cas_single_winner(tmp_path, backend):
+    """ADVICE r9 #2: expected=None is UNCONDITIONAL by contract, so a
+    table's very first commit needs the explicit expect-absent mode —
+    two writers racing it must get exactly one winner."""
+    s = backend()
+    base = str(tmp_path)
+    ga, gb = _mkgen(base, "t", 0), _mkgen(base, "t", 1)
+    s.publish(base, "t", ga, expected=store.EXPECT_ABSENT)  # A wins
+    with pytest.raises(CommitConflict):
+        s.publish(base, "t", gb, expected=store.EXPECT_ABSENT)
+    assert s.resolve(base, "t") == ga
+    # crash-after-commit replay of the SAME winning generation succeeds
+    s.publish(base, "t", ga, expected=store.EXPECT_ABSENT)
+    assert s.resolve(base, "t") == ga
+    # normal CAS continues from the created state
+    gc = _mkgen(base, "t", 2)
+    s.publish(base, "t", gc, expected=ga)
+    assert s.resolve(base, "t") == gc
+
+
+def test_first_commit_claim_race_single_winner(spark, tmp_path, monkeypatch):
+    """ADVICE r9 #2 end-to-end: two engine PROCESSES racing a fresh
+    stream's FIRST version-bumping commit. Before the expect-absent
+    publish mode, _claim_version_slot resolved cur=None and published
+    unconditionally — both racers 'won' the same version. Now the loser
+    conflicts BEFORE any of its rows are visible and a retry lands at a
+    strictly higher version."""
+    base = str(tmp_path / "db")
+    s1, s2 = ManifestLogStore(), ManifestLogStore()
+    e1 = BTrDBEngine(spark, base, store_backend=s1)
+    u = e1.create_stream("race/first")
+    e2 = BTrDBEngine(spark, base, store_backend=s2)
+
+    fired = {"done": False}
+    orig = s1.publish
+
+    def racing_publish(b, name, gen_path, expected=None):
+        if name.startswith("ver_") and not fired["done"]:
+            fired["done"] = True
+            # the OTHER process claims the stream's first version first
+            e2.insert(u, [(100 + i, float(i)) for i in range(5)], sync=True)
+        return orig(b, name, gen_path, expected=expected)
+
+    monkeypatch.setattr(s1, "publish", racing_publish)
+    with pytest.raises(CommitConflict):
+        e1.insert(u, [(i, float(i)) for i in range(5)], sync=True)
+    # the loser committed NOTHING; the winner's points are intact
+    versions = sorted(
+        r["version"]
+        for r in e1.points.filter(F.col("uuid") == u)
+        .select("version")
+        .distinct()
+        .collect()
+    )
+    assert len(versions) == 1, "exactly one first-commit winner"
+    # retry lands at a strictly higher version
+    e1.insert(u, [(i, float(i)) for i in range(5)], sync=True)
+    versions2 = sorted(
+        r["version"]
+        for r in e1.points.filter(F.col("uuid") == u)
+        .select("version")
+        .distinct()
+        .collect()
+    )
+    assert len(versions2) == 2 and versions2[1] > versions2[0]
+    # nothing lost: the loser's first-attempt rows stayed in the hot
+    # buffer and committed with the retry's flush (5 winner + 5 buffered
+    # first attempt + 5 retry)
+    assert e1.raw_values(u, 0, 10**9).count() == 15
+
+
+def test_flush_holds_engine_write_lock(spark, tmp_path):
+    """ADVICE r9 #1 regression guard: flush() must serialize on the
+    per-engine write lock — an unlocked flush racing a concurrent
+    insert's append_hot can clear hot rows it never committed (silent
+    data loss). Asserts the lock is actually taken, not just that the
+    decorator is present."""
+    import threading
+
+    e = BTrDBEngine(spark, str(tmp_path / "db"))
+    u = e.create_stream("lock/flush")
+    e.insert(u, [(1, 1.0)])  # buffered, below threshold
+
+    e._write_lock.acquire()
+    done = threading.Event()
+
+    def _flush():
+        e.flush(u)
+        done.set()
+
+    t = threading.Thread(target=_flush, daemon=True)
+    t.start()
+    time.sleep(0.5)
+    assert not done.is_set(), "flush proceeded without the write lock"
+    e._write_lock.release()
+    t.join(timeout=120)
+    assert done.is_set()
+    assert e.raw_values(u, 0, 10).count() == 1
