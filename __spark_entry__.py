@@ -2616,25 +2616,14 @@ def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
 # upgrade its rows-only row to exact-hash), the whole r2-certified
 # block, lang_id_lexicon_join (r4), and the oldest 18 of the r3 block
 # (the remaining 10 r3 entries lead the r10 rotation).
-ROTATION_R9 = [
-    "image_phash_pairs",
-    # r2-certified block
-    "raw_values_at_version", "resize", "segment_revenue", "semantic_dedup",
-    "sessionize", "simhash_pairs", "text_quality", "token_counts",
-    "tpch_q1", "vocab_topk", "wav_decode_features", "windows_1h",
-    "windows_1h_hybrid", "windows_sliding",
-    # r4-certified
-    "lang_id_lexicon_join",
-    # r3-certified (first 16; remaining 12 -> ROTATION_R10:
-    # resample_linear, resample_locf, rolling_zscore, sdt_compress, stratified_sample,
-    # stream_correlations, stream_correlations_via_rollup, stream_rate,
-    # tfidf_top_terms, topk_docs_per_lang, train_val_test_split,
-    # value_quantiles)
-    "ann_ivf_kmeans_topk", "asof_join_forward", "asof_join_tolerance",
-    "bm25_topk", "centroid_classify", "cohort_retention", "distillate_sum",
-    "diurnal_profile", "ewma", "global_shuffle", "neardup_clusters",
-    "neardup_keep_best", "ngram_contamination", "ngram_jaccard_pairs_capped",
-    "pii_scrub", "range_join_stats",
+ROTATION_R10 = [
+    # the 12 r3-certified entries whose newest driver row predates r9
+    # (deferred from ROTATION_R9, per its note) — after this round every
+    # registry entry's driver certification is <=3 rounds old
+    "resample_linear", "resample_locf", "rolling_zscore", "sdt_compress",
+    "stratified_sample", "stream_correlations",
+    "stream_correlations_via_rollup", "stream_rate", "tfidf_top_terms",
+    "topk_docs_per_lang", "train_val_test_split", "value_quantiles",
 ]
 
 
@@ -2856,8 +2845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # new-entry head stays first (everything before the r8 marker), then
     # the rotation block, then the rest in stable order (dict.update of
     # existing keys does not move them)
-    n_new = 18  # r9 additions lead `base`
-    head = list(base)[:n_new] + ROTATION_R9
+    n_new = 0  # r10 additions lead `base` (bump with each new r10 entry)
+    head = list(base)[:n_new] + ROTATION_R10
     out = {n: base[n] for n in head}
     out.update(base)
     return out
