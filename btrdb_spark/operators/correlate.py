@@ -269,8 +269,10 @@ def stream_correlations_topk_lsh(
        expression, engine-portable), dropping zero-variance streams;
     3. signatures: for plane j, proj_j = sum_b zq_b * coef(bucket, j)
        with 16-bit coefficients md5-derived IN-ENGINE from the bucket
-       value (|zq| < 2^40, |coef| < 2^15, <= 2^13 buckets: the int64
-       sum cannot overflow), sign bits packed into n_tables bucket ids;
+       value; terms are |zq|*|coef| < 2^55 but the sum over up to 2^13
+       buckets can reach 2^68, so it runs hi/lo-split (decsum
+       convention) and the sign test reassembles in decimal — exactly
+       the oracle's HUGEINT sign. Sign bits pack into n_tables ids;
     4. candidates: signature equi-join per table — plus a join against
        the BITWISE-COMPLEMENT bucket, so corr ~ -1 pairs (all sign bits
        flipped) are also caught; the complement probe rides the same
@@ -372,19 +374,49 @@ def stream_correlations_topk_lsh(
             ).alias("cs")
         )
     )
+    # Projection sums hi/lo-split like _pearson_from_pairs (ADVICE r9
+    # #3): |zq*coef| < 2^55 but the SUM over up to 2^13 buckets can reach
+    # 2^68 — a plain long sum wraps silently in Spark while DuckDB's
+    # SUM(BIGINT) promotes to HUGEINT, flipping sign bits only on the
+    # Spark side. Each term splits into hi = floor(p / 2^30) (sum <
+    # 2^38) and lo in [0, 2^30) (sum < 2^43), reassembled exactly in
+    # decimal(38,0) ONLY for the sign test — so the Spark sign equals
+    # the oracle's exact-HUGEINT sign bit-for-bit.
+    from ..functions.timeops import floor_div
+
+    _B = F.lit(1 << 30).cast("long")
     terms = zc.join(F.broadcast(coefs_arr), "bucket").select(
         "uuid",
-        F.transform(F.col("cs"), lambda c: c * F.col("zq")).alias("t"),
+        F.transform(
+            F.col("cs"), lambda c: floor_div(c * F.col("zq"), _B)
+        ).alias("th"),
+        F.transform(
+            F.col("cs"),
+            lambda c: c * F.col("zq") - floor_div(c * F.col("zq"), _B) * _B,
+        ).alias("tl"),
     )
     proj = terms.groupBy("uuid").agg(
-        *[F.sum(F.col("t")[j]).alias(f"p{j}") for j in range(P * T)]
+        *[
+            agg
+            for j in range(P * T)
+            for agg in (
+                F.sum(F.col("th")[j]).alias(f"h{j}"),
+                F.sum(F.col("tl")[j]).alias(f"l{j}"),
+            )
+        ]
     )
+
+    def _pj(j: int):
+        return F.col(f"h{j}").cast("decimal(38,0)") * F.lit(
+            1 << 30
+        ) + F.col(f"l{j}").cast("decimal(38,0)")
+
     sig_cols = []
     for t in range(T):
         bits = None
         for b in range(P):
             bit = F.when(
-                F.col(f"p{t * P + b}") >= 0, F.lit(1 << b).cast("long")
+                _pj(t * P + b) >= 0, F.lit(1 << b).cast("long")
             ).otherwise(F.lit(0).cast("long"))
             bits = bit if bits is None else bits + bit
         sig_cols.append(bits.alias(f"s{t}"))
