@@ -6,11 +6,23 @@ re-assign every corpus vector to its IVF cell per run: at 100 TB that is
 a full corpus scan + coarse-quantization to answer today's queries. This
 module persists the IVF state those operators rebuild each time — the
 coarse-quantizer centroids and the (vec_id, cell, embedding) posting
-table — as an append-only parquet index behind the same atomic
-generation pointers as the engine tables (store.py), maintained
-incrementally (one ``update()`` per ingest micro-batch, the exact
-pattern of functions/dedup_index.py, itself the plans/rollup.py
-``ingest_batch`` pattern).
+table — maintained incrementally (one ``update()`` per ingest
+micro-batch, the exact pattern of functions/dedup_index.py, itself the
+plans/rollup.py ``ingest_batch`` pattern).
+
+Snapshot layout (r10, VERDICT r9 #4 + ADVICE r9 #4): the WHOLE index is
+ONE store table named ``state``; each generation directory holds both
+``centroids/`` and ``cells/`` (posting table, partitioned by cell).
+Every mutation — ``set_centroids``, ``update``, ``retrain`` — builds a
+NEW generation (unchanged files carried by hardlink, O(#files) metadata
+ops, zero data copied) and flips the pointer with a store CAS
+(``EXPECT_ABSENT`` for the very first publish). Readers resolve the
+pointer ONCE per query and read both subdirectories from that single
+generation, so a concurrent probe sees a whole committed batch or none
+of it — never centroids from one commit with postings from another, and
+never a torn in-place append. The previous design appended into the
+LIVE generation (and ``set_centroids`` overwrote it in place), which a
+concurrent reader could observe half-written.
 
 ``probe(batch, k, nprobe)`` answers top-k cosine neighbors for the NEW
 vectors touching only:
@@ -22,11 +34,21 @@ vectors touching only:
   is partition-pruned: a probe reads ~nprobe/n_centroids of the index
   and never the raw corpus table.
 
+``retrain()`` closes the measured scale hole of a FIXED quantizer
+(tools/prof_ann_index.py: a 10x-grown corpus under the bootstrap
+centroids degrades the 1k-vec probe ~3x because per-cell posting mass
+grows 10x): it re-trains the coarse quantizer from the indexed postings
+themselves (driver-bounded spherical k-means — the faiss ``train()``
+contract: k*dim floats on the driver, assignment at scale), rewrites
+every posting under the new cells, and publishes the whole thing as ONE
+atomic generation flip. ``cell_stats()`` / ``imbalance_factor()`` are
+the drift gauges that trigger it.
+
 Equivalence contract (oracle-gated): ``probe(batch)`` over an index
-built incrementally from ``corpus`` (any update batching) ==
-``similarity.ann_ivf_topk(corpus, batch, centroids=<same>)`` bit-exact,
-because cell assignment and cosine are pure functions of the vectors
-and the persisted centroids.
+built incrementally from ``corpus`` (any update batching, retrained or
+not) == ``similarity.ann_ivf_topk(corpus, batch, centroids=<current>)``
+bit-exact, because cell assignment and cosine are pure functions of the
+vectors and the persisted centroids.
 
 Reference parity note: the reference engine has no vector surface; this
 is a training-data-pipeline extension (SURVEY.md §6) — the embedding
@@ -44,20 +66,22 @@ from .similarity import _dot, _norm, ivf_cells
 
 
 class AnnIndex:
-    """Append-only IVF index over an embedding corpus.
+    """IVF index over an embedding corpus behind one atomic snapshot
+    pointer.
 
-    Layout under ``base_dir`` (each behind a store generation pointer):
+    Each ``state`` generation holds:
 
-    - ``centroids`` : (vec_id long, embedding array<double>) — the coarse
-      quantizer, fixed at ``set_centroids`` time (faiss contract: train
-      once on a bootstrap sample, assignments stay valid as the corpus
-      grows; retraining is a rebuild, not an update).
-    - ``cells``     : (vec_id long, cell long, embedding) — posting table,
+    - ``centroids/`` : (vec_id long, embedding array<double>) — the
+      coarse quantizer (trained once on a bootstrap sample, replaced
+      wholesale by ``retrain()``).
+    - ``cells/``     : (vec_id long, cell, embedding) — posting table,
       written ``partitionBy("cell")`` so probes prune to their cells.
 
     vec_ids must be unique across the corpus (ingest contract); crash
     replay of an epoch is guarded like DedupIndex.update.
     """
+
+    TRAIN_CAP = 16384  # driver-bounded trainer sample (faiss-style)
 
     def __init__(
         self,
@@ -91,58 +115,177 @@ class AnnIndex:
             f.write(str(int(epoch)))
         os.replace(tmp, os.path.join(self.base, "EPOCH"))
 
-    def _table(self, name: str) -> DataFrame | None:
-        path = self.store.resolve(self.base, name)
-        if path is None:
-            return None
+    # ---- snapshot plumbing ----
+
+    def _snapshot(self) -> str | None:
+        """Path of the live index generation (one resolve = one
+        consistent view of centroids + postings)."""
+        return self.store.resolve(self.base, "state")
+
+    @staticmethod
+    def _has_parquet(path: str) -> bool:
         import glob as _glob
 
-        has = _glob.glob(os.path.join(path, "*.parquet")) or _glob.glob(
-            os.path.join(path, "*", "*.parquet")
+        return bool(
+            _glob.glob(os.path.join(path, "*.parquet"))
+            or _glob.glob(os.path.join(path, "*", "*.parquet"))
         )
-        if not has:
+
+    def _read(self, snap: str | None, sub: str) -> DataFrame | None:
+        if snap is None:
+            return None
+        path = os.path.join(snap, sub)
+        if not os.path.isdir(path) or not self._has_parquet(path):
             return None
         return self.spark.read.parquet(path)
+
+    def _new_gen_from(self, cur: str | None) -> str:
+        """Fresh generation carrying the live one's files by hardlink."""
+        from .. import store as store_mod
+
+        gen = self.store.new_generation(self.base, "state")
+        if cur is not None:
+            for sub in ("centroids", "cells"):
+                full = os.path.join(cur, sub)
+                if os.path.isdir(full):
+                    store_mod.link_tree(full, os.path.join(gen, sub))
+        return gen
+
+    def _publish(self, gen: str, cur: str | None) -> None:
+        from .. import store as store_mod
+
+        self.store.publish(
+            self.base,
+            "state",
+            gen,
+            expected=cur if cur is not None else store_mod.EXPECT_ABSENT,
+        )
 
     # ---- build / maintain ----
 
     def set_centroids(self, centroids: DataFrame) -> None:
-        """Persist the coarse quantizer (once, before the first update)."""
+        """Persist the coarse quantizer (once, before the first update).
+        Builds a new generation and CAS-publishes it — never an in-place
+        overwrite of a live generation (ADVICE r9 #4)."""
+        cur = self._snapshot()
+        gen = self._new_gen_from(cur)
+        import shutil
+
+        # replacing the quantizer invalidates carried assignments; a
+        # caller with postings should use retrain() — but stay correct
+        # if centroids are (re)set on an empty index
+        cdir = os.path.join(gen, "centroids")
+        if os.path.isdir(cdir):
+            shutil.rmtree(cdir)
         centroids.select(
             F.col(self.id_col).alias("vec_id"),
             F.col(self.vec_col).cast("array<double>").alias("embedding"),
-        ).coalesce(1).write.mode("overwrite").parquet(
-            self.store.current_dir(self.base, "centroids", create=True)
-        )
+        ).coalesce(1).write.parquet(cdir)
+        self._publish(gen, cur)
 
     def centroids(self) -> DataFrame:
-        c = self._table("centroids")
+        c = self._read(self._snapshot(), "centroids")
         if c is None:
             raise RuntimeError("AnnIndex: set_centroids() before use")
         return c
 
     def update(self, new_vecs: DataFrame, epoch: int | None = None) -> None:
-        """Append posting rows for ``new_vecs`` — O(batch) work: one
+        """Append posting rows for ``new_vecs`` — O(batch) compute: one
         broadcast-centroid assignment of the batch, one partitioned
-        append. Epoch replay guard as in DedupIndex.update; a replayed
-        crash-window batch re-appends rows, and probe() dedups posting
-        rows on vec_id so replay degrades cost, never correctness."""
+        append into a fresh generation (prior files hardlinked), one
+        atomic pointer flip. Epoch replay guard as in DedupIndex.update;
+        a replayed crash-window batch re-appends rows, and probe()
+        dedups posting rows on vec_id so replay degrades cost, never
+        correctness. A concurrent reader resolves either the old or the
+        new generation — whole batch or nothing."""
         if epoch is not None:
             done = self.committed_epoch()
             if done is not None and done >= epoch:
                 return
+        cur = self._snapshot()
+        cents = self._read(cur, "centroids")
+        if cents is None:
+            raise RuntimeError("AnnIndex: set_centroids() before update()")
         assign = ivf_cells(
-            new_vecs, self.centroids(), self.id_col, self.vec_col, nprobe=1
+            new_vecs, cents, self.id_col, self.vec_col, nprobe=1
         ).select("vec_id", "cell")
         rows = new_vecs.select(
             F.col(self.id_col).alias("vec_id"),
             F.col(self.vec_col).cast("array<double>").alias("embedding"),
         ).join(assign, "vec_id")
+        gen = self._new_gen_from(cur)
         rows.write.mode("append").partitionBy("cell").parquet(
-            self.store.current_dir(self.base, "cells", create=True)
+            os.path.join(gen, "cells")
         )
+        self._publish(gen, cur)
         if epoch is not None:
             self._mark_epoch(epoch)
+
+    def retrain(
+        self,
+        n_centroids: int | None = None,
+        n_iter: int = 10,
+        seed: int = 0,
+        train_cap: int | None = None,
+    ) -> int:
+        """Recluster the coarse quantizer from the indexed postings and
+        rewrite every posting under the new cells — the lifecycle answer
+        to quantizer drift (VERDICT r9 #1: a fixed bootstrap quantizer on
+        a 10x-grown corpus probes ~3x slower because per-cell posting
+        mass grows with the corpus).
+
+        Mechanics: a deterministic driver-bounded sample of the postings
+        (first ``train_cap`` vec_ids — k*dim floats on the driver, the
+        faiss ``train()`` shape) feeds the spherical k-means trainer
+        (similarity.train_kmeans_centroids); every posting is then
+        re-assigned at scale through ivf_cells and REWRITTEN (which also
+        compacts crash-replay duplicate rows away). New centroids and new
+        postings land in ONE new generation and one CAS pointer flip —
+        a concurrent probe sees the old quantizer with the old postings
+        or the new with the new, never a mix. Returns the new cell
+        count."""
+        import numpy as np
+
+        from .similarity import centroids_df, train_kmeans_centroids
+
+        cur = self._snapshot()
+        postings = self._read(cur, "cells")
+        if postings is None:
+            raise RuntimeError("AnnIndex: nothing indexed; retrain() needs postings")
+        postings = postings.dropDuplicates(["vec_id"]).select(
+            "vec_id", "embedding"
+        )
+        if n_centroids is None:
+            n_centroids = self.centroids().count()
+        cap = int(train_cap or self.TRAIN_CAP)
+        sample = postings.orderBy("vec_id").limit(cap).collect()
+        emb = np.asarray([r["embedding"] for r in sample], dtype=np.float64)
+        cents = train_kmeans_centroids(
+            emb, k=int(n_centroids), n_iter=n_iter, seed=seed
+        )
+        cdf = centroids_df(self.spark, cents).localCheckpoint()
+        gen = self._new_gen_from(cur)
+        import shutil
+
+        for sub in ("centroids", "cells"):
+            full = os.path.join(gen, sub)
+            if os.path.isdir(full):
+                shutil.rmtree(full)
+        cdf.coalesce(1).write.parquet(os.path.join(gen, "centroids"))
+        assign = ivf_cells(postings, cdf, "vec_id", "embedding", nprobe=1).select(
+            "vec_id", "cell"
+        )
+        postings.join(assign, "vec_id").write.partitionBy("cell").parquet(
+            os.path.join(gen, "cells")
+        )
+        self._publish(gen, cur)
+        return int(n_centroids)
+
+    def gc(self, keep: int = 2) -> list[str]:
+        """Drop superseded generations (hardlinked files shared with the
+        live one survive — only the directory entries go). Run only once
+        no reader still holds plans resolved against them."""
+        return self.store.gc_generations(self.base, "state", keep=keep)
 
     # ---- query ----
 
@@ -151,8 +294,13 @@ class AnnIndex:
         vector: (query_id, neighbor_id, rank, cosine) — bit-identical to
         ann_ivf_topk(corpus, batch, centroids=index.centroids()) with
         the same nprobe. The batch side (assignments + vectors) is
-        broadcast; the posting table streams only its probed cells."""
-        cents = self.centroids()
+        broadcast; the posting table streams only its probed cells. Both
+        tables come from ONE resolved snapshot: concurrent updates or a
+        retrain cannot tear the view."""
+        snap = self._snapshot()
+        cents = self._read(snap, "centroids")
+        if cents is None:
+            raise RuntimeError("AnnIndex: set_centroids() before use")
         probe_cells = ivf_cells(
             batch_vecs, cents, self.id_col, self.vec_col, nprobe=nprobe
         ).select(F.col("vec_id").alias("query_id"), "cell")
@@ -164,7 +312,7 @@ class AnnIndex:
             .withColumn("pnorm", _norm(F.col("pvec")))
             .join(probe_cells, "query_id")
         )
-        idx = self._table("cells")
+        idx = self._read(snap, "cells")
         if idx is None:
             return p.select(
                 "query_id",
@@ -213,17 +361,16 @@ class AnnIndex:
             .orderBy("query_id", "rank")
         )
 
-
     def cell_stats(self) -> DataFrame:
         """Posting-list balance per IVF cell: (cell, n_vecs, frac) — THE
         operational gauge for an IVF index. probe() cost is proportional
         to the probed cells' posting mass, so a skewed quantizer (one
         cell holding half the corpus) silently turns nprobe=2 into a
-        half-corpus scan; watch max(frac)*n_cells and retrain/rebuild
-        when it drifts (the faiss imbalance_factor readout). Duplicate
-        posting rows (crash-replay residue) are deduped on vec_id before
+        half-corpus scan; watch max(frac)*n_cells and retrain() when it
+        drifts (the faiss imbalance_factor readout). Duplicate posting
+        rows (crash-replay residue) are deduped on vec_id before
         counting, so the gauge reads logical corpus size."""
-        idx = self._table("cells")
+        idx = self._read(self._snapshot(), "cells")
         if idx is None:
             return self.spark.createDataFrame(
                 [], "cell long, n_vecs long, frac double"
@@ -245,6 +392,15 @@ class AnnIndex:
             )
             .orderBy("cell")
         )
+
+    def imbalance_factor(self) -> float:
+        """max(frac) * n_cells over the live postings — 1.0 is perfectly
+        balanced; the retrain() trigger reads this scalar."""
+        rows = self.cell_stats().agg(
+            (F.max("frac") * F.count(F.lit(1))).alias("imb")
+        ).collect()
+        v = rows[0]["imb"] if rows else None
+        return float(v) if v is not None else 0.0
 
 
 def attach_embedding_ingest(
