@@ -1133,6 +1133,22 @@ def q_stream_correlations_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stream_correlations_topk_lsh_via_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Sub-quadratic LSH top-k correlation answered from a level-20
+    rollup instead of raw points (VERDICT r9 #7): the ladder's decimal
+    partials fold to identical quantized bucket means, so signatures,
+    candidates and corr values are bit-identical to the points-fed
+    variant — same oracle — while the 100 TB read path touches
+    output-shaped ladder rows (~64^k fewer)."""
+    from btrdb_spark.operators import correlate
+
+    pts = events_as_points(spark, sf)
+    r20 = ru.rollup_points(pts, 20)
+    return correlate.stream_correlations_topk_lsh_via_rollup(
+        r20, 20, pw=42, k=3, min_overlap=8, n_planes=8, n_tables=8
+    )
+
+
 def q_ngram_contamination(spark: SparkSession, sf: str) -> DataFrame:
     """Decontamination scan: corpus docs sharing an 8-gram with the
     'eval set' (stand-in: doc_id < 5); eval grams broadcast."""
@@ -2635,8 +2651,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries are inserted at the top, followed by the ROTATION_R8 block
     # of stalest-certified entries (see above).
     base = {
-        # r9 head: new rows lead so the driver's gate window certifies
+        # r10 head: new rows lead so the driver's gate window certifies
         # them immediately.
+        "stream_correlations_topk_lsh_via_rollup": q_stream_correlations_topk_lsh_via_rollup,
+        # r9 head
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_exact": q_dedup_incremental_exact,
         "ann_ivfpq_rerank_topk": q_ann_ivfpq_rerank_topk,
@@ -2845,7 +2863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # new-entry head stays first (everything before the r8 marker), then
     # the rotation block, then the rest in stable order (dict.update of
     # existing keys does not move them)
-    n_new = 0  # r10 additions lead `base` (bump with each new r10 entry)
+    n_new = 1  # r10 additions lead `base` (bump with each new r10 entry)
     head = list(base)[:n_new] + ROTATION_R10
     out = {n: base[n] for n in head}
     out.update(base)
@@ -3927,6 +3945,11 @@ def oracle_sql() -> dict[str, str]:
             PTS, pw=42, k=3, min_overlap=8, n_planes=8, n_tables=8
         )
     )
+    # r10: ladder-served LSH variant proves bit-identity against the
+    # SAME raw-path oracle (the via_rollup pattern)
+    oracles["stream_correlations_topk_lsh_via_rollup"] = oracles[
+        "stream_correlations_topk_lsh"
+    ]
     oracles["ewma"] = rs_ops.ewma_oracle_sql(PTS, alpha=0.25)
     oracles["cusum_alarms"] = rs_ops.cusum_oracle_sql(PTS, k=8.0, h=64.0)
     oracles["find_peaks"] = rs_ops.find_peaks_oracle_sql(PTS, w=5)

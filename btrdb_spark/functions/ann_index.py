@@ -395,12 +395,28 @@ class AnnIndex:
 
     def imbalance_factor(self) -> float:
         """max(frac) * n_cells over the live postings — 1.0 is perfectly
-        balanced; the retrain() trigger reads this scalar."""
+        balanced. This is the SKEW alarm: it fires when one cell hoards
+        the corpus. It deliberately does NOT fire under uniform growth
+        (measured, tools/prof_ann_index.py: a fixed 16-cell quantizer on
+        a 10x corpus probes ~5x slower with imbalance still ~1.1) —
+        pair it with max_cell_mass() against the per-cell posting budget
+        to catch that case."""
         rows = self.cell_stats().agg(
             (F.max("frac") * F.count(F.lit(1))).alias("imb")
         ).collect()
         v = rows[0]["imb"] if rows else None
         return float(v) if v is not None else 0.0
+
+    def max_cell_mass(self) -> int:
+        """Largest per-cell posting count — the GROWTH alarm: probe cost
+        is proportional to probed posting mass, so when this exceeds the
+        deployment's per-cell budget (corpus_target / n_cells at train
+        time), retrain() with a proportionally larger n_centroids. The
+        faiss sizing rule (n_cells ~ sqrt(corpus) or corpus/target_mass)
+        expressed as a monitorable scalar."""
+        rows = self.cell_stats().agg(F.max("n_vecs").alias("m")).collect()
+        v = rows[0]["m"] if rows else None
+        return int(v) if v is not None else 0
 
 
 def attach_embedding_ingest(

@@ -19,6 +19,16 @@ from .align import align_streams
 from .windows import aligned_windows, windows
 
 
+def rfc3339_col(time_col) -> "F.Column":
+    """RFC3339 rendering of a ns timestamp column (serve.go:974-975);
+    floor (not truncate-toward-zero) so pre-1970 times round the same
+    direction as every other ns->bucket conversion (timeops.py)."""
+    return F.date_format(
+        F.timestamp_micros(floor_div(time_col, F.lit(1000).cast("long"))),
+        "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    )
+
+
 def csv_raw(
     points: DataFrame,
     uuids: Sequence[str],
@@ -34,15 +44,7 @@ def csv_raw(
     df = align_streams(points, uuids, start, end, version=version, deletes=deletes)
     cols = [F.col("time")]
     if rfc3339:
-        # serve.go:974-975 renders RFC3339 from the ns timestamp;
-        # floor (not truncate-toward-zero) so pre-1970 times round the
-        # same direction as every other ns->bucket conversion (timeops.py)
-        cols.append(
-            F.date_format(
-                F.timestamp_micros(floor_div(F.col("time"), F.lit(1000).cast("long"))),
-                "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
-            ).alias("time_rfc3339")
-        )
+        cols.append(rfc3339_col(F.col("time")).alias("time_rfc3339"))
     cols += [F.col(f"v_{u}").alias(lab) for u, lab in zip(uuids, labels)]
     return df.select(*cols)
 

@@ -338,3 +338,81 @@ def test_sketch_poll_survives_restart(served, spark, tmp_path):
             assert again[g]["est_distinct"] == batch[g]["est_distinct"]
     finally:
         cli.call("StopSketch", name="svc_kmv_r")
+
+
+def test_metadata_usage_rpc(served):
+    """Named GetMetadataUsage endpoint (serve.go:416-454): per-key
+    tag/annotation stream counts under a prefix, as KeyCount lists."""
+    _eng, cli = served
+    cli.call("Create", collection="mu/a", tags={"unit": "kw"},
+             annotations={"site": "x"})
+    cli.call("Create", collection="mu/b", tags={"unit": "v", "phase": "A"})
+    cli.call("Create", collection="other/c", tags={"unit": "v"})
+
+    res = cli.call("GetMetadataUsage", prefix="mu/")[0]
+    tags = {t["key"]: t["count"] for t in res["tags"]}
+    anns = {a["key"]: a["count"] for a in res["annotations"]}
+    assert tags == {"unit": 2, "phase": 1}
+    assert anns == {"site": 1}
+    # no prefix: everything
+    res = cli.call("GetMetadataUsage")[0]
+    assert {t["key"]: t["count"] for t in res["tags"]} == {"unit": 3, "phase": 1}
+
+
+def test_generate_csv_rpc_roundtrip(served):
+    """Named GenerateCSV endpoint (serve.go:874-1005): header row per
+    csv.go layout, RFC3339 second column, raw + windows modes, the
+    5,000-row batching, and includeVersions header suffixes."""
+    _eng, cli = served
+    ua = cli.call("Create", collection="csv/a")[0]["uuid"]
+    ub = cli.call("Create", collection="csv/b")[0]["uuid"]
+    # 6k points on a, 3k on b (every other second) -> >1 batch of rows
+    cli.call("Insert", uuid=ua,
+             values=[(i * 10**9, float(i)) for i in range(6000)])
+    cli.call("Insert", uuid=ub,
+             values=[(i * 2 * 10**9, float(-i)) for i in range(3000)])
+    cli.call("Flush", uuid=ua)
+    cli.call("Flush", uuid=ub)
+
+    chunks = cli.call(
+        "GenerateCSV", queryType=2, startTime=0, endTime=2**62,
+        streams=[{"uuid": ua, "label": "A"}, {"uuid": ub, "label": "B"}],
+    )
+    assert all(len(c["batch"]) <= RESULTS_BATCH_SIZE for c in chunks)
+    items = [r for c in chunks for r in c["batch"]]
+    header, rows = items[0], items[1:]
+    assert header["isHeader"] and header["row"] == [
+        "Timestamp (ns)", "Human-Readable Time (UTC)", "A", "B"]
+    assert len(rows) == 6000  # one row per distinct timestamp
+    assert rows[0]["row"][0] == "0"
+    assert rows[0]["row"][1].startswith("1970-01-01T00:00:00")
+    assert rows[0]["row"][2] == "0.000000" and rows[0]["row"][3] == "0.000000"
+    # odd-second rows: B has no point -> empty cell (csv.go writeEmptyPoint)
+    assert rows[1]["row"][3] == "" and rows[1]["row"][2] == "1.000000"
+
+    # windows mode: 1000s tumbling windows, quad columns per stream,
+    # versioned header
+    chunks = cli.call(
+        "GenerateCSV", queryType=1, startTime=0, endTime=6000 * 10**9,
+        windowSize=1000 * 10**9, includeVersions=True,
+        streams=[{"uuid": ua, "label": "A"}, {"uuid": ub, "label": "B"}],
+    )
+    items = [r for c in chunks for r in c["batch"]]
+    header, rows = items[0], items[1:]
+    assert header["row"][:2] == ["Timestamp (ns)", "Human-Readable Time (UTC)"]
+    assert header["row"][2] == "A, ver. 10 (Min)"
+    assert header["row"][6] == "B, ver. 10 (Min)"
+    assert len(rows) == 6  # 6 windows of 1000s
+    r0 = rows[0]["row"]
+    # A: 1000 pts values 0..999; B: 500 pts (every 2s) values 0..-499
+    assert r0[2] == "0.000000" and r0[4] == "999.000000" and r0[5] == "1000"
+    assert r0[6] == "-499.000000" and r0[8] == "0.000000" and r0[9] == "500"
+
+    # aligned mode (queryType=0, pointWidth via depth) runs and pivots
+    chunks = cli.call(
+        "GenerateCSV", queryType=0, startTime=0, endTime=2**62, depth=40,
+        streams=[{"uuid": ua, "label": "A"}],
+    )
+    items = [r for c in chunks for r in c["batch"]]
+    assert items[0]["isHeader"] and len(items) > 1
+    assert sum(int(r["row"][5]) for r in items[1:] if r["row"][5]) == 6000

@@ -181,6 +181,12 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "partial_sum", "Window"],
         ["CartesianProduct", "BatchEvalPython"],
     ),
+    # r10: ladder-served LSH variant — same plan contract as the
+    # points-fed one; the means head is the coarsen∘combine fold
+    "stream_correlations_topk_lsh_via_rollup": (
+        ["BroadcastHashJoin", "partial_sum", "Window"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
     # r9: incremental IVF probe — centroid assignment broadcasts the
     # quantizer (sanctioned BNLJ), the posting join is a hash equi-join
     # on cell with the batch side broadcast

@@ -111,6 +111,63 @@ def main():
             flush=True,
         )
 
+    # ---- retrain lifecycle (VERDICT r9 #1): a FIXED 16-cell quantizer
+    # on the 10x corpus degrades probes (per-cell posting mass grew
+    # 10x); retrain() re-clusters from the postings and rewrites them
+    # behind one atomic flip — probe cost must come back to the
+    # fresh-160-cell level and stay bit-equal to the one-shot under the
+    # new centroids.
+    n = 200_000
+    corpus = synth(spark, n).localCheckpoint()
+    cents16 = similarity.centroids_df(
+        spark,
+        similarity.train_kmeans_centroids(
+            np.array(corpus.limit(4096).toPandas()["embedding"].tolist()),
+            k=16,
+        ),
+    )
+    base = "/tmp/prof_ann_index_retrain"
+    shutil.rmtree(base, ignore_errors=True)
+    idx = AnnIndex(spark, base)
+    idx.set_centroids(cents16)
+    idx.update(corpus)
+    imb0 = idx.imbalance_factor()
+    mass0 = idx.max_cell_mass()
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        idx.probe(batch, k=5, nprobe=2).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        times.append(time.time() - t0)
+    t_fixed = min(times)
+    t0 = time.time()
+    idx.retrain(n_centroids=160)
+    t_retrain = time.time() - t0
+    imb1 = idx.imbalance_factor()
+    mass1 = idx.max_cell_mass()
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        idx.probe(batch, k=5, nprobe=2).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        times.append(time.time() - t0)
+    t_after = min(times)
+    # bit-equality vs one-shot under the retrained quantizer
+    got = idx.probe(batch, k=5, nprobe=2)
+    want = similarity.ann_ivf_topk(
+        corpus, batch, k=5, nprobe=2, centroids=idx.centroids()
+    )
+    mismatch = got.exceptAll(want).count() + want.exceptAll(got).count()
+    print(
+        f"retrain@200k: fixed16 probe={t_fixed:.2f}s (imb {imb0:.2f}, "
+        f"max_cell_mass {mass0}) -> retrain(160)={t_retrain:.2f}s -> "
+        f"probe={t_after:.2f}s (imb {imb1:.2f}, max_cell_mass {mass1}) "
+        f"one_shot_mismatch_rows={mismatch}",
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     main()

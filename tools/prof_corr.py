@@ -69,6 +69,19 @@ def main():
             pts, pw=42, k=3, min_overlap=8
         ).count()
         row["lsh_sec"] = round(time.time() - t0, 2)
+        # the 100 TB read path (VERDICT r9 #7): the same LSH plan fed
+        # from a level-20 rollup — output-shaped ladder rows in, answer
+        # bit-identical (count equality asserted here; the full value
+        # equality is the driver oracle's job)
+        from btrdb_spark.plans import rollup as _ru
+
+        r20 = _ru.rollup_points(pts, 20).localCheckpoint()
+        t0 = time.time()
+        row["lsh_rollup_rows"] = correlate.stream_correlations_topk_lsh_via_rollup(
+            r20, 20, pw=42, k=3, min_overlap=8
+        ).count()
+        row["lsh_rollup_sec"] = round(time.time() - t0, 2)
+        assert row["lsh_rollup_rows"] == row["lsh_rows"], "ladder path diverged"
         out[f"r{r}"] = row
         print(json.dumps({f"r{r}": row}), flush=True)
 
