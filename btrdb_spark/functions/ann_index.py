@@ -419,6 +419,78 @@ class AnnIndex:
         return int(v) if v is not None else 0
 
 
+def retrained_probe_oracle_sql(
+    parquet_path: str,
+    n_centroids: int = 16,
+    k: int = 5,
+    nprobe: int = 2,
+    train_cap: int = AnnIndex.TRAIN_CAP,
+    seed: int = 0,
+) -> str:
+    """DuckDB oracle for ``probe()`` AFTER ``retrain()`` over the
+    mod-10 corpus split: re-derives the retrained quantizer exactly —
+    same deterministic training sample (corpus = vec_id % 10 != 0,
+    sorted by vec_id, first ``train_cap`` rows, float32 widened exactly
+    to float64) through the same seeded spherical k-means — and embeds
+    the centroids as DOUBLE[] literals (shortest-repr floats round-trip
+    exactly), then replays the IVF probe arithmetic in SQL. This gates
+    the retrain lifecycle end-to-end: if the posting rewrite or the
+    atomic flip corrupted anything, the hash comparison fails."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .similarity import train_kmeans_centroids
+
+    t = pq.read_table(parquet_path, columns=["vec_id", "embedding"])
+    dfp = t.to_pandas()
+    dfp = dfp[dfp["vec_id"] % 10 != 0].sort_values("vec_id").head(train_cap)
+    emb = np.asarray(dfp["embedding"].tolist(), dtype=np.float64)
+    cents = train_kmeans_centroids(emb, k=int(n_centroids), seed=seed)
+    vals = ", ".join(
+        f"({i}, [{', '.join(repr(float(v)) for v in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings
+        ), cents AS (
+            SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
+            FROM (VALUES {vals}) AS t(cell, cv)
+        ), assign AS (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY list_dot_product(vecs.v, cents.cv)
+                                / (vecs.nrm * cents.cnrm) DESC,
+                                cell ASC) AS cell_rank
+            FROM vecs CROSS JOIN cents
+        ), corpus_cells AS (
+            SELECT vec_id, cell FROM assign
+            WHERE cell_rank = 1 AND vec_id % 10 != 0
+        ), probe_cells AS (
+            SELECT vec_id, cell FROM assign
+            WHERE cell_rank <= {nprobe} AND vec_id % 10 = 0
+        ), scored AS (
+            SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(c.v, p.v) / (c.nrm * p.nrm) AS cosine
+            FROM probe_cells pc
+            JOIN corpus_cells cc ON cc.cell = pc.cell
+            JOIN vecs p ON p.vec_id = pc.vec_id
+            JOIN vecs c ON c.vec_id = cc.vec_id AND c.vec_id <> p.vec_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+        FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
 def attach_embedding_ingest(
     stream_df: DataFrame,
     index: AnnIndex,

