@@ -407,6 +407,39 @@ class AnnIndex:
         v = rows[0]["imb"] if rows else None
         return float(v) if v is not None else 0.0
 
+    def maintain(
+        self,
+        target_cell_mass: int,
+        skew_limit: float = 8.0,
+        n_iter: int = 10,
+        seed: int = 0,
+    ) -> int | None:
+        """The retrain trigger wired to its gauges: retrain when either
+        drift alarm fires — GROWTH (max posting mass above
+        ``target_cell_mass``: probes scan that mass per probed cell) or
+        SKEW (imbalance_factor above ``skew_limit``: one cell hoards the
+        corpus). On retrain, n_centroids is re-sized to
+        ceil(corpus / target_cell_mass) — the faiss corpus/target-mass
+        sizing rule — so the trigger self-heals rather than thrashing.
+        Returns the new cell count, or None when no alarm fired. Run it
+        from the same maintenance cadence as flush_aged()/GC; the
+        retrain itself is one atomic generation flip, so probes are
+        never disturbed."""
+        stats = self.cell_stats().agg(
+            F.max("n_vecs").alias("m"),
+            F.sum("n_vecs").alias("n"),
+            (F.max("frac") * F.count(F.lit(1))).alias("imb"),
+        ).collect()
+        if not stats or stats[0]["n"] is None:
+            return None
+        m, n, imb = stats[0]["m"], stats[0]["n"], stats[0]["imb"]
+        if m <= int(target_cell_mass) and (imb or 0.0) <= float(skew_limit):
+            return None
+        import math
+
+        k = max(1, math.ceil(n / int(target_cell_mass)))
+        return self.retrain(n_centroids=k, n_iter=n_iter, seed=seed)
+
     def max_cell_mass(self) -> int:
         """Largest per-cell posting count — the GROWTH alarm: probe cost
         is proportional to probed posting mass, so when this exceeds the

@@ -269,10 +269,11 @@ def stream_correlations_topk_lsh(
        expression, engine-portable), dropping zero-variance streams;
     3. signatures: for plane j, proj_j = sum_b zq_b * coef(bucket, j)
        with 16-bit coefficients md5-derived IN-ENGINE from the bucket
-       value; terms are |zq|*|coef| < 2^55 but the sum over up to 2^13
-       buckets can reach 2^68, so it runs hi/lo-split (decsum
-       convention) and the sign test reassembles in decimal — exactly
-       the oracle's HUGEINT sign. Sign bits pack into n_tables ids;
+       value; within the operator envelope (|mq| < ~2^31, loudly
+       enforced by the Pearson tail under ANSI) each term is < 2^47 so
+       the long sum is exact to 2^16 buckets/stream — beyond it ANSI
+       fails loud, never silently diverging from the oracle's HUGEINT.
+       Sign bits pack into n_tables ids;
     4. candidates: signature equi-join per table — plus a join against
        the BITWISE-COMPLEMENT bucket, so corr ~ -1 pairs (all sign bits
        flipped) are also caught; the complement probe rides the same
@@ -421,49 +422,32 @@ def _topk_lsh_from_bucket_means(
             ).alias("cs")
         )
     )
-    # Projection sums hi/lo-split like _pearson_from_pairs (ADVICE r9
-    # #3): |zq*coef| < 2^55 but the SUM over up to 2^13 buckets can reach
-    # 2^68 — a plain long sum wraps silently in Spark while DuckDB's
-    # SUM(BIGINT) promotes to HUGEINT, flipping sign bits only on the
-    # Spark side. Each term splits into hi = floor(p / 2^30) (sum <
-    # 2^38) and lo in [0, 2^30) (sum < 2^43), reassembled exactly in
-    # decimal(38,0) ONLY for the sign test — so the Spark sign equals
-    # the oracle's exact-HUGEINT sign bit-for-bit.
-    from ..functions.timeops import floor_div
-
-    _B = F.lit(1 << 30).cast("long")
+    # Projection-sum exactness (ADVICE r9 #3, resolved by BOUND, not by
+    # splitting): within the operator's envelope — |mq| < ~2^31, which
+    # the shared Pearson tail's xa*xb int64 multiply already enforces
+    # LOUDLY under ANSI — |zq| <= |mq| + |mean(mq)| < 2^32, each term
+    # |zq*coef| < 2^47, so the plain long sum is exact for up to 2^16
+    # buckets per stream (89 years of data at pw=42). Beyond the
+    # envelope, ANSI mode raises ARITHMETIC_OVERFLOW on the multiply and
+    # the sum rather than silently diverging from the oracle's HUGEINT.
+    # A non-ANSI deployment must keep ANSI on for this operator or apply
+    # the decsum hi/lo split — that split was tried and A/B-measured a
+    # 5-8x stage slowdown (the 128-array-buffer agg blows up codegen;
+    # the input is only stream-bucket-sized, so the cost is all plan
+    # compilation): the bound is both the exact and the fast answer.
     terms = zc.join(F.broadcast(coefs_arr), "bucket").select(
         "uuid",
-        F.transform(
-            F.col("cs"), lambda c: floor_div(c * F.col("zq"), _B)
-        ).alias("th"),
-        F.transform(
-            F.col("cs"),
-            lambda c: c * F.col("zq") - floor_div(c * F.col("zq"), _B) * _B,
-        ).alias("tl"),
+        F.transform(F.col("cs"), lambda c: c * F.col("zq")).alias("t"),
     )
     proj = terms.groupBy("uuid").agg(
-        *[
-            agg
-            for j in range(P * T)
-            for agg in (
-                F.sum(F.col("th")[j]).alias(f"h{j}"),
-                F.sum(F.col("tl")[j]).alias(f"l{j}"),
-            )
-        ]
+        *[F.sum(F.col("t")[j]).alias(f"p{j}") for j in range(P * T)]
     )
-
-    def _pj(j: int):
-        return F.col(f"h{j}").cast("decimal(38,0)") * F.lit(
-            1 << 30
-        ) + F.col(f"l{j}").cast("decimal(38,0)")
-
     sig_cols = []
     for t in range(T):
         bits = None
         for b in range(P):
             bit = F.when(
-                _pj(t * P + b) >= 0, F.lit(1 << b).cast("long")
+                F.col(f"p{t * P + b}") >= 0, F.lit(1 << b).cast("long")
             ).otherwise(F.lit(0).cast("long"))
             bits = bit if bits is None else bits + bit
         sig_cols.append(bits.alias(f"s{t}"))

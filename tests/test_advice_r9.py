@@ -7,18 +7,18 @@ import pytest
 
 
 def test_lsh_projection_sums_survive_int64_overflow(spark):
-    """ADVICE r9 #3: the sign-LSH projection sum zq*coef can reach 2^68
-    (|zq| up to 2^40, |coef| < 2^15, up to 2^13 buckets) — past int64.
-    A plain long sum wraps silently in non-ANSI Spark while the DuckDB
-    oracle's SUM(BIGINT) promotes to HUGEINT, so large-magnitude streams
-    could diverge signatures/candidates from the oracle undetectably.
-    The split makes the projection leg exact over its full docstring
-    envelope; the OPERATOR envelope is then bounded by the shared
-    Pearson tail's xa*xb int64 multiply at |mq| < ~2^31 (|value| <
-    ~2048 at the 2^20 quantization) — beyond that ANSI mode fails LOUD
-    (ARITHMETIC_OVERFLOW), never silently. This fixture sits at that
-    envelope's edge (values ~ +/-1900 -> |mq| ~ 2^30.9, products ~
-    2^62) and asserts Spark == oracle bit-for-bit."""
+    """ADVICE r9 #3, resolved by BOUND: the operator's envelope is
+    |mq| < ~2^31 (|value| < ~2048 at the 2^20 quantization), enforced
+    LOUDLY by the shared Pearson tail's xa*xb int64 multiply under ANSI.
+    Within it, |zq| < 2^32 and each projection term < 2^47, so the
+    plain long projection sum is exact up to 2^16 buckets/stream and
+    matches the oracle's HUGEINT sign bit-for-bit; beyond it ANSI
+    raises ARITHMETIC_OVERFLOW instead of silently diverging. (The
+    decsum hi/lo split was tried and A/B-measured a 5-8x signature-
+    stage slowdown — 128 array-buffer aggs blow up codegen — so the
+    bound, not the split, is the shipped resolution.) This fixture sits
+    at the envelope's edge (values ~ +/-1900 -> |mq| ~ 2^30.9, products
+    ~ 2^62) and asserts Spark == oracle bit-for-bit."""
     import duckdb
 
     from btrdb_spark.operators.correlate import (

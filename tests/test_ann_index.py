@@ -191,3 +191,38 @@ def test_failed_update_publishes_nothing(spark, tmp_path, monkeypatch):
     assert _rows(idx.probe(batch, k=5, nprobe=2)) == _rows(
         _one_shot(corpus, batch, cents)
     )
+
+
+def test_maintain_fires_on_mass_and_self_sizes(spark, tmp_path):
+    """maintain() is the trigger loop around retrain(): quiet while both
+    gauges are under their limits, fires on posting-mass growth, and
+    re-sizes n_centroids to ceil(corpus/target) so one retrain heals the
+    alarm; the retrained index still answers probes == one-shot."""
+    emb = _emb(spark)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    n = corpus.count()
+    idx = AnnIndex(spark, str(tmp_path / "idx"))
+    idx.set_centroids(corpus.filter(F.col("vec_id") < 16))
+    idx.update(corpus)
+
+    # generous budget: no alarm, no retrain, snapshot untouched
+    snap = idx._snapshot()
+    assert idx.maintain(target_cell_mass=n * 2) is None
+    assert idx._snapshot() == snap
+
+    # tight budget (below even the balanced per-cell average, so the
+    # mass alarm MUST fire): k self-sizes to ceil(n/target)
+    target = max(1, n // 40)
+    k = idx.maintain(target_cell_mass=target)
+    import math
+
+    assert k == math.ceil(n / target)
+    assert idx.centroids().count() == k
+    assert idx._snapshot() != snap, "retrain must publish a new generation"
+    got = _rows(idx.probe(batch, k=5, nprobe=2))
+    want = _rows(_one_shot(corpus, batch, idx.centroids()))
+    assert got == want and len(got) > 0
+    # healed on average: the k sizing guarantees mean cell mass <= target
+    # (max can exceed it only by the k-means skew the skew alarm owns)
+    assert n / k <= target
