@@ -1162,6 +1162,29 @@ def q_stream_correlations_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental SemDeDup at crawl time: each NEW embedding (vec_id %
+    10 == 0) is probed against the persisted AnnIndex; a batch vector
+    whose nearest indexed neighbor clears the cosine threshold maps to
+    that keeper — O(batch) assignment + cell-pruned posting scan, the
+    embedding analog of dedup_incremental_exact. Deterministic: rank-1
+    neighbor (cosine desc, id asc), threshold 0.35 splits the
+    fixture's rank-1 cosine band (median 0.335 at sf0.01) so the gate exercises both kept and dropped
+    rows (functions/ann_index.py)."""
+    emb = load_table(spark, sf, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    hits = _ann_index_over(spark, sf).probe(batch, k=1, nprobe=2)
+    return (
+        hits.filter((F.col("rank") == 1) & (F.col("cosine") >= 0.35))
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.col("neighbor_id").alias("keeper_id"),
+            "cosine",
+        )
+        .orderBy("vec_id")
+    )
+
+
 def q_stream_correlations_topk_lsh_via_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Sub-quadratic LSH top-k correlation answered from a level-20
     rollup instead of raw points (VERDICT r9 #7): the ladder's decimal
@@ -2684,6 +2707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # them immediately.
         "stream_correlations_topk_lsh_via_rollup": q_stream_correlations_topk_lsh_via_rollup,
         "ann_index_probe_retrained": q_ann_index_probe_retrained,
+        "semantic_dedup_incremental": q_semantic_dedup_incremental,
         # r9 head
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_exact": q_dedup_incremental_exact,
@@ -2893,7 +2917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # new-entry head stays first (everything before the r8 marker), then
     # the rotation block, then the rest in stable order (dict.update of
     # existing keys does not move them)
-    n_new = 2  # r10 additions lead `base` (bump with each new r10 entry)
+    n_new = 3  # r10 additions lead `base` (bump with each new r10 entry)
     head = list(base)[:n_new] + ROTATION_R10
     out = {n: base[n] for n in head}
     out.update(base)
@@ -3186,6 +3210,47 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_vecs AS DOUBLE)
                / CAST((SELECT SUM(n_vecs) FROM per) AS DOUBLE) AS frac
         FROM per ORDER BY cell
+    """
+    # r10: incremental SemDeDup — the probe oracle narrowed to the
+    # rank-1 neighbor above the cosine threshold
+    oracles["semantic_dedup_incremental"] = """
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings
+        ), cents AS (
+            SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM vecs
+            WHERE vec_id < 16 AND vec_id % 10 != 0
+        ), assign AS (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY list_dot_product(vecs.v, cents.cv)
+                                / (vecs.nrm * cents.cnrm) DESC,
+                                cell ASC) AS cell_rank
+            FROM vecs CROSS JOIN cents
+        ), corpus_cells AS (
+            SELECT vec_id, cell FROM assign
+            WHERE cell_rank = 1 AND vec_id % 10 != 0
+        ), probe_cells AS (
+            SELECT vec_id, cell FROM assign
+            WHERE cell_rank <= 2 AND vec_id % 10 = 0
+        ), scored AS (
+            SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(c.v, p.v) / (c.nrm * p.nrm) AS cosine
+            FROM probe_cells pc
+            JOIN corpus_cells cc ON cc.cell = pc.cell
+            JOIN vecs p ON p.vec_id = pc.vec_id
+            JOIN vecs c ON c.vec_id = cc.vec_id AND c.vec_id <> p.vec_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id AS vec_id, neighbor_id AS keeper_id, cosine
+        FROM ranked WHERE rank = 1 AND cosine >= 0.35 ORDER BY vec_id
     """
     # r10: probe after retrain() — the oracle re-trains the identical
     # quantizer from the same deterministic posting sample and embeds it

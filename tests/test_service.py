@@ -416,3 +416,31 @@ def test_generate_csv_rpc_roundtrip(served):
     items = [r for c in chunks for r in c["batch"]]
     assert items[0]["isHeader"] and len(items) > 1
     assert sum(int(r["row"][5]) for r in items[1:] if r["row"][5]) == 6000
+
+
+def test_generate_csv_rpc_pinned_versions(served):
+    """StreamCSVConfig.version: a stream pinned at an older version
+    renders pre-delete data in the CSV while an unpinned sibling shows
+    the live view — per-stream version filtering, not a global one."""
+    _eng, cli = served
+    ua = cli.call("Create", collection="csvv/a")[0]["uuid"]
+    cli.call("Insert", uuid=ua, values=[(i * 10**9, float(i)) for i in range(10)])
+    cli.call("Flush", uuid=ua)  # v10 holds times 0..9
+    v_del = cli.call("DeleteRange", uuid=ua, start=0, end=5 * 10**9)[0][
+        "versionMajor"
+    ]
+    assert v_del > 10
+
+    def rows_at(streams):
+        chunks = cli.call(
+            "GenerateCSV", queryType=2, startTime=0, endTime=2**62,
+            streams=streams,
+        )
+        items = [r for c in chunks for r in c["batch"]]
+        return [r["row"] for r in items if not r["isHeader"]]
+
+    live = rows_at([{"uuid": ua, "label": "A"}])
+    assert len(live) == 5  # times 5..9 survive the delete
+    pinned = rows_at([{"uuid": ua, "label": "A", "version": 10}])
+    assert len(pinned) == 10  # the pre-delete snapshot
+    assert pinned[0][0] == "0" and pinned[0][2] == "0.000000"

@@ -200,6 +200,11 @@ RULES: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "Window"],
         ["CartesianProduct", "BatchEvalPython"],
     ),
+    # r10: incremental SemDeDup rides the probe plan (rank-1 + threshold)
+    "semantic_dedup_incremental": (
+        ["BroadcastHashJoin", "Window"],
+        ["CartesianProduct", "BatchEvalPython"],
+    ),
     # fixture adapter truncates ts -> µs (oracle parity), which blocks scan
     # pushdown there; the engine-native layout is audited separately below
     "raw_values": ([], ["Exchange hashpartitioning"]),
