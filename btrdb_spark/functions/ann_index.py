@@ -528,14 +528,26 @@ def attach_embedding_ingest(
     stream_df: DataFrame,
     index: AnnIndex,
     checkpoint_dir: str,
+    target_cell_mass: int | None = None,
+    skew_limit: float = 8.0,
 ):
     """foreachBatch sink maintaining the ANN index from a streaming
     embedding source — the similarity twin of
     dedup_index.attach_document_ingest: exactly-once via the epoch guard,
-    restart-durable via the checkpoint."""
+    restart-durable via the checkpoint.
+
+    With ``target_cell_mass`` set, every micro-batch ends with a
+    ``maintain()`` check, so the quantizer retrains itself as the
+    streamed corpus outgrows its cells — the full ingest-time lifecycle
+    with zero operator intervention. The retrain is one atomic
+    generation flip, so concurrent probes are never disturbed; a crash
+    between update and retrain just defers the retrain to the next
+    batch (maintain is idempotent on a healthy index)."""
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         index.update(batch_df, epoch=int(epoch_id))
+        if target_cell_mass is not None:
+            index.maintain(target_cell_mass, skew_limit=skew_limit)
 
     return (
         stream_df.writeStream.foreachBatch(_process)

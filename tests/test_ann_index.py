@@ -226,3 +226,32 @@ def test_maintain_fires_on_mass_and_self_sizes(spark, tmp_path):
     # healed on average: the k sizing guarantees mean cell mass <= target
     # (max can exceed it only by the k-means skew the skew alarm owns)
     assert n / k <= target
+
+
+def test_streaming_ingest_with_auto_retrain(spark, tmp_path):
+    """attach_embedding_ingest(target_cell_mass=...): the streamed
+    corpus outgrows its per-cell budget mid-stream and the sink retrains
+    the quantizer itself; after the drain the index answers probes ==
+    one-shot under whatever centroids it settled on, and the cell count
+    grew past the bootstrap 14."""
+    emb = _emb(spark)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    cents = corpus.filter(F.col("vec_id") < 16)
+    n = corpus.count()
+    src = str(tmp_path / "src")
+    corpus.write.parquet(src)
+    idx = AnnIndex(spark, str(tmp_path / "idx"))
+    idx.set_centroids(cents)
+    n_boot = idx.centroids().count()
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    target = max(1, n // 40)  # below the balanced average: must retrain
+    q = attach_embedding_ingest(
+        stream, idx, str(tmp_path / "ckpt"), target_cell_mass=target
+    ).start()
+    q.awaitTermination(180)
+    final_cents = idx.centroids()
+    assert final_cents.count() > n_boot, "auto-retrain never fired"
+    got = _rows(idx.probe(batch, k=5, nprobe=2))
+    want = _rows(_one_shot(corpus, batch, final_cents))
+    assert got == want and len(got) > 0
