@@ -194,29 +194,63 @@ class DedupIndex:
         sigs = minhash_signatures(
             new_docs, self.n, self.num_hashes, self.text_col
         ).localCheckpoint()  # cut lineage: 3 appends must not re-shingle 3x
-        sigs.write.mode("append").parquet(os.path.join(gen, "sigs"))
-        (
-            band_rows_of(sigs, self.bands, self.rows_per_band)
-            .withColumn(
-                "pfx", F.substring(F.col("band_hash"), 1, self.band_pfx_len)
+
+        # The three table appends are independent jobs over the (tiny)
+        # checkpointed batch; run them CONCURRENTLY so each hides the
+        # others' task-launch barriers and partition-dir small-file
+        # latency (the engine's points-write/ladder-partial overlap
+        # pattern) — all still invisible until the single publish below.
+        def _w_sigs():
+            sigs.write.mode("append").parquet(os.path.join(gen, "sigs"))
+
+        def _w_bands():
+            (
+                band_rows_of(sigs, self.bands, self.rows_per_band)
+                .withColumn(
+                    "pfx",
+                    F.substring(F.col("band_hash"), 1, self.band_pfx_len),
+                )
+                .repartition("pfx")  # one file per touched partition dir
+                .write.mode("append")
+                .partitionBy("pfx")
+                .parquet(os.path.join(gen, "bands"))
             )
-            .repartition("pfx")  # one file per touched partition dir
-            .write.mode("append")
-            .partitionBy("pfx")
-            .parquet(os.path.join(gen, "bands"))
-        )
-        (
-            new_docs.select(
-                "doc_id", F.md5(F.col(self.text_col)).alias("text_md5")
+
+        def _w_hashes():
+            (
+                new_docs.select(
+                    "doc_id", F.md5(F.col(self.text_col)).alias("text_md5")
+                )
+                .withColumn(
+                    "hpfx",
+                    F.substring(F.col("text_md5"), 1, self.band_pfx_len),
+                )
+                .repartition("hpfx")
+                .write.mode("append")
+                .partitionBy("hpfx")
+                .parquet(os.path.join(gen, "hashes"))
             )
-            .withColumn(
-                "hpfx", F.substring(F.col("text_md5"), 1, self.band_pfx_len)
-            )
-            .repartition("hpfx")
-            .write.mode("append")
-            .partitionBy("hpfx")
-            .parquet(os.path.join(gen, "hashes"))
-        )
+
+        import threading
+
+        errs: list[BaseException] = []
+
+        def _run(fn):
+            try:
+                fn()
+            except BaseException as e:  # surface on the caller thread
+                errs.append(e)
+
+        threads = [
+            threading.Thread(target=_run, args=(fn,), daemon=True)
+            for fn in (_w_sigs, _w_bands, _w_hashes)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errs:
+            raise errs[0]
         self._publish(gen, cur)
         if epoch is not None:
             self._mark_epoch(epoch)
