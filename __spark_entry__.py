@@ -892,6 +892,32 @@ def q_dedup_incremental_exact(spark: SparkSession, sf: str) -> DataFrame:
     return idx.exact_probe(recrawl)
 
 
+def q_dedup_incremental_compacted(spark: SparkSession, sf: str) -> DataFrame:
+    """r11 long-crawl lifecycle gate: the SAME probe contract as
+    dedup_incremental, but against an index that has LIVED — built in
+    two update() generations, then compact() (per-batch small files
+    merged into runs at forced thresholds, one CAS generation flip) and
+    gc(keep=2) (superseded generations reaped). Maintenance must be
+    invisible to results: the oracle is identical to
+    dedup_incremental's (functions/dedup_index.py compact/gc,
+    store.py compact_flat/compact_partitioned)."""
+    import tempfile
+
+    from btrdb_spark.functions.dedup_index import DedupIndex
+
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    ck = ("dedup", sf, "mod10_compacted")
+    if ck not in _INDEX_CACHE:
+        idx = DedupIndex(spark, tempfile.mkdtemp(prefix="dedup_index_c_"))
+        idx.update(corpus.filter(F.col("doc_id") % 2 == 0))
+        idx.update(corpus.filter(F.col("doc_id") % 2 == 1))
+        assert idx.compact(big_bytes=1 << 30, max_small=1) > 0
+        idx.gc(keep=2)
+        _INDEX_CACHE[ck] = idx
+    return _INDEX_CACHE[ck].probe(docs.filter(F.col("doc_id") % 10 == 0))
+
+
 def _ann_index_over(spark: SparkSession, sf: str):
     """Cached AnnIndex over the mod-10 corpus split (built once per
     process per sf, in two update batches — the incremental path; see
@@ -924,6 +950,31 @@ def q_ann_index_probe(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     batch = emb.filter(F.col("vec_id") % 10 == 0)
     return _ann_index_over(spark, sf).probe(batch, k=5, nprobe=2)
+
+
+def q_ann_index_probe_compacted(spark: SparkSession, sf: str) -> DataFrame:
+    """r11 long-crawl lifecycle gate, ANN side: probe after the index
+    has been compact()ed (four update() generations' posting files
+    merged into per-cell runs at forced thresholds) and gc(keep=2)'d.
+    Same oracle as ann_index_probe — maintenance must be bit-invisible
+    (functions/ann_index.py compact, store.py compact_partitioned)."""
+    import tempfile
+
+    from btrdb_spark.functions.ann_index import AnnIndex
+
+    emb = load_table(spark, sf, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    ck = ("ann", sf, "mod10_compacted")
+    if ck not in _INDEX_CACHE:
+        idx = AnnIndex(spark, tempfile.mkdtemp(prefix="ann_index_c_"))
+        idx.set_centroids(corpus.filter(F.col("vec_id") < 16))
+        for m in range(4):
+            idx.update(corpus.filter(F.col("vec_id") % 4 == m))
+        assert idx.compact(big_bytes=1 << 30, max_small=1) > 0
+        idx.gc(keep=2)
+        _INDEX_CACHE[ck] = idx
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    return _INDEX_CACHE[ck].probe(batch, k=5, nprobe=2)
 
 
 def q_ann_index_cell_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -2684,14 +2735,21 @@ def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
 # upgrade its rows-only row to exact-hash), the whole r2-certified
 # block, lang_id_lexicon_join (r4), and the oldest 18 of the r3 block
 # (the remaining 10 r3 entries lead the r10 rotation).
-ROTATION_R10 = [
-    # the 12 r3-certified entries whose newest driver row predates r9
-    # (deferred from ROTATION_R9, per its note) — after this round every
-    # registry entry's driver certification is <=3 rounds old
-    "resample_linear", "resample_locf", "rolling_zscore", "sdt_compress",
-    "stratified_sample", "stream_correlations",
-    "stream_correlations_via_rollup", "stream_rate", "tfidf_top_terms",
-    "topk_docs_per_lang", "train_val_test_split", "value_quantiles",
+ROTATION_R11 = [
+    # the 33 stalest driver certifications (VERDICT r10 #4): the 17
+    # entries last certified in r5, then the 16 last certified in r6 —
+    # with the r11 head they fill the 50-row gate window.
+    "ann_ivfpq_residual_topk", "ann_ivfpq_topk", "ann_pq_topk",
+    "corpus_clean_decontam", "cusum_alarms", "decimate_minmax",
+    "exact_substring_spans", "find_peaks", "gram_contrast_topk",
+    "holt_forecast", "pipeline_funnel", "sax_motifs", "seasonal_anomaly",
+    "stream_autocorr", "stream_availability", "time_weighted_mean",
+    "window_quantiles",
+    "burstiness", "counter_increase", "domain_stats",
+    "embedding_norm_stats", "gopher_quality", "lang_mismatch",
+    "lttb_downsample", "neardup_cluster_sizes", "ngram_containment_pairs",
+    "ohlc_bars", "shard_manifest", "sliding_distinct_users",
+    "stream_snapshot", "tpch_q5", "tpch_q6", "vocab_stats",
 ]
 
 
@@ -2703,8 +2761,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries are inserted at the top, followed by the ROTATION_R8 block
     # of stalest-certified entries (see above).
     base = {
-        # r10 head: new rows lead so the driver's gate window certifies
+        # r11 head: new rows lead so the driver's gate window certifies
         # them immediately.
+        "dedup_incremental_compacted": q_dedup_incremental_compacted,
+        "ann_index_probe_compacted": q_ann_index_probe_compacted,
+        # r10 head
         "stream_correlations_topk_lsh_via_rollup": q_stream_correlations_topk_lsh_via_rollup,
         "ann_index_probe_retrained": q_ann_index_probe_retrained,
         "semantic_dedup_incremental": q_semantic_dedup_incremental,
@@ -2917,8 +2978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # new-entry head stays first (everything before the r8 marker), then
     # the rotation block, then the rest in stable order (dict.update of
     # existing keys does not move them)
-    n_new = 3  # r10 additions lead `base` (bump with each new r10 entry)
-    head = list(base)[:n_new] + ROTATION_R10
+    n_new = 2  # r11 additions lead `base` (bump with each new r11 entry)
+    head = list(base)[:n_new] + ROTATION_R11
     out = {n: base[n] for n in head}
     out.update(base)
     return out
@@ -2977,6 +3038,8 @@ def oracle_sql() -> dict[str, str]:
         WHERE doc_a % 10 = 0 OR doc_b % 10 = 0
         ORDER BY doc_a, doc_b
     """
+    # r11: compaction + gc must be bit-invisible — same oracle
+    oracles["dedup_incremental_compacted"] = oracles["dedup_incremental"]
     oracles["tpch_q2"] = """
         WITH eur_supp AS (
             SELECT s_suppkey, s_name, s_acctbal, n_name
@@ -3182,6 +3245,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
     """
+    # r11: posting compaction + gc must be bit-invisible — same oracle
+    oracles["ann_index_probe_compacted"] = oracles["ann_index_probe"]
     # posting balance of the same index: counts per assigned cell
     oracles["ann_index_cell_stats"] = """
         WITH vecs AS (

@@ -124,6 +124,21 @@ class DedupIndex:
 
     # ---- snapshot plumbing ----
 
+    # Explicit read schemas per sub-table (ADVICE r10, medium): the
+    # partition columns (pfx/hpfx) hold HEX prefixes, and Spark's
+    # partition-column type inference will read a young index whose
+    # populated prefixes all happen to parse numerically ('07', '12',
+    # '1e4') back as int/decimal — after which the probe's
+    # ``isin('07',...)`` string comparison silently prunes LIVE
+    # partitions (false-negative duplicate misses). Pinning the schema
+    # (partition column types are taken from a user schema) makes
+    # inference irrelevant.
+    _SCHEMAS = {
+        "sigs": "doc_id long, sig array<long>",
+        "bands": "doc_id long, band int, band_hash string, pfx string",
+        "hashes": "doc_id long, text_md5 string, hpfx string",
+    }
+
     def _snapshot(self) -> str | None:
         return self.store.resolve(self.base, "state")
 
@@ -142,7 +157,7 @@ class DedupIndex:
         path = os.path.join(snap, sub)
         if not os.path.isdir(path) or not self._has_parquet(path):
             return None
-        return self.spark.read.parquet(path)
+        return self.spark.read.schema(self._SCHEMAS[sub]).parquet(path)
 
     def _new_gen_from(self, cur: str | None) -> str:
         from .. import store as store_mod
@@ -170,6 +185,47 @@ class DedupIndex:
         live one survive). Run only once no reader holds plans resolved
         against them."""
         return self.store.gc_generations(self.base, "state", keep=keep)
+
+    def compact(self, big_bytes: int = 128 << 20, max_small: int = 8) -> int:
+        """Merge accumulated per-batch small files into runs (VERDICT r10
+        #2): every ``update()`` appends ~1 file per touched partition dir
+        AND hardlinks every prior file into its new generation, so
+        without compaction per-batch cost grows with batch count. This
+        rewrites only partitions holding more than ``max_small``
+        sub-``big_bytes`` files (one Spark job per table; files >=
+        ``big_bytes`` are immutable runs linked forever), publishes the
+        result as one CAS generation flip — concurrent probes keep their
+        resolved snapshot — and returns the number of files merged.
+        Run it from the ingest maintenance cadence together with gc()."""
+        from .. import store as store_mod
+
+        cur = self._snapshot()
+        if cur is None:
+            return 0
+        gen = self.store.new_generation(self.base, "state")
+        merged = 0
+        for sub, fn in (
+            ("sigs", store_mod.compact_flat),
+            ("bands", store_mod.compact_partitioned),
+            ("hashes", store_mod.compact_partitioned),
+        ):
+            src = os.path.join(cur, sub)
+            if os.path.isdir(src):
+                merged += fn(
+                    self.spark,
+                    src,
+                    os.path.join(gen, sub),
+                    big_bytes=big_bytes,
+                    max_small=max_small,
+                    schema=self._SCHEMAS[sub],
+                )
+        if merged == 0:
+            import shutil
+
+            shutil.rmtree(gen, ignore_errors=True)
+            return 0
+        self._publish(gen, cur)
+        return merged
 
     def update(self, new_docs: DataFrame, epoch: int | None = None) -> None:
         """Append index rows for ``new_docs`` — O(batch) compute, one
@@ -257,6 +313,32 @@ class DedupIndex:
 
     # ---- probes ----
 
+    def _cache(self, df: DataFrame) -> DataFrame:
+        """cache() with a retirement ledger: a long-lived prober calls
+        probe()/exact_probe() per crawl batch, and frames cached inside
+        them would otherwise pin executor storage forever (ADVICE r10).
+        Each probe entry retires the PREVIOUS probe's cached frames (by
+        then the caller has materialized its result; a still-lazy older
+        result just recomputes — correctness unaffected), and release()
+        drops the current ones too for an orderly shutdown."""
+        cached = getattr(self, "_cached_frames", None)
+        if cached is None:
+            cached = self._cached_frames = []
+        cached.append(df.cache())
+        return df
+
+    def _retire_caches(self) -> None:
+        for df in getattr(self, "_cached_frames", []):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._cached_frames = []
+
+    def release(self) -> None:
+        """Unpersist every frame cached by past probes."""
+        self._retire_caches()
+
     def probe(self, batch_docs: DataFrame) -> DataFrame:
         """(doc_a, doc_b, est_jaccard) for every LSH candidate pair with at
         least one side in ``batch_docs`` — batch-vs-corpus AND
@@ -270,13 +352,14 @@ class DedupIndex:
         """
         from .dedup import _pairs_from_bucket
 
+        self._retire_caches()
         snap = self._snapshot()
-        batch_sigs = minhash_signatures(
-            batch_docs, self.n, self.num_hashes, self.text_col
-        ).cache()
-        batch_bands = band_rows_of(
-            batch_sigs, self.bands, self.rows_per_band
-        ).cache()
+        batch_sigs = self._cache(
+            minhash_signatures(batch_docs, self.n, self.num_hashes, self.text_col)
+        )
+        batch_bands = self._cache(
+            band_rows_of(batch_sigs, self.bands, self.rows_per_band)
+        )
 
         # batch-vs-batch: in-bucket pair generation, the one-shot path
         intra = (
@@ -323,7 +406,7 @@ class DedupIndex:
         # the candidate set is pair-sized (tiny); cache it so the four
         # downstream consumers (two sig joins + the two legs of cand_ids)
         # do not re-run the band scan+join four times
-        cand = cand.cache()
+        cand = self._cache(cand)
 
         # score: signature lookup for the old side, batch cache for the new.
         # Restrict the index sig scan to candidate ids FIRST (broadcast the
@@ -369,6 +452,7 @@ class DedupIndex:
         is partition-pruned to the batch's md5 prefixes, then joined
         broadcast-batch vs streamed index partitions.
         """
+        self._retire_caches()
         idx = self._read(self._snapshot(), "hashes")
         batch_h = batch_docs.select(
             "doc_id", F.md5(F.col(self.text_col)).alias("text_md5")
@@ -377,7 +461,7 @@ class DedupIndex:
             return batch_h.select(
                 "doc_id", F.lit(None).cast("long").alias("keeper_doc_id")
             ).filter(F.lit(False))
-        batch_h = batch_h.cache()
+        batch_h = self._cache(batch_h)
         hpfxs = [
             r["hpfx"]
             for r in batch_h.select(
@@ -404,19 +488,38 @@ def attach_document_ingest(
     checkpoint_dir: str,
     docs_dir: str | None = None,
     trigger_seconds: int = 1,
+    maintenance_interval_s: float | None = None,
+    gc_keep: int = 2,
 ):
     """Wire a streaming documents source into the dedup index: each
     micro-batch appends the batch's index rows (epoch-guarded, so a
     crash replay is skipped) and, optionally, the raw docs to a corpus
     parquet dir. The streaming checkpoint is the WAL — the ingest.py
     hot-table contract applied to documents. Returns the StreamingQuery.
+
+    With ``maintenance_interval_s`` set, the sink also runs the index's
+    self-maintenance on that cadence (the streaming/ingest.py ticker
+    pattern, VERDICT r10 #2): ``compact()`` merges accumulated per-batch
+    small files so generation-link cost stays bounded over a months-long
+    crawl, and ``gc(keep=gc_keep)`` reaps superseded generations —
+    keep>=2 leaves the previous generation for probes resolved before
+    the flip.
     """
+    import time as _time
+
+    last_maintain = [_time.monotonic()]
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df = batch_df.localCheckpoint()  # stabilize: read source once
         if docs_dir is not None:
             batch_df.write.mode("append").parquet(docs_dir)
         index.update(batch_df, epoch=int(epoch_id))
+        if maintenance_interval_s is not None:
+            now = _time.monotonic()
+            if now - last_maintain[0] >= maintenance_interval_s:
+                last_maintain[0] = now
+                index.compact()
+                index.gc(keep=gc_keep)
 
     return (
         stream_df.writeStream.foreachBatch(_process)

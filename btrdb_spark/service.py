@@ -285,7 +285,19 @@ class BTrDBService:
 
         Per-stream pinned versions (StreamCSVConfig.version, 0=latest)
         are honored by pre-filtering points and tombstones per stream
-        before the shared csv operators run."""
+        before the shared csv operators run.
+
+        Parity edges (ADVICE r10): stream labels may be DUPLICATED
+        (serve.go accepts them and writes columns positionally), so the
+        DataFrame uses internal per-index column names and the formatter
+        walks positionally — the user's labels appear verbatim only in
+        the header. All-empty windows render every stream cell empty
+        (csv.go writeEmptyPoint), not a '0' count. Documented
+        divergence: human-readable time renders microsecond precision
+        ('.SSSSSS'), not the reference's second-granularity time.RFC3339
+        (serve.go:974) — this store is ns-native and truncating to
+        seconds in an export that exists to be re-parsed loses
+        information; a consumer needing byte parity can truncate."""
         from pyspark.sql import functions as F
 
         from .operators import csv as csv_ops
@@ -318,9 +330,12 @@ class BTrDBService:
         pts = pts.filter(pred)
         dels = dels.filter(pred) if dels is not None else None
 
+        # internal positional column labels: user labels go ONLY in the
+        # header, so duplicate labels cannot collide in the select/pivot
+        ilabels = [f"_s{i}" for i in range(len(uuids))]
         if qt == "raw":
             df = csv_ops.csv_raw(
-                pts, uuids, start, end, labels=labels, rfc3339=True,
+                pts, uuids, start, end, labels=ilabels, rfc3339=True,
                 deletes=dels,
             )
         elif qt == "aligned":
@@ -328,12 +343,12 @@ class BTrDBService:
             if not (0 <= pw <= 64):
                 raise RpcError(400, "bad pointwidth")
             df = csv_ops.csv_windows(
-                pts, uuids, start, end, pw=pw, labels=labels, deletes=dels
+                pts, uuids, start, end, pw=pw, labels=ilabels, deletes=dels
             ).withColumn("time_rfc3339", csv_ops.rfc3339_col(F.col("time")))
         else:
             df = csv_ops.csv_windows_arb(
                 pts, uuids, start, end, width=int(req["windowSize"]),
-                labels=labels, deletes=dels,
+                labels=ilabels, deletes=dels,
             ).withColumn("time_rfc3339", csv_ops.rfc3339_col(F.col("time")))
 
         header = ["Timestamp (ns)", "Human-Readable Time (UTC)"]
@@ -348,11 +363,17 @@ class BTrDBService:
 
         def _fmt(row) -> list[str]:
             out = [str(row["time"]), row["time_rfc3339"]]
-            for lab in labels:
+            for lab in ilabels:
                 if qt == "raw":
                     v = row[lab]
                     out.append("" if v is None else "%f" % v)
                 else:
+                    cnt = row[f"{lab}_count"]
+                    if not cnt:
+                        # empty window: every stream cell empty
+                        # (csv.go writeEmptyPoint), including count
+                        out += ["", "", "", ""]
+                        continue
                     for c, intlike in (
                         (f"{lab}_min", False), (f"{lab}_mean", False),
                         (f"{lab}_max", False), (f"{lab}_count", True),

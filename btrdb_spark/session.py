@@ -20,6 +20,21 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "btrdb_spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+    # Shuffle/spill scratch belongs on the fastest LOCAL device, never on
+    # the durable store's (possibly remote/contended) volume — on a real
+    # cluster this is the executors' NVMe (cluster-admin spark.local.dir);
+    # single-node, a RAM-backed tmpfs is that device. Shuffle files are
+    # transient by contract (lost-executor shuffle data is recomputed from
+    # lineage), so durability is unaffected. Measured on the 20M-point
+    # ingest commit (r11, contended-disk box): 9.35 s -> 3.40 s write leg
+    # just by moving shuffle off the data disk.
+    local_dir = os.environ.get("BTRDB_SPARK_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm") and os.access(
+        "/dev/shm", os.W_OK
+    ):
+        local_dir = "/dev/shm/btrdb-spark-scratch"
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -39,10 +54,24 @@ def get_spark(app_name: str = "btrdb_spark", cpus: int | None = None) -> SparkSe
         .config("spark.driver.memory", os.environ.get("BTRDB_SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # lz4 over the default snappy for engine-table writes: ~1.35x
-        # faster commit encode at near-identical size, and decompress is
-        # at least as fast on the read side (measured on the 20M-point
-        # ingest probe: 4.6s snappy -> 3.4s lz4)
-        .config("spark.sql.parquet.compression.codec", "lz4")
+        # zstd for engine-table writes (r11 re-measure; was lz4 when the
+        # box's storage was fast enough that encode CPU dominated): on a
+        # write-bound device fewer bytes wins — the 20M-point write-only
+        # commit A/B'd lz4 3.40s/271MB vs zstd 1.72-2.03s/198MB across
+        # two settled windows (parquet writer v2's delta-packed time was
+        # smaller still at 146-156MB but erratic, 2.15s and 5.50s, so
+        # not adopted). zstd decompress is also cheap, so reads win on
+        # bytes too — the right trade at 100 TB where scans are
+        # storage-bound, not CPU-bound.
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # Pin ANSI explicitly (Spark 4 default, but load-bearing): the
+        # correlate signature-head exactness contract (operators/
+        # correlate.py envelope bound) requires sum overflow past the
+        # envelope to FAIL LOUD rather than wrap silently — a deployment
+        # that flips ansi off would otherwise diverge from the oracle
+        # undetectably.
+        .config("spark.sql.ansi.enabled", "true")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     return builder.getOrCreate()

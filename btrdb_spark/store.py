@@ -603,6 +603,103 @@ def link_tree(src: str, dst: str) -> None:
             os.link(os.path.join(root, fn), os.path.join(out, fn))
 
 
+# ---- small-file compaction (VERDICT r10 #2) ----
+#
+# Append-per-batch tables (the incremental dedup/ANN index generations)
+# accumulate one parquet file per touched partition dir per batch, and
+# each generation hardlinks EVERY prior file, so per-batch update cost is
+# O(total files): without compaction that is O(N) links per batch and
+# O(N^2) over a long crawl. These helpers bound the file count with an
+# LSM-flavored size tier: files at or above ``big_bytes`` are *runs* that
+# are linked by reference forever (never rewritten again); files below it
+# are per-batch appends that get merged into a new run once more than
+# ``max_small`` of them pile up. Merge cost is O(accumulated small
+# bytes), amortized O(1) per batch per tier; at 100 TB the big runs are
+# carried by reference exactly like unchanged partitions in a lakehouse
+# snapshot.
+
+
+def _split_by_size(path: str, big_bytes: int) -> tuple[list[str], list[str]]:
+    import glob as _glob
+
+    small: list[str] = []
+    big: list[str] = []
+    for p in sorted(_glob.glob(os.path.join(path, "*.parquet"))):
+        (big if os.path.getsize(p) >= big_bytes else small).append(p)
+    return small, big
+
+
+def compact_flat(
+    spark,
+    src: str,
+    dst: str,
+    big_bytes: int = 128 << 20,
+    max_small: int = 8,
+    schema=None,
+) -> int:
+    """Build ``dst`` from the flat parquet dir ``src``: if more than
+    ``max_small`` sub-``big_bytes`` files exist, merge them into one new
+    run (a single Spark job) and hardlink the big runs; otherwise link
+    everything. Returns the number of files merged (0 = linked only)."""
+    small, big = _split_by_size(src, big_bytes)
+    if len(small) <= max_small:
+        link_tree(src, dst)
+        return 0
+    os.makedirs(dst, exist_ok=True)
+    for p in big:
+        os.link(p, os.path.join(dst, os.path.basename(p)))
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    reader.parquet(*small).coalesce(1).write.mode("append").parquet(dst)
+    return len(small)
+
+
+def compact_partitioned(
+    spark,
+    src: str,
+    dst: str,
+    big_bytes: int = 128 << 20,
+    max_small: int = 8,
+    schema=None,
+) -> int:
+    """Build ``dst`` from the hive-partitioned dir ``src`` (``col=val``
+    subdirs): partition dirs holding more than ``max_small`` small files
+    get those files merged — ALL victim partitions in ONE Spark job
+    (``basePath`` keeps the partition column; repartition-by-column gives
+    one output file per rewritten dir) — while big runs and untouched
+    partitions are hardlinked. Returns the number of files merged."""
+    victims: list[str] = []
+    pcol: str | None = None
+    os.makedirs(dst, exist_ok=True)
+    for d in sorted(os.listdir(src)):
+        full = os.path.join(src, d)
+        if os.path.isdir(full) and "=" in d:
+            pcol = pcol or d.split("=", 1)[0]
+            small, big = _split_by_size(full, big_bytes)
+            if len(small) > max_small:
+                victims.extend(small)
+                out = os.path.join(dst, d)
+                os.makedirs(out, exist_ok=True)
+                for p in big:
+                    os.link(p, os.path.join(out, os.path.basename(p)))
+            else:
+                link_tree(full, os.path.join(dst, d))
+    if not victims:
+        return 0
+    reader = spark.read.option("basePath", src)
+    if schema is not None:
+        reader = reader.schema(schema)
+    (
+        reader.parquet(*victims)
+        .repartition(pcol)
+        .write.mode("append")
+        .partitionBy(pcol)
+        .parquet(dst)
+    )
+    return len(victims)
+
+
 # ---- module-level facade (back-compat; delegates to the POSIX default) ----
 
 def resolve(base: str, name: str) -> str | None:

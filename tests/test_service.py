@@ -444,3 +444,50 @@ def test_generate_csv_rpc_pinned_versions(served):
     pinned = rows_at([{"uuid": ua, "label": "A", "version": 10}])
     assert len(pinned) == 10  # the pre-delete snapshot
     assert pinned[0][0] == "0" and pinned[0][2] == "0.000000"
+
+
+def test_generate_csv_rpc_duplicate_labels_and_empty_windows(served):
+    """ADVICE r10 parity edges: serve.go allows DUPLICATE stream labels
+    (columns are written positionally); an all-empty window writes every
+    stream cell empty (csv.go writeEmptyPoint), not a count of 0."""
+    _eng, cli = served
+    ua = cli.call("Create", collection="csvd/a")[0]["uuid"]
+    ub = cli.call("Create", collection="csvd/b")[0]["uuid"]
+    cli.call("Insert", uuid=ua,
+             values=[(i * 10**9, float(i)) for i in range(3)])
+    # b's points live only in the FIRST 1000s window; later windows are
+    # all-empty for both streams
+    cli.call("Insert", uuid=ub, values=[(10**9, 7.0)])
+    cli.call("Flush", uuid=ua)
+    cli.call("Flush", uuid=ub)
+
+    # duplicate label 'S' on both streams: header shows it twice, and the
+    # value columns stay positional (a=0.0, b=7.0 at t=1s)
+    chunks = cli.call(
+        "GenerateCSV", queryType=2, startTime=0, endTime=2**62,
+        streams=[{"uuid": ua, "label": "S"}, {"uuid": ub, "label": "S"}],
+    )
+    items = [r for c in chunks for r in c["batch"]]
+    header, rows = items[0], items[1:]
+    assert header["row"] == [
+        "Timestamp (ns)", "Human-Readable Time (UTC)", "S", "S"]
+    assert len(rows) == 3
+    by_t = {r["row"][0]: r["row"] for r in rows}
+    assert by_t["1000000000"][2] == "1.000000"
+    assert by_t["1000000000"][3] == "7.000000"
+    assert by_t["0"][3] == ""  # b absent at t=0
+
+    # windows mode over 3 windows: window 2 (2000-3000s) is empty for
+    # BOTH streams -> all eight stream cells empty
+    chunks = cli.call(
+        "GenerateCSV", queryType=1, startTime=0, endTime=3000 * 10**9,
+        windowSize=1000 * 10**9,
+        streams=[{"uuid": ua, "label": "S"}, {"uuid": ub, "label": "S"}],
+    )
+    items = [r for c in chunks for r in c["batch"]]
+    rows = [r["row"] for r in items if not r["isHeader"]]
+    assert len(rows) == 3
+    empty = [r for r in rows if r[0] == str(2000 * 10**9)][0]
+    assert empty[2:] == [""] * 8
+    full = [r for r in rows if r[0] == "0"][0]
+    assert full[5] == "3" and full[9] == "1"

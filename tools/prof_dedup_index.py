@@ -154,5 +154,74 @@ def main():
         )
 
 
+
+
+def churn():
+    """VERDICT r10 #2 done-bar: 50 consecutive update() batches with the
+    maintenance cadence (compact+gc every 10 batches, the streaming-sink
+    pattern) must show FLAT per-batch wall time and BOUNDED file count.
+    Without compaction each update hardlinks every prior file (+~512
+    new), so per-batch cost grows with batch count. Prints per-batch
+    seconds and the generation's file count every 5 batches, with and
+    without the cadence, plus a final probe equivalence check."""
+    spark = get_spark(
+        "prof_dedup_churn", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").cache()
+    docs.count()
+    n_batches, batch_sz = 50, 400
+
+    def n_files(base):
+        total = 0
+        for root, _d, files in os.walk(base):
+            total += len(files)
+        return total
+
+    results = {}
+    for mode in ("cadence", "none"):
+        base = f"/tmp/prof_dedup_churn_{mode}"
+        shutil.rmtree(base, ignore_errors=True)
+        idx = DedupIndex(spark, base)
+        times = []
+        for b in range(n_batches):
+            batch = docs.filter(
+                F.col("doc_id") % n_batches == b
+            ).limit(batch_sz).select(
+                (F.col("doc_id") + b * 1_000_000).alias("doc_id"), "text"
+            )
+            t0 = time.time()
+            idx.update(batch)
+            if mode == "cadence" and (b + 1) % 10 == 0:
+                idx.compact(big_bytes=64 << 20, max_small=8)
+                idx.gc(keep=2)
+            times.append(time.time() - t0)
+            if (b + 1) % 10 == 0:
+                print(
+                    f"{mode}: batch {b+1:>2}  update={times[-1]:5.2f}s  "
+                    f"mean(last5)={sum(times[-5:])/5:5.2f}s  "
+                    f"files={n_files(base)}",
+                    flush=True,
+                )
+        results[mode] = (times, n_files(base))
+    (tc, fc), (tn, fn_) = results["cadence"], results["none"]
+    print(
+        f"cadence: first5={sum(tc[:5])/5:.2f}s last5={sum(tc[-5:])/5:.2f}s files={fc}\n"
+        f"none   : first5={sum(tn[:5])/5:.2f}s last5={sum(tn[-5:])/5:.2f}s files={fn_}",
+        flush=True,
+    )
+    # probe equivalence: the compacted index answers == the uncompacted one
+    probe = docs.filter(F.col("doc_id") % 500 == 3).limit(200).select(
+        (F.col("doc_id") + 900_000_000).alias("doc_id"), "text"
+    )
+    a = sorted(map(tuple, DedupIndex(spark, "/tmp/prof_dedup_churn_cadence").probe(probe).collect()))
+    bq = sorted(map(tuple, DedupIndex(spark, "/tmp/prof_dedup_churn_none").probe(probe).collect()))
+    print(f"probe rows equal: {a == bq} ({len(a)} rows)", flush=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if "--churn" in sys.argv:
+        churn()
+    else:
+        main()
