@@ -918,6 +918,31 @@ def q_dedup_incremental_compacted(spark: SparkSession, sf: str) -> DataFrame:
     return _INDEX_CACHE[ck].probe(docs.filter(F.col("doc_id") % 10 == 0))
 
 
+def q_dedup_incremental_merged(spark: SparkSession, sf: str) -> DataFrame:
+    """r11 shard-consolidation gate: two crawler shards build DISJOINT
+    DedupIndexes (even/odd doc_id halves of the mod-10 corpus), then
+    merge_from() adopts shard B into shard A — a pure hardlink union +
+    one CAS flip, zero data copied, ZERO Spark jobs
+    (functions/dedup_index.py merge_from). Probing the merged index must
+    equal probing one index over the union corpus: the oracle is
+    identical to dedup_incremental's."""
+    import tempfile
+
+    from btrdb_spark.functions.dedup_index import DedupIndex
+
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    ck = ("dedup", sf, "mod10_merged")
+    if ck not in _INDEX_CACHE:
+        a = DedupIndex(spark, tempfile.mkdtemp(prefix="dedup_shard_a_"))
+        b = DedupIndex(spark, tempfile.mkdtemp(prefix="dedup_shard_b_"))
+        a.update(corpus.filter(F.col("doc_id") % 2 == 0))
+        b.update(corpus.filter(F.col("doc_id") % 2 == 1))
+        a.merge_from(b)
+        _INDEX_CACHE[ck] = a
+    return _INDEX_CACHE[ck].probe(docs.filter(F.col("doc_id") % 10 == 0))
+
+
 def _ann_index_over(spark: SparkSession, sf: str):
     """Cached AnnIndex over the mod-10 corpus split (built once per
     process per sf, in two update batches — the incremental path; see
@@ -1009,6 +1034,34 @@ def q_ann_index_probe_retrained(spark: SparkSession, sf: str) -> DataFrame:
         idx.retrain(n_centroids=16, seed=0)
         _INDEX_CACHE[ck] = idx
     emb = load_table(spark, sf, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    return _INDEX_CACHE[ck].probe(batch, k=5, nprobe=2)
+
+
+def q_ann_index_probe_merged(spark: SparkSession, sf: str) -> DataFrame:
+    """r11 shard-consolidation gate, ANN side: two shards index disjoint
+    thirds-of-corpus under the SAME bootstrap quantizer, merge_from()
+    hardlinks shard B's cell partitions into shard A (centroid equality
+    verified driver-side; zero Spark jobs), tallies sum per cell.
+    Probe == one index over the union corpus: same oracle as
+    ann_index_probe (functions/ann_index.py merge_from)."""
+    import tempfile
+
+    from btrdb_spark.functions.ann_index import AnnIndex
+
+    emb = load_table(spark, sf, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    cents = corpus.filter(F.col("vec_id") < 16)
+    ck = ("ann", sf, "mod10_merged")
+    if ck not in _INDEX_CACHE:
+        a = AnnIndex(spark, tempfile.mkdtemp(prefix="ann_shard_a_"))
+        b = AnnIndex(spark, tempfile.mkdtemp(prefix="ann_shard_b_"))
+        a.set_centroids(cents)
+        b.set_centroids(cents)
+        a.update(corpus.filter(F.col("vec_id") % 3 != 0))
+        b.update(corpus.filter(F.col("vec_id") % 3 == 0))
+        a.merge_from(b)
+        _INDEX_CACHE[ck] = a
     batch = emb.filter(F.col("vec_id") % 10 == 0)
     return _INDEX_CACHE[ck].probe(batch, k=5, nprobe=2)
 
@@ -2765,6 +2818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # them immediately.
         "dedup_incremental_compacted": q_dedup_incremental_compacted,
         "ann_index_probe_compacted": q_ann_index_probe_compacted,
+        "dedup_incremental_merged": q_dedup_incremental_merged,
+        "ann_index_probe_merged": q_ann_index_probe_merged,
         # r10 head
         "stream_correlations_topk_lsh_via_rollup": q_stream_correlations_topk_lsh_via_rollup,
         "ann_index_probe_retrained": q_ann_index_probe_retrained,
@@ -2978,7 +3033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # new-entry head stays first (everything before the r8 marker), then
     # the rotation block, then the rest in stable order (dict.update of
     # existing keys does not move them)
-    n_new = 2  # r11 additions lead `base` (bump with each new r11 entry)
+    n_new = 4  # r11 additions lead `base` (bump with each new r11 entry)
     head = list(base)[:n_new] + ROTATION_R11
     out = {n: base[n] for n in head}
     out.update(base)
@@ -3038,8 +3093,9 @@ def oracle_sql() -> dict[str, str]:
         WHERE doc_a % 10 = 0 OR doc_b % 10 = 0
         ORDER BY doc_a, doc_b
     """
-    # r11: compaction + gc must be bit-invisible — same oracle
+    # r11: compaction/gc and shard-merge must be bit-invisible — same oracle
     oracles["dedup_incremental_compacted"] = oracles["dedup_incremental"]
+    oracles["dedup_incremental_merged"] = oracles["dedup_incremental"]
     oracles["tpch_q2"] = """
         WITH eur_supp AS (
             SELECT s_suppkey, s_name, s_acctbal, n_name
@@ -3245,8 +3301,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
     """
-    # r11: posting compaction + gc must be bit-invisible — same oracle
+    # r11: posting compaction/gc and shard-merge must be bit-invisible — same oracle
     oracles["ann_index_probe_compacted"] = oracles["ann_index_probe"]
+    oracles["ann_index_probe_merged"] = oracles["ann_index_probe"]
     # posting balance of the same index: counts per assigned cell
     oracles["ann_index_cell_stats"] = """
         WITH vecs AS (

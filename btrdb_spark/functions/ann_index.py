@@ -426,6 +426,54 @@ class AnnIndex:
         self._publish(gen, cur)
         return merged
 
+    def merge_from(self, other: "AnnIndex") -> None:
+        """Shard consolidation (r11), the ANN twin of
+        DedupIndex.merge_from: adopt ``other``'s postings (built by a
+        different crawler over a DISJOINT vec_id population) by
+        hardlinking its cell partition files into a fresh generation and
+        CAS-publishing once — zero data copied, zero Spark jobs. Sound
+        ONLY when both shards assign under the SAME quantizer (identical
+        centroids — otherwise cell partitions mean different regions),
+        so it verifies that driver-side (k x dim rows) and raises on
+        mismatch; retrain() remains the verb for re-quantizing a merged
+        corpus. Tracked tallies sum per cell; probes over the merged
+        index == one index over the union corpus
+        (``ann_index_probe_merged`` oracle row)."""
+        from .. import store as store_mod
+
+        osnap = other._snapshot()
+        if osnap is None:
+            return
+        cur = self._snapshot()
+
+        def _cents(idx, snap):
+            c = idx._read(snap, "centroids")
+            if c is None:
+                raise RuntimeError("AnnIndex.merge_from: missing centroids")
+            return sorted(
+                (int(r["vec_id"]), tuple(float(x) for x in r["embedding"]))
+                for r in c.collect()
+            )
+
+        if _cents(self, cur) != _cents(other, osnap):
+            raise ValueError(
+                "AnnIndex.merge_from: shards were quantized under "
+                "different centroids; retrain() the union instead"
+            )
+        gen = self._new_gen_from(cur)
+        src = os.path.join(osnap, "cells")
+        if os.path.isdir(src):
+            store_mod.link_tree(
+                src, os.path.join(gen, "cells"), skip_existing=True
+            )
+        mine, theirs = self._read_meta(cur), other._read_meta(osnap)
+        if mine is not None and theirs is not None:
+            counts = dict(mine["counts"])
+            for c, n in theirs["counts"].items():
+                counts[c] = counts.get(c, 0) + n
+            self._write_meta(gen, counts, mine["n_at_retrain"])
+        self._publish(gen, cur)
+
     # ---- query ----
 
     def probe(self, batch_vecs: DataFrame, k: int = 5, nprobe: int = 2) -> DataFrame:

@@ -227,6 +227,40 @@ class DedupIndex:
         self._publish(gen, cur)
         return merged
 
+    def merge_from(self, other: "DedupIndex") -> None:
+        """Shard consolidation (r11): adopt every index row of ``other``
+        — an index built by a different crawler over a DISJOINT doc_id
+        population (the ingest contract extended across shards) — by
+        hardlinking its live generation's files into a fresh generation
+        of this index and CAS-publishing once. O(#files) driver-side
+        metadata, zero data copied, ZERO Spark jobs: the 100 TB shard
+        merge is a pointer operation, exactly like the reference merging
+        subtrees by reference under a new root. Probes over the merged
+        index == a from-scratch index over the union corpus
+        (``dedup_incremental_merged`` oracle row). Both shards must
+        share the MinHash/LSH geometry — different (n, num_hashes,
+        bands, pfx) would mix incomparable signatures, so it raises."""
+        from .. import store as store_mod
+
+        mine = (self.n, self.num_hashes, self.bands, self.band_pfx_len)
+        theirs = (other.n, other.num_hashes, other.bands, other.band_pfx_len)
+        if mine != theirs:
+            raise ValueError(
+                f"DedupIndex.merge_from: incompatible geometry {mine} vs {theirs}"
+            )
+        osnap = other._snapshot()
+        if osnap is None:
+            return
+        cur = self._snapshot()
+        gen = self._new_gen_from(cur)
+        for sub in ("sigs", "bands", "hashes"):
+            src = os.path.join(osnap, sub)
+            if os.path.isdir(src):
+                store_mod.link_tree(
+                    src, os.path.join(gen, sub), skip_existing=True
+                )
+        self._publish(gen, cur)
+
     def update(self, new_docs: DataFrame, epoch: int | None = None) -> None:
         """Append index rows for ``new_docs`` — O(batch) compute, one
         atomic generation flip for all three tables together.

@@ -591,16 +591,22 @@ class ManifestLogStore(StoreBackend):
 DEFAULT = PosixStore()
 
 
-def link_tree(src: str, dst: str) -> None:
+def link_tree(src: str, dst: str, skip_existing: bool = False) -> None:
     """Recreate ``src`` under ``dst`` with hardlinked files: O(#files)
     metadata operations, zero data copied. Used for the partition
-    directories a rewrite does not touch."""
+    directories a rewrite does not touch. ``skip_existing`` tolerates
+    names already present in ``dst`` (parquet part files carry job
+    UUIDs, so only marker files like _SUCCESS collide) — the shard-merge
+    path linking TWO generations into one."""
     for root, _dirs, files in os.walk(src):
         rel = os.path.relpath(root, src)
         out = dst if rel == "." else os.path.join(dst, rel)
         os.makedirs(out, exist_ok=True)
         for fn in files:
-            os.link(os.path.join(root, fn), os.path.join(out, fn))
+            target = os.path.join(out, fn)
+            if skip_existing and os.path.exists(target):
+                continue
+            os.link(os.path.join(root, fn), target)
 
 
 # ---- small-file compaction (VERDICT r10 #2) ----

@@ -248,6 +248,67 @@ def test_dedup_partition_prefix_types_pinned_to_string(spark, tmp_path):
     assert hashes.filter(F.col("hpfx").isin(["1e"])).count() == 1
 
 
+# ---- shard merge ----
+
+
+def test_dedup_merge_from_equals_single_index(spark, tmp_path):
+    docs = _docs(spark).limit(400).cache()
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    one = DedupIndex(spark, str(tmp_path / "one"))
+    one.update(corpus)
+    want = sorted(map(tuple, one.probe(batch).collect()))
+
+    a = DedupIndex(spark, str(tmp_path / "a"))
+    b = DedupIndex(spark, str(tmp_path / "b"))
+    a.update(corpus.filter(F.col("doc_id") % 2 == 0))
+    b.update(corpus.filter(F.col("doc_id") % 2 == 1))
+    a.merge_from(b)
+    got = sorted(map(tuple, a.probe(batch).collect()))
+    assert got == want and len(got) > 0
+    # b is untouched (merge adopts by hardlink, never mutates the donor)
+    assert b._snapshot() is not None
+    # geometry mismatch refuses to mix incomparable signatures
+    c = DedupIndex(spark, str(tmp_path / "c"), num_hashes=16, bands=4)
+    c.update(corpus.limit(10))
+    with pytest.raises(ValueError, match="geometry"):
+        a.merge_from(c)
+
+
+def test_ann_merge_from_equals_single_index(spark, tmp_path):
+    emb = _emb(spark)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    cents = corpus.filter(F.col("vec_id") < 16)
+    one = AnnIndex(spark, str(tmp_path / "one"))
+    one.set_centroids(cents)
+    one.update(corpus)
+    want = sorted(map(tuple, one.probe(batch, k=5, nprobe=2).collect()))
+
+    a = AnnIndex(spark, str(tmp_path / "a"))
+    b = AnnIndex(spark, str(tmp_path / "b"))
+    a.set_centroids(cents)
+    b.set_centroids(cents)
+    a.update(corpus.filter(F.col("vec_id") % 3 != 0))
+    b.update(corpus.filter(F.col("vec_id") % 3 == 0))
+    a.merge_from(b)
+    got = sorted(map(tuple, a.probe(batch, k=5, nprobe=2).collect()))
+    assert got == want and len(got) > 0
+    # merged tally = exact union counts
+    assert sum(a.tracked_cell_counts().values()) == corpus.count()
+    assert a.tracked_cell_counts() == {
+        int(r["cell"]): int(r["n_vecs"]) for r in a.cell_stats().collect()
+    }
+    # different quantizer refuses: cell ids would mean different regions
+    c = AnnIndex(spark, str(tmp_path / "c"))
+    c.set_centroids(corpus.filter(F.col("vec_id") < 32))
+    c.update(corpus.limit(20))
+    with pytest.raises(ValueError, match="centroids"):
+        a.merge_from(c)
+
+
 def test_dedup_probe_caches_retired_between_probes(spark, tmp_path):
     docs = _docs(spark).limit(100).cache()
     idx = DedupIndex(spark, str(tmp_path / "idx"))
