@@ -110,6 +110,18 @@ def main() -> None:
         F.lit(10).cast("long").alias("version"),
     ).cache()
     pts.count()  # materialize so probes measure operators, not generation
+    # One untimed warm-up of the scan-project and scan-agg shapes: the
+    # first executions after session start measure whole-stage-codegen
+    # JIT, not the operator, and rep-until-agreement happily latches on
+    # two AGREEING cold reps (r11: raw delivery read 26.9M pts/s from
+    # two cold reps vs 65M+ warm — the probe-side analog of the r8
+    # first-touch rule the query loop already follows).
+    pts.filter(F.col("time") >= 0).select("uuid", "time", "value").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    aligned_windows(pts, None, -(1 << 62), 1 << 62, pw=36).write.format(
+        "noop"
+    ).mode("overwrite").save()
     # raw delivery (S5 shape): filter + project; production layout is
     # bucketed by uuid and time-sorted, so delivery needs no sort
     raw_scan_s = best_of(
@@ -149,7 +161,13 @@ def main() -> None:
             t0 = time.time()
             eng.bulk_load(pts.select("uuid", "time", "value"))
             ingest_reps.append(time.time() - t0)
-            if i >= 1:
+            # minimum THREE reps before the agreement latch can fire:
+            # sustained writeback backlog inflates CONSECUTIVE write reps
+            # equally (r11: two agreeing 10-11 s reps latched 'stable' in
+            # a window where a settled box commits in 2.6 s), so two
+            # agreeing reps prove nothing for a write-heavy probe — a
+            # third gives the backlog a drain window to break the tie
+            if i >= 2:
                 lo1, lo2 = sorted(ingest_reps)[:2]
                 if lo2 <= lo1 * 1.2:
                     break

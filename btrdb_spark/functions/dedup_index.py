@@ -234,8 +234,10 @@ class DedupIndex:
         hardlinking its live generation's files into a fresh generation
         of this index and CAS-publishing once. O(#files) driver-side
         metadata, zero data copied, ZERO Spark jobs: the 100 TB shard
-        merge is a pointer operation, exactly like the reference merging
-        subtrees by reference under a new root. Probes over the merged
+        merge is a pointer operation — the same carry-unchanged-blocks-
+        by-reference move as the reference's copy-on-write node patch
+        (qtree/qtree.go:531 AssertNewUpPatch: a new version's tree
+        references every untouched subtree by address). Probes over the merged
         index == a from-scratch index over the union corpus
         (``dedup_incremental_merged`` oracle row). Both shards must
         share the MinHash/LSH geometry — different (n, num_hashes,
