@@ -2806,6 +2806,30 @@ ROTATION_R11 = [
 ]
 
 
+ROTATION_R12 = [
+    # the 46 stalest driver certifications (VERDICT r11 #4): every entry
+    # last driver-certified in r7 — with no new r12 queries (optimization
+    # round) they lead the registry and, with the 4 freshly-r11-certified
+    # rows behind them, fill the 50-row gate window.
+    "aligned_windows_at_version_after_delete_via_rollup",
+    "aligned_windows_hot_merge", "association_rules", "bloom_decontaminate",
+    "chunk_dedup_stats", "collocations_topk", "daily_distinct_kmv",
+    "distinct_hll_by_flag", "distinct_hll_merged", "distinct_kmv_merged",
+    "doc_chunk", "doc_len_quantiles_by_lang", "event_funnel",
+    "fuzzy_prefix_pairs", "hybrid_rrf_topk", "knn_label_consistency",
+    "lag_correlations", "mixture_sample", "mixture_temperature",
+    "mixture_upsample", "ngram_containment_pairs_capped", "ngram_novelty",
+    "pack_token_shards", "pagerank_event_graph", "props_extract_stats",
+    "rendezvous_shards", "repetition_scores", "seasonal_profile_deviation",
+    "source_jaccard_kmv", "spectral_power", "stream_info",
+    "strip_duplicate_spans", "theil_sen_slope", "token_freq_quality",
+    "token_heavy_hitters", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q18",
+    "value_histogram", "value_histogram_auto", "value_mad_outliers",
+    "value_quantile_sketch", "value_quantiles_sketch", "weighted_sample",
+    "windows_1h_hybrid_after_delete",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness gate walks this dict in
     # insertion order and may not reach the tail in one round, so entries
@@ -3033,8 +3057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # new-entry head stays first (everything before the r8 marker), then
     # the rotation block, then the rest in stable order (dict.update of
     # existing keys does not move them)
-    n_new = 4  # r11 additions lead `base` (bump with each new r11 entry)
-    head = list(base)[:n_new] + ROTATION_R11
+    n_new = 0  # r12 adds no new queries (optimization round)
+    head = list(base)[:n_new] + ROTATION_R12
     out = {n: base[n] for n in head}
     out.update(base)
     return out

@@ -42,9 +42,9 @@ def test_every_query_is_callable_and_unique():
     # the returned dict is the literal reordered by the rotation block:
     # same key set, new entries still first, rotation block right behind
     assert set(qs.keys()) == set(keys)
-    n_new = 4  # r11 additions lead the registry (mirrors queries()'s n_new)
-    head = list(qs.keys())[: len(entry.ROTATION_R11) + n_new]
-    assert head[n_new:] == entry.ROTATION_R11
+    n_new = 0  # r12 adds no new queries (mirrors queries()'s n_new)
+    head = list(qs.keys())[: len(entry.ROTATION_R12) + n_new]
+    assert head[n_new:] == entry.ROTATION_R12
 
 
 def test_every_oracle_targets_a_registered_query():
