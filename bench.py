@@ -91,9 +91,12 @@ def main() -> None:
         best_floors = {}
     window_suspect: list[str] = []
 
+    def _floor_suspect(name: str | None, sec: float) -> bool:
+        best = best_floors.get(name) if name is not None else None
+        return best is not None and sec > best * 1.5
+
     def _check_floor(name: str, sec: float) -> None:
-        best = best_floors.get(name)
-        if best is not None and sec > best * 1.5:
+        if _floor_suspect(name, sec):
             window_suspect.append(name)
 
     def best_of(fn, n=4, flag: str | None = None):
@@ -101,15 +104,25 @@ def main() -> None:
         loop): reps continue until the two fastest agree within 20%, cap
         ``n``; the per-probe stability verdict lands in the artifact via
         ``flag`` so a contended box is visible instead of publishing one
-        bad rep as a regression."""
+        bad rep as a regression. r12 measurement fix: agreement alone can
+        latch on two agreeing reps of a STILL-SETTLING window (r12 solo
+        run: ingest latched 5.43/5.74 s at the rep minimum while the same
+        operation in the same minute floors at 2.22 s with one more rep) —
+        so while the floor is suspect vs the committed best-known
+        (bench_floors.json, x1.5), spend up to 3 extra reps before
+        accepting the latch. Timed work is unchanged; only the rep count
+        adapts, and only downward pressure on the floor is possible."""
         reps: list[float] = []
-        for i in range(n):
+        cap = n + 3
+        for i in range(cap):
             t0 = time.time()
             fn()
             reps.append(time.time() - t0)
             if i >= 1:
                 lo1, lo2 = sorted(reps)[:2]
-                if lo2 <= lo1 * 1.2:
+                if lo2 <= lo1 * 1.2 and not (
+                    _floor_suspect(flag, lo1) and i < cap - 1
+                ):
                     break
         lo = sorted(reps)[:2]
         if flag is not None:
@@ -190,10 +203,17 @@ def main() -> None:
             # equally (r11: two agreeing 10-11 s reps latched 'stable' in
             # a window where a settled box commits in 2.6 s), so two
             # agreeing reps prove nothing for a write-heavy probe — a
-            # third gives the backlog a drain window to break the tie
+            # third gives the backlog a drain window to break the tie.
+            # r12: and while the floor is still suspect vs the committed
+            # best-known (x1.5), keep spending reps up to the cap — the
+            # r12 solo run latched on agreeing 5.43/5.74 s reps at the
+            # 3-rep minimum while a fresh A/B in the same minute floored
+            # at 2.22 s; agreement measures agreement, not settledness
             if i >= 2:
                 lo1, lo2 = sorted(ingest_reps)[:2]
-                if lo2 <= lo1 * 1.2:
+                if lo2 <= lo1 * 1.2 and not (
+                    _floor_suspect("ingest_commit", lo1) and i < 6
+                ):
                     break
         ingest_s = min(ingest_reps)
         lo = sorted(ingest_reps)[:2]

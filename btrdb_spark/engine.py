@@ -265,14 +265,11 @@ class BTrDBEngine:
         path = self._data_dir(name)
         if path is None:
             return None
-        sig_files = tuple(
-            sorted(
-                (os.path.join(os.path.relpath(r, path), f), os.path.getsize(os.path.join(r, f)))
-                for r, _d, fs in os.walk(path)
-                for f in fs
-                if f.endswith(".parquet")
-            )
-        )
+        # store.parquet_signature applies Spark's hidden-path visibility
+        # rule, so a concurrent writer's _temporary/ staging files can
+        # never make the signature claim data exists while read.parquet
+        # sees zero footers (UNABLE_TO_INFER_SCHEMA race).
+        sig_files = store.parquet_signature(path)
         if not sig_files:
             return None
         sig = (path, sig_files)

@@ -429,14 +429,13 @@ class RollupLadder:
         path = self.store.resolve(self.base, name)
         if path is None:
             return None
-        sig_files = tuple(
-            sorted(
-                (os.path.join(os.path.relpath(r, path), f), os.path.getsize(os.path.join(r, f)))
-                for r, _d, fs in os.walk(path)
-                for f in fs
-                if f.endswith(".parquet")
-            )
-        )
+        from .. import store as store_mod
+
+        # visibility-aware signature (store.parquet_signature): the
+        # streaming ladder maintenance writes levels concurrently with
+        # reader polls, and counting _temporary/ staging files here would
+        # race read.parquet the same way engine._scan_memo did.
+        sig_files = store_mod.parquet_signature(path)
         if not sig_files:
             return None
         sig = (path, sig_files)

@@ -629,6 +629,37 @@ class ManifestLogStore(StoreBackend):
 DEFAULT = PosixStore()
 
 
+def parquet_signature(path: str) -> tuple:
+    """(relative path, size) of every parquet file under ``path`` that
+    Spark's FileIndex will actually read — applying Spark's visibility
+    rule (any path component starting with ``_`` or ``.`` is hidden,
+    which includes the parquet writer's ``_temporary/`` staging tree and
+    ``_SUCCESS``/``.crc`` markers). The DataFrame memos key on this
+    signature; counting staging files would let a concurrent writer's
+    half-committed batch make the signature claim "table has data" while
+    ``read.parquet`` sees zero footers and throws UNABLE_TO_INFER_SCHEMA
+    (raced for real by streaming-sink polls)."""
+
+    def _visible(root: str) -> bool:
+        rel = os.path.relpath(root, path)
+        return rel == "." or not any(
+            p.startswith(("_", ".")) for p in rel.split(os.sep)
+        )
+
+    return tuple(
+        sorted(
+            (
+                os.path.join(os.path.relpath(r, path), f),
+                os.path.getsize(os.path.join(r, f)),
+            )
+            for r, _d, fs in os.walk(path)
+            if _visible(r)
+            for f in fs
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    )
+
+
 def link_tree(src: str, dst: str, skip_existing: bool = False) -> None:
     """Recreate ``src`` under ``dst`` with hardlinked files: O(#files)
     metadata operations, zero data copied. Used for the partition

@@ -40,18 +40,29 @@ spark = (
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")
-# ~160 MB of shuffle payload (1.5M rows x ~110 B), > 2x the 64 MB tmpfs
-df = spark.range(1_500_000).select(
+# ~82 MB of shuffle payload (750k rows x ~110 B): larger than the 64 MB
+# tmpfs (shm-only would ENOSPC) but sized so the ~half Spark hashes onto
+# the tmpfs member (~41 MB) fits under its cap. 48 map tasks keep the
+# per-file grain small (~1.7 MB), so the per-file dir hashing actually
+# balances and the bypass writer's transient temp+merged doubling never
+# stacks tens of MB on one device at once.
+df = spark.range(750_000, numPartitions=48).select(
     F.col("id"),
     F.concat(F.lit("v" * 100), (F.col("id") % 1000).cast("string")).alias("pad"),
 )
 out = (
-    df.repartition(8, "pad")
+    df.repartition(48, "pad")
     .sortWithinPartitions("pad", "id")
     .groupBy("pad").agg(F.count(F.lit(1)).alias("n"), F.max("id").alias("m"))
 )
 rows = out.count()
 assert rows == 1000, rows
+# the tmpfs member really was used — checked BEFORE spark.stop(), which
+# deletes the blockmgr scratch dirs on shutdown
+shm_member = pair.split(",")[0]
+n_shm_files = sum(len(fs) for _r, _d, fs in os.walk(shm_member))
+print(f"PAIR_TMPFS_FILES={n_shm_files}")
+assert n_shm_files > 0, "tmpfs member of the pair never used"
 print("PAIR_SHUFFLE_OK")
 spark.stop()
 """
@@ -82,8 +93,6 @@ def test_pair_survives_shuffle_larger_than_tmpfs(tmp_path):
         assert "PAIR_SHUFFLE_OK" in proc.stdout, (
             proc.stdout[-2000:] + proc.stderr[-2000:]
         )
-        # the tiny tmpfs really was used (round-robin hit both dirs)
-        assert any(shm.iterdir()), "tmpfs member of the pair never used"
     finally:
         subprocess.run(["umount", "-l", str(shm)], capture_output=True)
 

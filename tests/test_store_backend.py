@@ -162,3 +162,26 @@ def test_manifest_commit_race_loser_retries(tmp_path):
     log = sorted(os.listdir(a._log_dir(base, "t")))
     assert len(log) == 3
     assert a.resolve(base, "t") == g2
+
+
+def test_parquet_signature_ignores_staging_and_hidden(tmp_path):
+    """The DataFrame-memo signature must apply Spark's FileIndex
+    visibility rule: a concurrent writer's _temporary/ staging part
+    files (or dotfile markers) must not make the signature claim the
+    table has data while read.parquet sees zero footers — the streaming
+    sink-vs-poll UNABLE_TO_INFER_SCHEMA race (r12)."""
+    base = tmp_path / "gen"
+    (base / "_temporary" / "0" / "task0").mkdir(parents=True)
+    (base / ".hidden").mkdir()
+    (base / "bucket=1").mkdir()
+    (base / "_temporary" / "0" / "task0" / "part-0.parquet").write_bytes(b"x" * 8)
+    (base / ".hidden" / "part-1.parquet").write_bytes(b"y" * 8)
+    (base / "bucket=1" / "_staged.parquet").write_bytes(b"z" * 8)
+    (base / "bucket=1" / ".part-2.parquet.crc").write_bytes(b"c")
+    (base / "_SUCCESS").write_bytes(b"")
+    # only staging/hidden content: signature must be EMPTY (= no table)
+    assert store.parquet_signature(str(base)) == ()
+    # one visible footer: exactly that file, named relative with size
+    (base / "bucket=1" / "part-2.parquet").write_bytes(b"d" * 16)
+    sig = store.parquet_signature(str(base))
+    assert sig == ((os.path.join("bucket=1", "part-2.parquet"), 16),)

@@ -220,8 +220,92 @@ def churn():
     spark.stop()
 
 
+def churn10x():
+    """VERDICT r11 #7 follow-through: the r11 churn profile ran at 1x
+    fixture scale (sf0.01, 400-doc batches); this runs the SHIPPED sink
+    cadence — compact() + gc(keep=2, min_age_s=...) every 10 batches,
+    the age-graced r12 call shape — at 10x (sf0.1, 4000-doc batches,
+    50 batches = 200k indexed docs) and checks the two claims that must
+    hold at scale: per-batch update cost stays FLAT (O(batch), never
+    O(corpus)) and the live generation's file count PLATEAUS. A fixed
+    1k-doc probe is timed against the young (10-batch) and full
+    (50-batch) index — flat probe cost is the third claim. Finally the
+    grace window is force-expired and gc re-run to show the post-reap
+    footprint (condemned generations hold hardlinks, so reaping frees
+    directory entries, not much data)."""
+    spark = get_spark(
+        "prof_dedup_churn10x", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").cache()
+    docs.count()
+    n_batches, batch_sz = 50, 4_000
+    grace_s = 120.0
+
+    def n_files(base):
+        total = 0
+        for _root, _d, files in os.walk(base):
+            total += len(files)
+        return total
+
+    base = "/tmp/prof_dedup_churn10x"
+    shutil.rmtree(base, ignore_errors=True)
+    idx = DedupIndex(spark, base)
+    probe_batch = docs.filter(F.col("doc_id") % 5 == 3).limit(1_000).select(
+        (F.col("doc_id") + 900_000_000).alias("doc_id"), "text"
+    )
+    times = []
+    for b in range(n_batches):
+        batch = docs.filter(F.col("doc_id") % n_batches == b).limit(
+            batch_sz
+        ).select((F.col("doc_id") + b * 1_000_000).alias("doc_id"), "text")
+        t0 = time.time()
+        idx.update(batch)
+        times.append(time.time() - t0)
+        maint_s = 0.0
+        if (b + 1) % 10 == 0:
+            t1 = time.time()
+            idx.compact(big_bytes=64 << 20, max_small=8)
+            idx.gc(keep=2, min_age_s=grace_s)
+            maint_s = time.time() - t1
+        if (b + 1) % 5 == 0:
+            print(
+                f"10x: batch {b+1:>2}  update={times[-1]:5.2f}s  "
+                f"mean(last5)={sum(times[-5:])/5:5.2f}s  "
+                f"maint={maint_s:5.2f}s  files={n_files(base)}",
+                flush=True,
+            )
+        if b + 1 in (10, 50):
+            t0 = time.time()
+            rows = idx.probe(probe_batch).count()
+            print(
+                f"10x: probe after batch {b+1}: {time.time()-t0:.2f}s "
+                f"({rows} rows)",
+                flush=True,
+            )
+    print(
+        f"10x cadence: first5={sum(times[:5])/5:.2f}s "
+        f"last5={sum(times[-5:])/5:.2f}s files={n_files(base)}",
+        flush=True,
+    )
+    # expire the grace and reap: the steady-state footprint
+    for d in os.listdir(base):
+        stamp = os.path.join(base, d, ".condemned")
+        if os.path.exists(stamp):
+            os.utime(stamp, (time.time() - 7200, time.time() - 7200))
+    reaped = idx.gc(keep=2, min_age_s=grace_s)
+    print(
+        f"10x post-grace reap: {len(reaped)} generations, "
+        f"files={n_files(base)}",
+        flush=True,
+    )
+    spark.stop()
+
+
 if __name__ == "__main__":
-    if "--churn" in sys.argv:
+    if "--churn10x" in sys.argv:
+        churn10x()
+    elif "--churn" in sys.argv:
         churn()
     else:
         main()
