@@ -89,6 +89,30 @@ def main() -> None:
             best_floors: dict[str, float] = json.load(_ff)
     except (OSError, ValueError):
         best_floors = {}
+    # The floors were recorded at a specific core count (bench_floors.json
+    # "cpus"); the round driver ALSO benches at a LOWER core count to
+    # measure scaling, where every row is legitimately slower — comparing
+    # those floors against 32-core bests would flag the whole registry
+    # "suspect" and burn extra reps on a window that is fine. Floor
+    # adjudication therefore only applies when running with at least the
+    # recording core count; a scaling run keeps the plain rep-agreement
+    # latch and empty suspect lists.
+    _floors_cpus = best_floors.get("cpus")
+    if _floors_cpus and cpus < int(_floors_cpus):
+        best_floors = {}
+    # Same reasoning for scale factor: the floors were recorded at sf0.1
+    # (bench_floors.json "sf"); the per-QUERY floors especially are
+    # meaningless at another sf (the session-2 sf0.001 smoke run misfired
+    # 52 suspect rows against sf0.1 floors). Adjudicate only when the run
+    # reads the same sf directory the floors were measured on.
+    _floors_sf = best_floors.get("sf")
+    _run_sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    if _floors_sf is not None:
+        try:
+            if float(_floors_sf) != float(_run_sf):
+                best_floors = {}
+        except ValueError:
+            best_floors = {}
     window_suspect: list[str] = []
 
     def _floor_suspect(name: str | None, sec: float) -> bool:
@@ -397,6 +421,24 @@ def main() -> None:
     timings: dict[str, float] = {}
     noisy: list[str] = []
     rep_vectors: dict[str, list[float]] = {}
+    # r12 session-2 extension of the floors machinery: per-QUERY
+    # best-known settled floors (bench_floors.json "queries" sub-dict,
+    # min over the committed r11/r12 solo artifacts). The probe-level
+    # guard proved insufficient in this round's own final artifact:
+    # dedup_incremental published FOUR agreeing reps at ~11 s in a
+    # window whose best-known settled floor is 3.26 s — agreement
+    # certified, settledness not, and with only the TOTAL cross-checked
+    # the row read as a 3.4x code regression until a multi-window solo
+    # A/B adjudicated it as contention. Same contract as the probes:
+    # while a row's floor exceeds best-known x1.5, spend up to 2 extra
+    # reps (cap 6, the spread-row cap) before accepting the latch, and
+    # if it STAYS suspect list it in `query_window_suspect` with its
+    # rep vector. Measurement metadata only — the timed action, the
+    # floor-not-mean rule and every existing key are unchanged.
+    query_floors: dict[str, float] = (
+        best_floors.get("queries") if isinstance(best_floors.get("queries"), dict) else {}
+    )
+    query_suspect: list[str] = []
 
     def _verdict(reps: list[float]) -> tuple[bool, bool]:
         """(strongly-agreed, spread>2x) for a rep vector."""
@@ -410,20 +452,24 @@ def main() -> None:
     for name, fn in entrymod.queries().items():
         reps: list[float] = []
         cap = 4
+        qbest = query_floors.get(name)
         while len(reps) < cap:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             reps.append(time.time() - t0)
             agreed, spread = _verdict(reps)
-            if spread:
-                cap = 6  # room for the tie-break rep(s)
-            if agreed:
+            flr_suspect = qbest is not None and min(reps) > qbest * 1.5
+            if spread or flr_suspect:
+                cap = 6  # room for the tie-break / settle rep(s)
+            if agreed and not (flr_suspect and len(reps) < cap):
                 break
         timings[name] = round(min(reps), 3)
         agreed, spread = _verdict(reps)
         if not agreed:
             noisy.append(name)
-        if not agreed or spread:
+        if qbest is not None and min(reps) > qbest * 1.5:
+            query_suspect.append(name)
+        if not agreed or spread or name in query_suspect:
             rep_vectors[name] = [round(r, 3) for r in reps]
 
     for _nm, _sec in (
@@ -473,6 +519,12 @@ def main() -> None:
             "probe_window_suspect": window_suspect,
         },
         "noisy_queries": noisy,
+        # queries whose floor stayed >1.5x the committed best-known
+        # settled floor even after the extra settle reps — read as "this
+        # row's window was contended", adjudicable against rep_vectors
+        # without a solo re-bench (per-query extension of
+        # probe_window_suspect; see bench_floors.json "queries")
+        "query_window_suspect": query_suspect,
         # full per-rep vectors for flagged / wide-spread rows — the
         # self-adjudication record (r9 #9)
         "rep_vectors": rep_vectors,
@@ -500,6 +552,8 @@ def main() -> None:
         "full_artifact": "bench_full.json",
         "throughput": out["throughput"],
         "noisy_queries": noisy[:20] + (["...more"] if len(noisy) > 20 else []),
+        "query_window_suspect": query_suspect[:12]
+        + (["...more"] if len(query_suspect) > 12 else []),
         # head of queries() = newest ops; keep adding rows until ~1900 chars
         "queries_head": {},
     }
