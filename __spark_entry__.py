@@ -2830,6 +2830,31 @@ ROTATION_R12 = [
 ]
 
 
+ROTATION_R13 = [
+    # the 50 stalest driver certifications (VERDICT r12 #6): the whole
+    # 37-entry r8-certified block plus the 13 alphabetically-first
+    # r9-certified entries — with no new r13 queries (optimization
+    # round) they fill the 50-row gate window entirely, so every slot
+    # re-certifies a stale entry instead of a fresh one.
+    "align_multistream", "aligned_windows",
+    "aligned_windows_at_version_via_rollup", "aligned_windows_via_rollup",
+    "ann_ivf_topk", "ann_lsh_multiprobe_topk", "ann_lsh_topk",
+    "asof_join_backward", "asof_join_chunked", "changed_ranges",
+    "collection_rollup", "corpus_clean", "cosine_topk", "csv_raw",
+    "csv_windows", "csv_windows_arb", "dedup_exact",
+    "embedding_neardup_pairs", "find_gaps", "fingerprint", "frame_sample",
+    "key_usage", "key_usage_prefix", "label_centroids", "lang_id",
+    "list_collections", "lookup_streams", "lookup_streams_ann",
+    "minhash_lsh_pairs", "multimodal_features", "nearest_after",
+    "nearest_before", "ngram_jaccard_pairs", "ppm_decode_features",
+    "ppm_resize_exact", "raw_values", "raw_values_after_delete",
+    "ann_ivf_kmeans_topk", "asof_join_forward", "asof_join_tolerance",
+    "bm25_topk", "centroid_classify", "cohort_retention", "distillate_sum",
+    "diurnal_profile", "ewma", "global_shuffle", "lang_id_lexicon_join",
+    "neardup_clusters", "neardup_keep_best",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness gate walks this dict in
     # insertion order and may not reach the tail in one round, so entries
@@ -3057,8 +3082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # new-entry head stays first (everything before the r8 marker), then
     # the rotation block, then the rest in stable order (dict.update of
     # existing keys does not move them)
-    n_new = 0  # r12 adds no new queries (optimization round)
-    head = list(base)[:n_new] + ROTATION_R12
+    n_new = 0  # r13 adds no new queries (optimization round)
+    head = list(base)[:n_new] + ROTATION_R13
     out = {n: base[n] for n in head}
     out.update(base)
     return out

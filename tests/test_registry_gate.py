@@ -42,9 +42,14 @@ def test_every_query_is_callable_and_unique():
     # the returned dict is the literal reordered by the rotation block:
     # same key set, new entries still first, rotation block right behind
     assert set(qs.keys()) == set(keys)
-    n_new = 0  # r12 adds no new queries (mirrors queries()'s n_new)
-    head = list(qs.keys())[: len(entry.ROTATION_R12) + n_new]
-    assert head[n_new:] == entry.ROTATION_R12
+    n_new = 0  # r13 adds no new queries (mirrors queries()'s n_new)
+    head = list(qs.keys())[: len(entry.ROTATION_R13) + n_new]
+    assert head[n_new:] == entry.ROTATION_R13
+    # the rotation must be exactly the 50 stalest driver certifications
+    # (ties broken alphabetically) so the gate window re-certifies the
+    # oldest evidence first
+    assert len(entry.ROTATION_R13) == 50
+    assert len(set(entry.ROTATION_R13)) == 50
 
 
 def test_every_oracle_targets_a_registered_query():
