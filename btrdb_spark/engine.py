@@ -265,10 +265,28 @@ class BTrDBEngine:
         path = self._data_dir(name)
         if path is None:
             return None
-        # store.parquet_signature applies Spark's hidden-path visibility
-        # rule, so a concurrent writer's _temporary/ staging files can
-        # never make the signature claim data exists while read.parquet
-        # sees zero footers (UNABLE_TO_INFER_SCHEMA race).
+        # O(1) fast path (VERDICT r12 #3): every in-repo appender bumps
+        # the table's mutation stamp after its parquet job commits, and
+        # rewrites flip the generation path — so (path, stamp) changes
+        # exactly when the table does, with no O(#files) driver-side
+        # walk on the memoized query path. The walk survives as the
+        # miss-side emptiness check (staging-only trees must still sign
+        # as "no table yet" — store.parquet_signature applies Spark's
+        # hidden-path rule, closing the UNABLE_TO_INFER_SCHEMA race)
+        # and as the full signature for stampless legacy stores.
+        stamp = store.read_stamp(self.base, name)
+        if stamp is not None:
+            sig = (path, stamp)
+            hit = self._df_memo.get(name)
+            if hit is not None and hit[0] == sig:
+                return hit[1]
+            df = (
+                self.spark.read.parquet(path)
+                if store.parquet_signature(path)
+                else None
+            )
+            self._df_memo[name] = (sig, df)
+            return df
         sig_files = store.parquet_signature(path)
         if not sig_files:
             return None
@@ -391,6 +409,7 @@ class BTrDBEngine:
             .partitionBy("meta_bucket")
             .parquet(self._append_dir("streams"))
         )
+        store.bump_stamp(self.base, "streams")
         return uuid
 
     @_locked
@@ -571,6 +590,7 @@ class BTrDBEngine:
             .partitionBy("uuid_bucket")
             .parquet(self._append_dir("hot"))
         )
+        store.bump_stamp(self.base, "hot")
 
     @_locked
     def _claim_version_slot(self, uuid: str, want: int) -> int:
@@ -645,6 +665,7 @@ class BTrDBEngine:
             .partitionBy("uuid_bucket", "time_bucket")
             .parquet(self._append_dir("points"))
         )
+        store.bump_stamp(self.base, "points")
         if self.ladder is not None:
             # incremental rollup maintenance (A4) — O(batch) partial append,
             # stamped with the commit version (CGeneration analog) so the
@@ -738,6 +759,7 @@ class BTrDBEngine:
                 .partitionBy("uuid_bucket", "time_bucket")
                 .parquet(self._append_dir("points"))
             )
+            store.bump_stamp(self.base, "points")
 
         if self.ladder is None:
             _write_points()
@@ -1019,6 +1041,7 @@ class BTrDBEngine:
         self.spark.createDataFrame(
             [(u, s, e, versions[u]) for u, s, e in ranges], DELETES_SCHEMA
         ).coalesce(1).write.mode("append").parquet(self._append_dir("deletes"))
+        store.bump_stamp(self.base, "deletes")
         if self.ladder is not None:
             from .operators.raw import apply_deletes
             from .plans.rollup import invalidate_buckets_multi

@@ -431,10 +431,27 @@ class RollupLadder:
             return None
         from .. import store as store_mod
 
-        # visibility-aware signature (store.parquet_signature): the
-        # streaming ladder maintenance writes levels concurrently with
-        # reader polls, and counting _temporary/ staging files here would
-        # race read.parquet the same way engine._scan_memo did.
+        # O(1) fast path (VERDICT r12 #3): ladder appenders bump the
+        # level's mutation stamp after each durable append; rewrites
+        # flip the generation path — same scheme and rationale as
+        # engine._scan_memo. The parquet_signature walk stays as the
+        # miss-side emptiness check (a _temporary/-only staging tree
+        # must sign as "no table yet" — the streaming ladder writes
+        # levels concurrently with reader polls) and as the full
+        # signature for stampless legacy stores.
+        stamp = store_mod.read_stamp(self.base, name)
+        if stamp is not None:
+            sig = (path, stamp)
+            hit = self._df_memo.get(name)
+            if hit is not None and hit[0] == sig:
+                return hit[1]
+            df = (
+                self.spark.read.parquet(path)
+                if store_mod.parquet_signature(path)
+                else None
+            )
+            self._df_memo[name] = (sig, df)
+            return df
         sig_files = store_mod.parquet_signature(path)
         if not sig_files:
             return None
@@ -588,6 +605,9 @@ class RollupLadder:
             partial.write.mode("append").parquet(
                 self.store.current_dir(self.base, self._name(pw), create=True)
             )
+            from .. import store as store_mod
+
+            store_mod.bump_stamp(self.base, self._name(pw))
             if epoch is not None:
                 self._mark_epoch(pw, epoch)
 
@@ -782,6 +802,9 @@ def invalidate_buckets(
             full.unionByName(sentinel).coalesce(1).write.mode("append").parquet(
                 ladder.store.current_dir(ladder.base, ladder._rb_name(pw), create=True)
             )
+            from .. import store as store_mod
+
+            store_mod.bump_stamp(ladder.base, ladder._rb_name(pw))
             continue
         keep = ladder.level(pw).filter(~in_range)
         if "version" not in src.columns:
@@ -892,3 +915,6 @@ def invalidate_buckets_multi(
         full.unionByName(sentinels).coalesce(1).write.mode("append").parquet(
             ladder.store.current_dir(ladder.base, ladder._rb_name(pw), create=True)
         )
+        from .. import store as store_mod
+
+        store_mod.bump_stamp(ladder.base, ladder._rb_name(pw))

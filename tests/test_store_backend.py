@@ -185,3 +185,72 @@ def test_parquet_signature_ignores_staging_and_hidden(tmp_path):
     (base / "bucket=1" / "part-2.parquet").write_bytes(b"d" * 16)
     sig = store.parquet_signature(str(base))
     assert sig == ((os.path.join("bucket=1", "part-2.parquet"), 16),)
+
+
+def test_bump_and_read_stamp(tmp_path):
+    base = str(tmp_path)
+    assert store.read_stamp(base, "t") is None
+    store.bump_stamp(base, "t")
+    s1 = store.read_stamp(base, "t")
+    assert s1
+    store.bump_stamp(base, "t")
+    s2 = store.read_stamp(base, "t")
+    assert s2 and s2 != s1
+    # the stamp is a sibling file, never inside a generation dir (a
+    # parquet reader must not see it)
+    assert os.path.exists(os.path.join(base, "t.SIG"))
+
+
+def test_scan_memo_stamp_skips_walk_and_sees_appends(spark, tmp_path, monkeypatch):
+    """VERDICT r12 #3: the memoized query path must sign an unchanged
+    table in O(1) — zero parquet_signature walks on a hit — while an
+    append (which bumps the table stamp) still invalidates the memo,
+    and a rewrite (generation flip) invalidates via the path."""
+    eng = BTrDBEngine(spark, str(tmp_path / "db"), flush_threshold=5, ladder=False)
+    u = eng.create_stream("c/sig")
+    eng.insert(u, [(i, float(i)) for i in range(10)], sync=True)
+    assert eng.points.count() == 10
+
+    calls = {"n": 0}
+    real_walk = store.parquet_signature
+
+    def counting_walk(path):
+        calls["n"] += 1
+        return real_walk(path)
+
+    monkeypatch.setattr(store, "parquet_signature", counting_walk)
+    # repeated reads of the unchanged table: stamp hit, no walk at all
+    for _ in range(3):
+        assert eng.points.count() == 10
+    assert calls["n"] == 0, "memo hit must not walk the generation tree"
+    # an append bumps the stamp -> exactly one re-signature + re-read
+    eng.insert(u, [(100 + i, 1.0) for i in range(10)], sync=True)
+    assert eng.points.count() == 20
+    # a rewrite flips the generation path -> memo invalidates without
+    # any stamp change
+    monkeypatch.setattr(store, "parquet_signature", real_walk)
+    eng.compact_points()
+    assert eng.points.count() == 20
+
+
+def test_ladder_memo_stamp_sees_appends(spark, tmp_path):
+    """Same contract for the rollup ladder: ingest_batch bumps the level
+    stamps, so a reader poll picks up each batch; rewrites (compact)
+    invalidate via the generation path."""
+    from pyspark.sql import functions as F
+
+    from btrdb_spark.plans.rollup import RollupLadder
+
+    lad = RollupLadder(spark, str(tmp_path / "lad"), levels=(30,))
+    pts = spark.range(100).select(
+        F.lit("u").alias("uuid"),
+        (F.col("id") * 10_000_000).alias("time"),
+        F.col("id").cast("double").alias("value"),
+    )
+    lad.ingest_batch(pts)
+    n1 = lad.level(30).count()
+    assert n1 > 0
+    lad.ingest_batch(pts)  # same buckets again -> doubled partial rows
+    assert lad.level(30).count() == 2 * n1
+    lad.compact()
+    assert lad.level(30).count() == n1
