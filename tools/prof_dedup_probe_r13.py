@@ -138,3 +138,63 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def tail_variants() -> None:
+    """Measure the final-sort increment: the probe tail with orderBy
+    (shipped) vs without vs single-partition sort. Same rows."""
+    import tempfile
+
+    from btrdb_spark.functions.dedup_index import DedupIndex
+    from btrdb_spark.session import get_spark
+    from btrdb_spark.sources.tables import load_table
+
+    spark = get_spark("prof_dedup_tail_r13", cpus=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.1"
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    idx = DedupIndex(spark, tempfile.mkdtemp(prefix="prof_dedup_t_"))
+    idx.update(corpus)
+    noop(idx.probe(batch))  # warm
+
+    import btrdb_spark.functions.dedup_index as dimod
+
+    orig_probe = dimod.DedupIndex.probe
+
+    def probe_nosort(self, batch_docs):
+        df = orig_probe(self, batch_docs)
+        # strip the trailing global sort by re-deriving: not possible from
+        # the returned frame; instead monkeypatch orderBy during the call
+        return df
+
+    t = {}
+    spark.sparkContext.setJobDescription("tail shipped")
+    t["shipped_orderBy"] = floor_of(lambda: noop(idx.probe(batch)))
+
+    # monkeypatch DataFrame.orderBy to a no-op inside probe
+    from pyspark.sql import DataFrame as _DF
+
+    real_orderBy = _DF.orderBy
+    _DF.orderBy = lambda self, *a, **k: self
+    try:
+        spark.sparkContext.setJobDescription("tail nosort")
+        t["no_sort"] = floor_of(lambda: noop(idx.probe(batch)))
+    finally:
+        _DF.orderBy = real_orderBy
+
+    _DF.orderBy = lambda self, *a, **k: real_orderBy(
+        self.repartition(1), *a, **k
+    )
+    try:
+        spark.sparkContext.setJobDescription("tail 1part sort")
+        t["onepart_sort"] = floor_of(lambda: noop(idx.probe(batch)))
+    finally:
+        _DF.orderBy = real_orderBy
+
+    spark.sparkContext.setJobDescription("tail shipped2")
+    t["shipped_orderBy_2"] = floor_of(lambda: noop(idx.probe(batch)))
+    for k, v in t.items():
+        print(f"{k}: {v:.3f}s", flush=True)
+    spark.stop()
