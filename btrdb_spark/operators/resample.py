@@ -157,24 +157,47 @@ def rolling_zscore(points: DataFrame, window_rows: int = 20) -> DataFrame:
     IEEE op sequence in the oracle; z is NULL until the frame holds
     ``window_rows`` points or when the variance is 0 (constant window).
 
+    The frame sums are computed as differences of running
+    (UNBOUNDED PRECEDING) sums rather than literal sliding-frame
+    aggregates: Spark's SlidingWindowFunctionFrame has no retract path
+    and re-evaluates the aggregate over the whole frame at every row
+    (O(n*window) decimal additions), while running frames are
+    incremental O(n). Decimal arithmetic is exact, so the difference
+    equals the frame sum digit-for-digit and casts to the identical
+    double; a running non-null count guards the sum's
+    NULL-on-all-null-frame semantics.
+
     One shuffle on uuid; the frame state is O(window) per task.
     """
-    w = (
-        Window.partitionBy("uuid")
-        .orderBy("time", "value")
-        .rowsBetween(-(window_rows - 1), Window.currentRow)
-    )
+    wr = window_rows
+    ord_w = Window.partitionBy("uuid").orderBy("time", "value")
+    cum = ord_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     dec = F.col("value").cast("decimal(38,6)")
     dec2 = (F.col("value") * F.col("value")).cast("decimal(38,6)")
-    n = F.count(F.lit(1)).over(w)
-    s = F.sum(dec).over(w).cast("double")
-    ss = F.sum(dec2).over(w).cast("double")
+    base = points.select(
+        "uuid",
+        "time",
+        "value",
+        F.row_number().over(ord_w).alias("_rn"),
+        F.sum(dec).over(cum).alias("_rs"),
+        F.sum(dec2).over(cum).alias("_rss"),
+        F.count(dec).over(cum).alias("_rc"),
+    )
+    zero = F.lit(0).cast("decimal(38,6)")
+    cnt_nn = F.col("_rc") - F.coalesce(F.lag("_rc", wr).over(ord_w), F.lit(0))
+    n = F.least(F.col("_rn"), F.lit(wr))
+    s = F.when(
+        cnt_nn > 0, F.col("_rs") - F.coalesce(F.lag("_rs", wr).over(ord_w), zero)
+    ).cast("double")
+    ss = F.when(
+        cnt_nn > 0, F.col("_rss") - F.coalesce(F.lag("_rss", wr).over(ord_w), zero)
+    ).cast("double")
     m = s / n
     var = (ss - s * m) / (n - F.lit(1))
     z = F.when(
-        (n >= window_rows) & (var > 0), (F.col("value") - m) / F.sqrt(var)
+        (n >= wr) & (var > 0), (F.col("value") - m) / F.sqrt(var)
     )
-    return points.select(
+    return base.select(
         "uuid",
         "time",
         "value",

@@ -55,6 +55,22 @@ def test_rolling_zscore_constant_window_null(spark):
     assert all(r["z"] is None for r in rs.rolling_zscore(df, window_rows=20).collect())
 
 
+def test_rolling_zscore_all_null_frame_is_null_not_zero(spark):
+    # r13 prefix-difference rewrite: a frame of ONLY null values must keep
+    # sum semantics (mean_w NULL), even when earlier rows held values — a
+    # naive running-sum difference would yield 0 there. n_window still
+    # counts rows (count(1) over the frame, nulls included).
+    rows = [("s", i, 1.0, 10) for i in range(5)] + [
+        ("s", 5 + i, None, 10) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "uuid string, time long, value double, version long")
+    out = {r["time"]: r for r in rs.rolling_zscore(df, window_rows=3).collect()}
+    # frame {1.0, null, null}: s = 1.0 over n = 3 frame rows
+    assert out[6]["mean_w"] == pytest.approx(1.0 / 3.0)
+    r9 = out[9]  # frame {null, null, null}: all-null -> NULL mean, full count
+    assert r9["mean_w"] is None and r9["z"] is None and r9["n_window"] == 3
+
+
 def test_global_shuffle_deterministic_total_order(spark):
     docs = spark.createDataFrame([(i, "x") for i in range(100)], "doc_id long, text string")
     a = [(r["doc_id"], r["shard"], r["pos_in_shard"])
