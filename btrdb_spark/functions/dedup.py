@@ -81,11 +81,20 @@ def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition to the session's parallelism before CPU-heavy per-row
-    expressions. A small corpus arrives as one parquet row-group = one
-    partition, which would serialize the whole kernel on one core; at
-    real scale the scan has thousands of splits and this is a no-op cost
-    relative to the kernel."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    expressions — only when the input arrives in FEWER partitions. A
+    small corpus parquet is one row group = one split, which would
+    serialize the whole kernel on one core. But a keyless repartition is
+    a full shuffle of every column, including the document payload (plus
+    the sort-before-repartition pass each task pays so retries stay
+    deterministic) — at real corpus scale, where the scan already has
+    thousands of splits, that is terabytes of text moved for zero
+    parallelism gain. The partition-count probe is driver-side plan
+    inspection (no job); every downstream consumer aggregates by
+    content-derived keys, so the output is identical either way."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
 
 
 def shingle_edges(documents: DataFrame, n: int, text_col: str = "text") -> DataFrame:

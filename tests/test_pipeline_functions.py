@@ -422,3 +422,28 @@ def test_clean_corpus_decontam_drops_contaminated(spark):
     assert dec <= base
     # the eval docs themselves never survive (total self-overlap)
     assert dec.isdisjoint(set(range(5)))
+
+
+def test_spread_skips_payload_shuffle_when_parallel_enough(spark):
+    """_spread repartitions a narrow input up to the session parallelism
+    (a one-row-group corpus must not serialize the shingle kernel onto
+    one core) but must NOT round-robin-shuffle the full document payload
+    when the scan already has >= defaultParallelism splits — at corpus
+    scale that shuffle moves terabytes of text for zero parallelism
+    gain. Output content is identical either way (all consumers
+    aggregate by content-derived keys)."""
+    par = spark.sparkContext.defaultParallelism
+    rows = [(i, f"doc {i} alpha beta gamma delta epsilon zeta eta") for i in range(40)]
+    narrow = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    wide = spark.createDataFrame(rows, "doc_id long, text string").repartition(par + 2)
+
+    spread_narrow = dedup._spread(narrow)
+    spread_wide = dedup._spread(wide)
+    assert spread_narrow.rdd.getNumPartitions() == par
+    # already-parallel input passes through untouched: same object, no Exchange
+    assert spread_wide is wide
+
+    # identical declared content through the minhash pipeline on both shapes
+    a = dedup.minhash_signatures(narrow, n=2, num_hashes=8).orderBy("doc_id").collect()
+    b = dedup.minhash_signatures(wide, n=2, num_hashes=8).orderBy("doc_id").collect()
+    assert a == b
